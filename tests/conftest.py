@@ -1,0 +1,25 @@
+"""Test configuration: force an 8-device virtual CPU platform BEFORE jax
+imports, so sharding/mesh tests run without TPU hardware (SURVEY.md §4)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# The environment's TPU plugin prepends itself to jax_platforms regardless of
+# the env var; force-pin CPU so tests are hermetic and the 8-device virtual
+# mesh is available.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
