@@ -24,6 +24,27 @@ import numpy as np
 import yaml
 
 
+class Args(dict):
+    """Attribute-style config namespace (argparse-args equivalent).
+
+    Missing keys read as ``None``, matching how the reference's argparse
+    namespace behaves for unset optional flags.
+    """
+
+    def __getattr__(self, name):
+        if name.startswith("__"):
+            raise AttributeError(name)
+        return self.get(name)
+
+    def __setattr__(self, name, value):
+        self[name] = value
+
+    def updated(self, **kw) -> "Args":
+        out = Args(self)
+        out.update(kw)
+        return out
+
+
 # ---------------------------------------------------------------------------
 # Tier 1: dataset path registry
 # ---------------------------------------------------------------------------
