@@ -1,2 +1,9 @@
 from .base import get_model  # noqa: F401
-from . import attention  # noqa: F401  (registers "attention")
+
+# importing registers each model under its reference name
+from . import (attention, attention_topn, ef_lstm, graph_mfn, lf_dnn, lmf,  # noqa: F401
+               mctn, mfm, mfn, misa, mmim, mult, tfn)
+
+# reference model zoo (MERBench/toolkit/models/__init__.py:18-46 + MER2024
+# additions): attention, tfn, lmf, misa, mmim, mfn, graph_mfn, mfm, mctn,
+# mult, ef_lstm, lf_dnn, attention_topn
