@@ -24,7 +24,7 @@ def read_names_labels(label_path: str, split: str, debug: bool = False
     names, emos, vals = [], [], []
     for name, label in corpus.items():
         names.append(name)
-        emo = label["emo"]
+        emo = label.get("emo", 0)  # valence-only datasets (CMU/SIMS) omit emo
         emos.append(EMO2IDX_MER[emo] if isinstance(emo, str) else int(emo))
         val = label.get("val", "")
         vals.append(MISSING_VAL if val == "" or val is None else float(val))

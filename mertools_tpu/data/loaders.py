@@ -1,0 +1,212 @@
+"""Per-dataset loader classes (reference ``MERBench/toolkit/dataloader/*``).
+
+Each loader declares the dataset's protocol — output dims, metric, CV
+scheme — and builds :class:`FeatureDataset` objects from the feature store:
+
+| dataset          | classes | valence | metric   | CV scheme                    |
+|------------------|---------|---------|----------|------------------------------|
+| MER2023/MER2024  | 6       | yes     | emoval   | 5-fold random + test1..3     |
+| MER2025/MER2026  | 6       | no*     | emo      | 5-fold random (+ test sets)  |
+| IEMOCAPFour/Six  | 4/6     | no      | emo      | 5-fold by session prefix     |
+| MELD             | 7       | no      | emo      | fixed train/val/test         |
+| CMUMOSI/CMUMOSEI | —       | yes     | emo(±)   | fixed train/val/test         |
+| SIMS/SIMSv2      | —       | yes     | emo(±)   | fixed train/val/test         |
+
+"emo(±)" = accuracy/WAF of the valence *sign* over non-zero labels
+(cmudata.py:74-77 / sims.py:69-77).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from sklearn.metrics import accuracy_score, f1_score, mean_squared_error
+
+from ..core.config import Args
+from ..core.registry import registry
+from . import cv as cv_mod
+from . import labels as labels_mod
+from .dataset import FeatureDataset
+
+
+def calc_results_emoval(emo_probs=None, emo_labels=None, val_preds=None, val_labels=None):
+    from ..ops.metrics import calculate_results
+
+    return calculate_results(emo_probs, emo_labels, val_preds, val_labels)
+
+
+def calc_results_val_sign(emo_probs=None, emo_labels=None, val_preds=None, val_labels=None):
+    """CMU/SIMS metric: binarize valence sign over non-zero labels."""
+    val_preds = np.asarray(val_preds).reshape(-1)
+    val_labels = np.asarray(val_labels).reshape(-1)
+    non_zeros = val_labels != 0
+    vl, vp = val_labels[non_zeros] > 0, val_preds[non_zeros] > 0
+    return {
+        "valpreds": val_preds,
+        "vallabels": val_labels,
+        "valmse": mean_squared_error(val_labels, val_preds),
+        "emoacc": accuracy_score(vl, vp),
+        "emofscore": f1_score(vl, vp, average="weighted"),
+    }
+
+
+class BaseLoader:
+    """Common machinery; subclasses set protocol class attrs."""
+
+    num_folder = 5
+    output_dim1 = 6
+    output_dim2 = 1
+    metric_name = "emoval"
+    train_splits = ("train",)
+    test_splits = ("test1", "test2", "test3")
+    fixed_eval_split: str | None = None  # e.g. "val" for MELD/CMU
+    calc_results = staticmethod(calc_results_emoval)
+
+    def __init__(self, args: Args):
+        self.args = args
+        args.output_dim1 = self.output_dim1
+        args.output_dim2 = self.output_dim2
+        args.metric_name = self.metric_name
+        args.num_folder = self.num_folder
+
+    # -- label IO -----------------------------------------------------------
+    def read_split(self, label_path: str, split: str):
+        return labels_mod.read_names_labels(label_path, split, debug=bool(self.args.debug))
+
+    def _build(self, names, emos, vals) -> FeatureDataset:
+        a = self.args
+        return FeatureDataset.build(
+            names, emos, vals, a.audio_root, a.text_root, a.video_root,
+            feat_type=a.feat_type or "utt", feat_scale=a.feat_scale or 1)
+
+    # -- protocol -----------------------------------------------------------
+    def load(self, seed: int = 0):
+        """Returns (train_set, folds, test_sets)."""
+        a = self.args
+        label_path = a.label_path
+        if self.fixed_eval_split:
+            tr = self.read_split(label_path, "train")
+            ev = self.read_split(label_path, self.fixed_eval_split)
+            names = list(tr[0]) + list(ev[0])
+            emos = np.concatenate([tr[1], ev[1]])
+            vals = np.concatenate([tr[2], ev[2]])
+            train_set = self._build(names, emos, vals)
+            folds = [(np.arange(len(tr[0])), np.arange(len(tr[0]), len(names)))]
+            test_sets = {s: self._build(*self.read_split(label_path, s))
+                         for s in self.test_splits}
+            return train_set, folds, test_sets
+
+        tr = self.read_split(label_path, "train")
+        train_set = self._build(*tr)
+        folds = self.make_folds(tr[0], seed)
+        test_sets = {}
+        for s in self.test_splits:
+            try:
+                test_sets[s] = self._build(*self.read_split(label_path, s))
+            except KeyError:
+                pass  # split absent in this archive
+        return train_set, folds, test_sets
+
+    def make_folds(self, names, seed):
+        rng = np.random.default_rng(seed)
+        return cv_mod.kfold_indices(len(names), self.num_folder, rng)
+
+
+@registry.register_dataset("MER2023")
+class MER2023Loader(BaseLoader):
+    pass
+
+
+@registry.register_dataset("MER2024")
+class MER2024Loader(BaseLoader):
+    pass
+
+
+@registry.register_dataset("MER2025")
+class MER2025Loader(BaseLoader):
+    output_dim2 = 0
+    metric_name = "emo"
+    test_splits = ("test",)
+
+
+@registry.register_dataset("MER2026")
+class MER2026Loader(MER2025Loader):
+    """Track1 incl. the interlocutor-emotion variant: identical protocol,
+    different label CSVs (MER2026/MER2026_Track1/README.md)."""
+
+
+@registry.register_dataset("MELD")
+class MELDLoader(BaseLoader):
+    num_folder = 1
+    output_dim1 = 7
+    output_dim2 = 0
+    metric_name = "emo"
+    fixed_eval_split = "val"
+    test_splits = ("test",)
+
+
+class _IEMOCAPBase(BaseLoader):
+    output_dim2 = 0
+    metric_name = "emo"
+    test_splits = ()
+
+    def make_folds(self, names, seed):
+        """Leave-one-session-out: session id is char 4 of the clip name
+        (iemocap.py:84-99, e.g. Ses01F_... -> session 0)."""
+        sessions = {}
+        for idx, name in enumerate(names):
+            sessions.setdefault(int(name[4]) - 1, []).append(idx)
+        assert len(sessions) == self.num_folder, sessions.keys()
+        folds = []
+        for s in range(self.num_folder):
+            ev = np.array(sessions[s])
+            tr = np.concatenate([np.array(sessions[j]) for j in range(self.num_folder) if j != s])
+            folds.append((tr, ev))
+        return folds
+
+    def read_split(self, label_path, split):
+        # IEMOCAP stores one 'whole_corpus'
+        return labels_mod.read_names_labels(label_path, "whole", debug=bool(self.args.debug))
+
+
+@registry.register_dataset("IEMOCAPFour")
+class IEMOCAPFourLoader(_IEMOCAPBase):
+    output_dim1 = 4
+
+
+@registry.register_dataset("IEMOCAPSix")
+class IEMOCAPSixLoader(_IEMOCAPBase):
+    output_dim1 = 6
+
+
+class _CMUBase(BaseLoader):
+    num_folder = 1
+    output_dim1 = 0
+    output_dim2 = 1
+    metric_name = "emo"  # reference sorts by the sign-binarized WAF
+    fixed_eval_split = "val"
+    test_splits = ("test",)
+    calc_results = staticmethod(calc_results_val_sign)
+
+
+@registry.register_dataset("CMUMOSI")
+class CMUMOSILoader(_CMUBase):
+    pass
+
+
+@registry.register_dataset("CMUMOSEI")
+class CMUMOSEILoader(_CMUBase):
+    pass
+
+
+@registry.register_dataset("SIMS")
+class SIMSLoader(_CMUBase):
+    pass
+
+
+@registry.register_dataset("SIMSv2")
+class SIMSv2Loader(_CMUBase):
+    pass
+
+
+def get_loader(args: Args) -> BaseLoader:
+    return registry.get_dataset(args.dataset)(args)

@@ -116,8 +116,9 @@ def eval_epoch_jit(state: TrainState, data: dict, idx: jnp.ndarray,
 
 
 def _collect(loss_seq, emos_seq, vals_seq, idx, mask, emos_np, vals_np,
-             use_emo, use_val) -> dict:
+             use_emo, use_val, calc_fn=None) -> dict:
     """Flatten scan outputs to host arrays, drop padded rows, attach labels."""
+    calc_fn = calc_fn or metrics.calculate_results
     flat_mask = np.asarray(mask).reshape(-1).astype(bool)
     flat_idx = np.asarray(idx).reshape(-1)[flat_mask]
     out: dict[str, Any] = {"loss": float(np.mean(np.asarray(loss_seq)))}
@@ -128,7 +129,7 @@ def _collect(loss_seq, emos_seq, vals_seq, idx, mask, emos_np, vals_np,
     if use_val:
         preds = np.asarray(vals_seq).reshape(-1, np.asarray(vals_seq).shape[-1])[flat_mask]
         res_kw.update(val_preds=preds.reshape(-1), val_labels=vals_np[flat_idx])
-    out.update(metrics.calculate_results(**res_kw))
+    out.update(calc_fn(**res_kw))
     out["indices"] = flat_idx
     return out
 
@@ -145,7 +146,8 @@ class CVResult:
 
 def run_cv(args: Args, train_set: FeatureDataset,
            test_sets: dict[str, FeatureDataset] | None = None,
-           seed: int = 0, verbose: bool = True) -> CVResult:
+           seed: int = 0, verbose: bool = True,
+           folds: list | None = None, calc_fn=None) -> CVResult:
     """Cross-validation driver (reference main-release.py:193-272).
 
     For each fold: fresh model/optimizer, ``args.epochs`` epochs, pick the
@@ -163,7 +165,8 @@ def run_cv(args: Args, train_set: FeatureDataset,
     num_folds = args.num_folder or 5
 
     rng_np = np.random.default_rng(seed)
-    folds = cv_mod.kfold_indices(len(train_set), num_folds, rng_np)
+    if folds is None:
+        folds = cv_mod.kfold_indices(len(train_set), num_folds, rng_np)
 
     data = jax.device_put({k: jnp.asarray(v) for k, v in train_set.arrays().items()})
     test_data = {name: jax.device_put({k: jnp.asarray(v) for k, v in ds.arrays().items()})
@@ -194,14 +197,14 @@ def run_cv(args: Args, train_set: FeatureDataset,
             ev = eval_epoch_jit(state, data, jnp.asarray(eval_plan[0]),
                                 jnp.asarray(eval_plan[1]), use_emo, use_val)
             eval_res = _collect(*ev, *eval_plan, train_set.emos, train_set.vals,
-                                use_emo, use_val)
+                                use_emo, use_val, calc_fn)
             store = {f"eval_{k}": v for k, v in eval_res.items()}
             for name, tdata in test_data.items():
                 tp = test_plans[name]
                 tv = eval_epoch_jit(state, tdata, jnp.asarray(tp[0]),
                                     jnp.asarray(tp[1]), use_emo, use_val)
                 tres = _collect(*tv, *tp, test_sets[name].emos,
-                                test_sets[name].vals, use_emo, use_val)
+                                test_sets[name].vals, use_emo, use_val, calc_fn)
                 store.update({f"{name}_{k}": v for k, v in tres.items()})
             epoch_stores.append(store)
             epoch_metrics.append(metrics.gain_metric(
@@ -230,7 +233,7 @@ def run_cv(args: Args, train_set: FeatureDataset,
                    for f in fold_best]
         renamed = [{k: v for k, v in d.items() if v is not None} for d in renamed]
         avg = metrics.average_folds(renamed, name)
-        test_results[name] = metrics.calculate_results(
+        test_results[name] = (calc_fn or metrics.calculate_results)(
             avg.get("emoprobs"), avg.get("emolabels"),
             avg.get("valpreds"), avg.get("vallabels"))
 
