@@ -1,0 +1,109 @@
+"""Audio feature-extraction CLI (``extract_audio_huggingface.py`` equivalent).
+
+    python -m mertools_tpu.cli.extract_audio --model_name=chinese-hubert-large \
+        --audio_dir=.../audio --save_dir=.../features --feature_level=UTTERANCE \
+        --pretrain_dir=/path/to/hf/checkpoints
+
+Loads the HF torch checkpoint from ``{pretrain_dir}/{model_name}`` (torch CPU,
+weights converted to Flax once), reads wavs through the native frontend, and
+runs the bucketed batched TPU pipeline. Output layout matches the reference:
+``{save_dir}/{model_name}-{UTT|FRA}/{clip}.npy``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+
+import numpy as np
+
+
+def load_encoder(model_name: str, pretrain_dir: str | None, random_init: bool,
+                 size: str = "large"):
+    """Returns (cfg, params). random_init builds a random encoder of the
+    given size (for smoke tests / benchmarks without checkpoints)."""
+    import jax
+
+    from ..encoders.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder, from_hf_torch
+
+    if random_init:
+        if size == "tiny":  # smoke: 2 conv layers, 4 transformer layers
+            cfg = Wav2Vec2Config(hidden_size=64, num_hidden_layers=4,
+                                 num_attention_heads=2, intermediate_size=128,
+                                 conv_dim=(32, 32), conv_kernel=(10, 3),
+                                 conv_stride=(5, 2),
+                                 num_conv_pos_embeddings=16,
+                                 num_conv_pos_embedding_groups=2)
+        else:
+            cfg = (Wav2Vec2Config.large() if size == "large"
+                   else Wav2Vec2Config.base())
+        enc = Wav2Vec2Encoder(cfg)
+        params = enc.init(jax.random.PRNGKey(0),
+                          np.zeros((1, 4000), np.float32))["params"]
+        return cfg, params
+
+    from transformers import AutoModel
+
+    path = os.path.join(pretrain_dir, model_name) if pretrain_dir else model_name
+    model = AutoModel.from_pretrained(path)
+    return from_hf_torch(model)
+
+
+def main(argv=None):
+    from ..features.audio import AudioExtractor
+    from ..io import wav as wav_io
+
+    p = argparse.ArgumentParser("extract_audio")
+    p.add_argument("--model_name", type=str, required=True)
+    p.add_argument("--audio_dir", type=str, required=True)
+    p.add_argument("--save_dir", type=str, required=True)
+    p.add_argument("--feature_level", type=str, default="UTTERANCE",
+                   choices=["UTTERANCE", "FRAME"])
+    p.add_argument("--pretrain_dir", type=str, default=None)
+    p.add_argument("--random_init", action="store_true",
+                   help="random weights (smoke/bench without checkpoints)")
+    p.add_argument("--encoder_size", type=str, default="large",
+                   choices=["tiny", "base", "large"])
+    p.add_argument("--batch_budget_sec", type=int, default=80,
+                   help="audio seconds per device batch")
+    p.add_argument("--gpu", type=int, default=0, help="ignored (TPU)")
+    args = p.parse_args(argv)
+
+    level = "UTT" if args.feature_level == "UTTERANCE" else "FRA"
+    out_dir = os.path.join(args.save_dir, f"{args.model_name}-{level}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    cfg, params = load_encoder(args.model_name, args.pretrain_dir,
+                               args.random_init, args.encoder_size)
+    ex = AudioExtractor(cfg, params, sample_budget=args.batch_budget_sec * 16000)
+
+    files = sorted(glob.glob(os.path.join(args.audio_dir, "*.wav")))
+    print(f"extracting {len(files)} wavs -> {out_dir}")
+    t0 = time.time()
+    # stream in chunks to bound host memory
+    chunk = 256
+    done = 0
+    for i in range(0, len(files), chunk):
+        batch_files = files[i: i + chunk]
+        wavs = {}
+        for f in batch_files:
+            name = os.path.splitext(os.path.basename(f))[0]
+            out_path = os.path.join(out_dir, name + ".npy")
+            if os.path.exists(out_path):  # idempotent skip (reference behavior)
+                continue
+            wavs[name] = wav_io.read_wav_16k(f)
+        if not wavs:
+            continue
+        feats = ex.extract(wavs, level=level)
+        for name, feat in feats.items():
+            np.save(os.path.join(out_dir, name + ".npy"), feat)
+        done += len(wavs)
+        rate = done / (time.time() - t0)
+        print(f"  {done} clips, {rate:.2f} clips/sec")
+    print(f"Total time used: {time.time() - t0:.1f}s.")
+
+
+if __name__ == "__main__":
+    main()

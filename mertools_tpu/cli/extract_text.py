@@ -1,0 +1,74 @@
+"""Text feature-extraction CLI (``extract_text_huggingface.py`` equivalent).
+
+    python -m mertools_tpu.cli.extract_text --model_name=chinese-macbert-base \
+        --trans_path=.../transcription.csv --save_dir=.../features \
+        --feature_level=UTTERANCE --language=chinese
+
+CSV columns follow the reference: ``name`` + ``chinese``/``english``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+import pandas as pd
+
+
+def main(argv=None):
+    from ..encoders.bert import from_hf_torch
+    from ..features.text import TextExtractor, find_token_span
+
+    p = argparse.ArgumentParser("extract_text")
+    p.add_argument("--model_name", type=str, required=True)
+    p.add_argument("--trans_path", type=str, required=True)
+    p.add_argument("--save_dir", type=str, required=True)
+    p.add_argument("--feature_level", type=str, default="UTTERANCE",
+                   choices=["UTTERANCE", "FRAME"])
+    p.add_argument("--language", type=str, default="chinese")
+    p.add_argument("--pretrain_dir", type=str, default=None)
+    p.add_argument("--layer_ids", type=str, default="-4,-3,-2,-1")
+    p.add_argument("--gpu", type=int, default=0, help="ignored (TPU)")
+    args = p.parse_args(argv)
+
+    from transformers import AutoModel, AutoTokenizer
+
+    path = (os.path.join(args.pretrain_dir, args.model_name)
+            if args.pretrain_dir else args.model_name)
+    tokenizer = AutoTokenizer.from_pretrained(path)
+    cfg, params = from_hf_torch(AutoModel.from_pretrained(path))
+    layer_ids = tuple(int(x) for x in args.layer_ids.split(","))
+    ex = TextExtractor(cfg, params, layer_ids=layer_ids)
+    span = find_token_span(tokenizer)
+
+    level = "UTT" if args.feature_level == "UTTERANCE" else "FRA"
+    out_dir = os.path.join(args.save_dir, f"{args.model_name}-{level}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    df = pd.read_csv(args.trans_path)
+    token_ids, empty = {}, []
+    for _, row in df.iterrows():
+        name = str(row["name"])
+        if os.path.exists(os.path.join(out_dir, name + ".npy")):
+            continue
+        sentence = row.get(args.language)
+        if pd.isna(sentence) or len(str(sentence)) == 0:
+            empty.append(name)
+        else:
+            token_ids[name] = tokenizer(str(sentence))["input_ids"]
+
+    t0 = time.time()
+    feats = ex.extract(token_ids, span=span, level=level)
+    D = cfg.hidden_size
+    for name in empty:  # reference: zeros for empty transcripts
+        feats[name] = (np.zeros(D, np.float32) if level == "UTT"
+                       else np.zeros((1, D), np.float32))
+    for name, feat in feats.items():
+        np.save(os.path.join(out_dir, name + ".npy"), feat)
+    print(f"{len(feats)} clips in {time.time() - t0:.1f}s -> {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Batched visual feature extraction.
+
+Reference semantics (``extract_vision_huggingface.py``): per clip — load the
+OpenFace face npy ``(T, 112, 112, 3)`` BGR uint8, optionally resample frames
+uniformly, preprocess per the model's processor (CLIP: resize 224 bicubic,
+rescale, normalize, RGB), forward frames in sub-batches of 32
+(``get_image_features``), FRA = per-frame (T, D), UTT = frame mean
+(``:183-189``).
+
+TPU-native: frames from MANY clips are pooled into one stream and forwarded
+in large fixed-size batches; preprocessing (resize/normalize/BGR->RGB) runs
+on device inside the jitted step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..encoders.vit_clip import CLIPVisionConfig, CLIPVisionEncoder
+
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def resample_frames_uniform(n_frames: int, max_frames: int = 64) -> np.ndarray:
+    """Uniform frame index sampling (extract_vision_huggingface.py:44-56):
+    keep all when short, else evenly spaced indices."""
+    if n_frames <= max_frames:
+        return np.arange(n_frames)
+    step = n_frames / max_frames
+    return np.minimum((np.arange(max_frames) * step).astype(np.int64), n_frames - 1)
+
+
+def preprocess_faces_device(frames: jnp.ndarray, image_size: int) -> jnp.ndarray:
+    """(N, H, W, 3) BGR uint8 -> (N, S, S, 3) normalized RGB float32, on device."""
+    x = frames.astype(jnp.float32)[..., ::-1] / 255.0  # BGR -> RGB, rescale
+    x = jax.image.resize(x, (x.shape[0], image_size, image_size, 3),
+                         method="bicubic")
+    mean = jnp.asarray(CLIP_MEAN, jnp.float32)
+    std = jnp.asarray(CLIP_STD, jnp.float32)
+    return (x - mean) / std
+
+
+@dataclass
+class VisionExtractor:
+    cfg: CLIPVisionConfig
+    params: dict
+    batch_size: int = 64
+    max_frames: int = 64
+    precision: object = jax.lax.Precision.HIGHEST
+
+    def __post_init__(self):
+        enc = CLIPVisionEncoder(self.cfg, precision=self.precision)
+
+        @jax.jit
+        def fwd(params, frames):
+            pix = preprocess_faces_device(frames, self.cfg.image_size)
+            return enc.apply({"params": params}, pix)["image_embeds"]
+
+        self._fwd = fwd
+        self._params = jax.device_put(self.params)
+
+    def extract(self, faces: dict[str, np.ndarray], level: str = "FRA",
+                ) -> dict[str, np.ndarray]:
+        """faces: name -> (T, H, W, 3) BGR uint8 face crops."""
+        # pool all (clip, frame) jobs into one stream of fixed-size batches
+        jobs: list[tuple[str, int, np.ndarray]] = []
+        counts: dict[str, int] = {}
+        for name, arr in faces.items():
+            idx = resample_frames_uniform(len(arr), self.max_frames)
+            counts[name] = len(idx)
+            for fi, ai in enumerate(idx):
+                jobs.append((name, fi, arr[ai]))
+
+        results: dict[str, dict[int, np.ndarray]] = {n: {} for n in faces}
+        bs = self.batch_size
+        h, w = jobs[0][2].shape[:2]
+        for i in range(0, len(jobs), bs):
+            group = jobs[i: i + bs]
+            batch = np.zeros((bs, h, w, 3), np.uint8)  # fixed shape: 1 compile
+            for r, (_, _, frame) in enumerate(group):
+                batch[r] = frame
+            embeds = np.asarray(self._fwd(self._params, jnp.asarray(batch)))
+            for r, (name, fi, _) in enumerate(group):
+                results[name][fi] = embeds[r]
+
+        out = {}
+        for name in faces:
+            feat = np.stack([results[name][fi] for fi in range(counts[name])])
+            out[name] = feat.mean(axis=0) if level.upper().startswith("UTT") else feat
+        return out

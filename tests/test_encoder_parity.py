@@ -1,0 +1,99 @@
+"""Numerical parity of Flax encoders vs HF torch models on tiny random
+configs (the <1e-3 contract of BASELINE.md; on CPU fp32 we demand <1e-4)."""
+
+import numpy as np
+import pytest
+import torch
+
+
+def tiny_hubert(feat_norm="group", stable=False, conv_bias=False):
+    from transformers import HubertConfig, HubertModel
+
+    cfg = HubertConfig(
+        hidden_size=32, num_hidden_layers=3, num_attention_heads=2,
+        intermediate_size=48, conv_dim=(16, 16), conv_kernel=(10, 3),
+        conv_stride=(5, 2), num_feat_extract_layers=2,
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=2,
+        feat_extract_norm=feat_norm, do_stable_layer_norm=stable,
+        conv_bias=conv_bias,
+        hidden_dropout=0.0, attention_dropout=0.0, feat_proj_dropout=0.0,
+        activation_dropout=0.0, layerdrop=0.0,
+    )
+    torch.manual_seed(0)
+    return HubertModel(cfg).eval()
+
+
+@pytest.mark.parametrize("feat_norm,stable,conv_bias",
+                         [("group", False, False), ("layer", True, True)],
+                         ids=["base-style", "large-style"])
+def test_hubert_parity(feat_norm, stable, conv_bias):
+    import jax.numpy as jnp
+
+    from mertools_tpu.encoders import wav2vec2 as w2v
+
+    hf = tiny_hubert(feat_norm, stable, conv_bias)
+    cfg, params = w2v.from_hf_torch(hf)
+    enc = w2v.Wav2Vec2Encoder(cfg)
+
+    rng = np.random.default_rng(0)
+    wav = rng.normal(size=(2, 800)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.tensor(wav), output_hidden_states=True).hidden_states
+    ours = enc.apply({"params": params}, jnp.asarray(wav))
+
+    assert len(ours) == len(ref)
+    for i, (o, r) in enumerate(zip(ours, ref)):
+        err = np.abs(np.asarray(o) - r.numpy()).max()
+        assert err < 1e-4, (i, err)
+
+
+def test_hubert_batched_ragged_matches_per_clip():
+    """End-padded batched forward with wav_lengths must equal per-clip
+    forwards on the valid frames (the batching the reference never does)."""
+    import jax.numpy as jnp
+
+    from mertools_tpu.encoders import wav2vec2 as w2v
+
+    hf = tiny_hubert()
+    cfg, params = w2v.from_hf_torch(hf)
+    enc = w2v.Wav2Vec2Encoder(cfg)
+
+    rng = np.random.default_rng(1)
+    lens = np.array([800, 519], dtype=np.int32)
+    wavs = [rng.normal(size=L).astype(np.float32) for L in lens]
+    batch = np.zeros((2, 800), np.float32)
+    for i, w in enumerate(wavs):
+        batch[i, : len(w)] = w
+
+    out_b = enc.apply({"params": params}, jnp.asarray(batch), jnp.asarray(lens))[-1]
+    frames = np.asarray(cfg.feat_lengths(lens))
+    for i, w in enumerate(wavs):
+        out_s = enc.apply({"params": params}, jnp.asarray(w[None]))[-1]
+        err = np.abs(np.asarray(out_b[i, : frames[i]]) - np.asarray(out_s[0])).max()
+        assert err < 1e-4, (i, err)
+
+
+def test_wav2vec2_parity():
+    from transformers import Wav2Vec2Config as HFCfg, Wav2Vec2Model
+
+    import jax.numpy as jnp
+
+    from mertools_tpu.encoders import wav2vec2 as w2v
+
+    cfg = HFCfg(hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+                intermediate_size=48, conv_dim=(16, 16), conv_kernel=(10, 3),
+                conv_stride=(5, 2), num_feat_extract_layers=2,
+                num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=2,
+                feat_extract_norm="group", do_stable_layer_norm=False,
+                hidden_dropout=0.0, attention_dropout=0.0,
+                feat_proj_dropout=0.0, activation_dropout=0.0, layerdrop=0.0)
+    torch.manual_seed(1)
+    hf = Wav2Vec2Model(cfg).eval()
+    mcfg, params = w2v.from_hf_torch(hf)
+    enc = w2v.Wav2Vec2Encoder(mcfg)
+
+    wav = np.random.default_rng(2).normal(size=(1, 640)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.tensor(wav)).last_hidden_state.numpy()
+    ours = np.asarray(enc.apply({"params": params}, jnp.asarray(wav))[-1])
+    assert np.abs(ours - ref).max() < 1e-4

@@ -1,0 +1,86 @@
+"""Whisper encoder/decoder parity vs HF torch on a tiny random config."""
+
+import numpy as np
+import torch
+
+
+def tiny_whisper():
+    from transformers import WhisperConfig as HFCfg, WhisperModel
+
+    # init_std=0.2 (not the 0.02 default): with default init a tiny random
+    # model's activations are ~1e-2, and LayerNorm amplifies fp32 noise far
+    # above the parity threshold; real checkpoints have O(1) activations.
+    cfg = HFCfg(d_model=32, encoder_layers=2, decoder_layers=2,
+                encoder_attention_heads=2, decoder_attention_heads=2,
+                encoder_ffn_dim=64, decoder_ffn_dim=64, num_mel_bins=80,
+                max_source_positions=1500, max_target_positions=448,
+                vocab_size=60000, dropout=0.0, attention_dropout=0.0,
+                activation_dropout=0.0, init_std=0.2)
+    torch.manual_seed(0)
+    return WhisperModel(cfg).eval()
+
+
+def test_whisper_parity_full():
+    import jax.numpy as jnp
+
+    from mertools_tpu.encoders import whisper as wsp
+
+    hf = tiny_whisper()
+    cfg, params = wsp.from_hf_torch(hf)
+    model = wsp.WhisperModel(cfg)
+
+    rng = np.random.default_rng(0)
+    mel = rng.normal(size=(1, 80, 3000)).astype(np.float32)
+    dec_ids = np.array([[hf.config.decoder_start_token_id] * 2])
+    with torch.no_grad():
+        ref = hf(torch.tensor(mel), decoder_input_ids=torch.tensor(dec_ids).long()
+                 ).last_hidden_state.numpy()
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(mel),
+                                  jnp.asarray(dec_ids.astype(np.int32))))
+    assert ours.shape == ref.shape == (1, 2, 32)
+    assert np.abs(ours - ref).max() < 1e-4
+
+
+def test_whisper_causal_decoder():
+    """Later tokens must not influence earlier hidden states."""
+    import jax.numpy as jnp
+
+    from mertools_tpu.encoders import whisper as wsp
+
+    hf = tiny_whisper()
+    cfg, params = wsp.from_hf_torch(hf)
+    model = wsp.WhisperModel(cfg)
+    mel = jnp.asarray(np.random.default_rng(1).normal(size=(1, 80, 3000)).astype(np.float32))
+    a = model.apply({"params": params}, mel, jnp.asarray([[5, 7, 9]], jnp.int32))
+    b = model.apply({"params": params}, mel, jnp.asarray([[5, 7, 1]], jnp.int32))
+    np.testing.assert_allclose(np.asarray(a[:, :2]), np.asarray(b[:, :2]), atol=1e-5)
+    assert np.abs(np.asarray(a[:, 2]) - np.asarray(b[:, 2])).max() > 1e-4
+
+
+def test_whisper_mel_to_feature_pipeline():
+    """The reference's whisper feature: log-mel + 2-token decoder states."""
+    import jax
+    import jax.numpy as jnp
+
+    from transformers import WhisperFeatureExtractor
+
+    from mertools_tpu.encoders import whisper as wsp
+    from mertools_tpu.ops import mel as melmod
+
+    hf = tiny_whisper()
+    cfg, params = wsp.from_hf_torch(hf)
+    model = wsp.WhisperModel(cfg)
+
+    wav = (np.random.default_rng(2).normal(size=3 * 16000) * 0.1).astype(np.float32)
+    fe = WhisperFeatureExtractor()
+    ref_mel = fe(wav, sampling_rate=16000, return_tensors="pt").input_features
+    dec = torch.tensor([[hf.config.decoder_start_token_id] * 2]).long()
+    with torch.no_grad():
+        ref = hf(ref_mel, decoder_input_ids=dec).last_hidden_state[0].numpy()
+
+    our_mel = jax.jit(melmod.log_mel_spectrogram)(
+        jnp.asarray(melmod.pad_or_trim(wav)[None]))
+    ours = np.asarray(model.apply(
+        {"params": params}, our_mel,
+        jnp.asarray([[cfg.decoder_start_token_id] * 2], jnp.int32)))[0]
+    assert np.abs(ours - ref).max() < 1e-3  # the BASELINE parity contract
