@@ -1,0 +1,252 @@
+"""Decoder-only LLM backbone (LLaMA/Qwen-style) in Flax, with LoRA.
+
+Backs the AffectGPT-equivalent MLLM (reference
+``MER2025/MER2025_Track23/my_affectgpt/models/affectgpt.py``: LoRA-wrapped
+LLaMA/Qwen receiving spliced audio-visual token embeddings, loss = LM
+cross-entropy on answer tokens).
+
+Architecture: RMSNorm, rotary position embeddings, GQA-capable attention,
+SwiGLU MLP, tied or separate LM head. Converts from HF ``LlamaModel`` /
+``Qwen2Model`` state dicts. LoRA adds trainable low-rank deltas on the
+attention projections (reference lora_r — affectgpt.py:50) while the base
+stays frozen; param tree separates ``base`` and ``lora`` so the optimizer
+masks cleanly under pjit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+@dataclass(frozen=True)
+class LLMConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    intermediate_size: int = 11008
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    lora_r: int = 0          # 0 = no LoRA
+    lora_alpha: float = 16.0
+    attention_bias: bool = False  # True for Qwen2-style q/k/v biases
+
+    @classmethod
+    def tiny(cls, vocab=128, lora_r=0):
+        return cls(vocab_size=vocab, hidden_size=32, num_layers=2, num_heads=4,
+                   num_kv_heads=2, intermediate_size=64, lora_r=lora_r)
+
+    @classmethod
+    def from_hf(cls, hf, lora_r=0):
+        return cls(vocab_size=hf.vocab_size, hidden_size=hf.hidden_size,
+                   num_layers=hf.num_hidden_layers, num_heads=hf.num_attention_heads,
+                   num_kv_heads=getattr(hf, "num_key_value_heads", hf.num_attention_heads),
+                   intermediate_size=hf.intermediate_size,
+                   rms_norm_eps=hf.rms_norm_eps,
+                   rope_theta=getattr(hf, "rope_theta", 10000.0),
+                   attention_bias=getattr(hf, "attention_bias", False)
+                   or hf.model_type == "qwen2",
+                   lora_r=lora_r)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        var = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+        return (x * jax.lax.rsqrt(var + self.eps)).astype(x.dtype) * scale
+
+
+def rotary(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """x: (B, S, N, Hd); positions: (B, S). HF-style half-rotation."""
+    hd = x.shape[-1]
+    inv_freq = 1.0 / (theta ** (np.arange(0, hd, 2, dtype=np.float32) / hd))
+    ang = positions[..., None].astype(jnp.float32) * inv_freq  # (B, S, Hd/2)
+    cos = jnp.cos(ang)[:, :, None, :]
+    sin = jnp.sin(ang)[:, :, None, :]
+    x1, x2 = x[..., : hd // 2], x[..., hd // 2:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
+class LoRADense(nn.Module):
+    """Dense with optional trainable low-rank delta in a separate collection
+    path: params['base'] (frozen) vs params['lora'] (trainable)."""
+
+    features: int
+    lora_r: int = 0
+    lora_alpha: float = 16.0
+    use_bias: bool = False
+    precision: object = _PRECISION
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        y = jnp.einsum("...d,df->...f", x, kernel, precision=self.precision)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.lora_r > 0:
+            a = self.param("lora_a", nn.initializers.normal(0.02),
+                           (x.shape[-1], self.lora_r))
+            b = self.param("lora_b", nn.initializers.zeros,
+                           (self.lora_r, self.features))
+            y = y + (self.lora_alpha / self.lora_r) * jnp.einsum(
+                "...d,dr,rf->...f", x, a, b, precision=self.precision)
+        return y
+
+
+class _LLMLayer(nn.Module):
+    cfg: LLMConfig
+    precision: object = _PRECISION
+
+    @nn.compact
+    def __call__(self, x, positions, attn_bias):
+        c = self.cfg
+        H, nh, nkv = c.hidden_size, c.num_heads, c.num_kv_heads
+        hd = H // nh
+
+        xn = RMSNorm(c.rms_norm_eps, name="input_layernorm")(x)
+        q = LoRADense(nh * hd, c.lora_r, c.lora_alpha, c.attention_bias,
+                      self.precision, name="q_proj")(xn)
+        k = LoRADense(nkv * hd, c.lora_r, c.lora_alpha, c.attention_bias,
+                      self.precision, name="k_proj")(xn)
+        v = LoRADense(nkv * hd, c.lora_r, c.lora_alpha, c.attention_bias,
+                      self.precision, name="v_proj")(xn)
+        q = rotary(q.reshape(*x.shape[:2], nh, hd), positions, c.rope_theta)
+        k = rotary(k.reshape(*x.shape[:2], nkv, hd), positions, c.rope_theta)
+        v = v.reshape(*x.shape[:2], nkv, hd)
+        if nkv != nh:  # GQA: repeat kv heads
+            rep = nh // nkv
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+        logits = jnp.einsum("bqnd,bknd->bnqk", q, k,
+                            precision=self.precision) / np.sqrt(hd)
+        logits = logits + attn_bias
+        w = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+        attn = jnp.einsum("bnqk,bknd->bqnd", w, v, precision=self.precision)
+        attn = attn.reshape(*x.shape[:2], H)
+        x = x + LoRADense(H, c.lora_r, c.lora_alpha, False, self.precision,
+                          name="o_proj")(attn)
+
+        xn = RMSNorm(c.rms_norm_eps, name="post_attention_layernorm")(x)
+        gate = nn.Dense(c.intermediate_size, use_bias=False, name="gate_proj",
+                        precision=self.precision)(xn)
+        up = nn.Dense(c.intermediate_size, use_bias=False, name="up_proj",
+                      precision=self.precision)(xn)
+        down = nn.Dense(H, use_bias=False, name="down_proj",
+                        precision=self.precision)(jax.nn.silu(gate) * up)
+        return x + down
+
+
+class LLM(nn.Module):
+    """Causal LM over input embeddings (the MLLM splices AV tokens, so the
+    entry point takes ``inputs_embeds``; use :meth:`embed` for token lookup)."""
+
+    cfg: LLMConfig
+    precision: object = _PRECISION
+
+    def setup(self):
+        c = self.cfg
+        self.embed_tokens = nn.Embed(c.vocab_size, c.hidden_size,
+                                     name="embed_tokens")
+        self.layers = [_LLMLayer(c, self.precision, name=f"layer_{i}")
+                       for i in range(c.num_layers)]
+        self.norm = RMSNorm(c.rms_norm_eps, name="norm")
+        self.lm_head = nn.Dense(c.vocab_size, use_bias=False, name="lm_head",
+                                precision=self.precision)
+
+    def embed(self, input_ids):
+        return self.embed_tokens(input_ids)
+
+    def __call__(self, inputs_embeds, attention_mask=None, positions=None):
+        """inputs_embeds: (B, S, H); attention_mask: (B, S) 1=valid.
+        Returns logits (B, S, V)."""
+        B, S, _ = inputs_embeds.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+        causal = jnp.where(jnp.arange(S)[:, None] >= jnp.arange(S)[None, :],
+                           0.0, -1e30)
+        bias = causal[None, None]
+        if attention_mask is not None:
+            pad = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e30)
+            bias = bias + pad
+        x = inputs_embeds
+        for layer in self.layers:
+            x = layer(x, positions, bias)
+        x = self.norm(x)
+        return self.lm_head(x)
+
+
+def lm_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+            ignore_index: int = -100) -> jnp.ndarray:
+    """Shifted causal LM cross-entropy with -100 masking (HF semantics,
+    affectgpt.py:722-731)."""
+    logits = logits[:, :-1].astype(jnp.float32)
+    labels = labels[:, 1:]
+    mask = labels != ignore_index
+    safe = jnp.where(mask, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+
+# ---------------------------------------------------------------------------
+# torch -> flax conversion (LlamaForCausalLM / Qwen2ForCausalLM)
+# ---------------------------------------------------------------------------
+def _t(x):
+    return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
+
+
+def convert_torch_state(cfg: LLMConfig, sd: dict) -> dict:
+    pre = "model." if any(k.startswith("model.") for k in sd) else ""
+
+    def lin(name, bias=False):
+        out = {"kernel": _t(sd[f"{name}.weight"]).T}
+        if bias and f"{name}.bias" in sd:
+            out["bias"] = _t(sd[f"{name}.bias"])
+        return out
+
+    p: dict = {
+        "embed_tokens": {"embedding": _t(sd[f"{pre}embed_tokens.weight"])},
+        "norm": {"weight": _t(sd[f"{pre}norm.weight"])},
+    }
+    head_key = "lm_head.weight"
+    p["lm_head"] = {"kernel": (_t(sd[head_key]).T if head_key in sd
+                               else _t(sd[f"{pre}embed_tokens.weight"]).T)}
+    for i in range(cfg.num_layers):
+        lp = f"{pre}layers.{i}"
+        p[f"layer_{i}"] = {
+            "input_layernorm": {"weight": _t(sd[f"{lp}.input_layernorm.weight"])},
+            "post_attention_layernorm": {"weight": _t(sd[f"{lp}.post_attention_layernorm.weight"])},
+            "q_proj": lin(f"{lp}.self_attn.q_proj", cfg.attention_bias),
+            "k_proj": lin(f"{lp}.self_attn.k_proj", cfg.attention_bias),
+            "v_proj": lin(f"{lp}.self_attn.v_proj", cfg.attention_bias),
+            "o_proj": lin(f"{lp}.self_attn.o_proj"),
+            "gate_proj": lin(f"{lp}.mlp.gate_proj"),
+            "up_proj": lin(f"{lp}.mlp.up_proj"),
+            "down_proj": lin(f"{lp}.mlp.down_proj"),
+        }
+    return jax.tree_util.tree_map(jnp.asarray, p)
+
+
+def lora_param_labels(params: dict) -> dict:
+    """Label tree: 'lora' for lora_a/lora_b leaves, 'frozen' otherwise (for
+    optax.multi_transform masking)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def label(path):
+        names = [getattr(k, "key", str(k)) for k in path]
+        return "lora" if any(n in ("lora_a", "lora_b") for n in names) else "frozen"
+
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params), [label(p) for p, _ in flat])

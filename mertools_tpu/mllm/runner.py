@@ -1,0 +1,162 @@
+"""MLLM training runner.
+
+Replaces the reference's ``RunnerBase`` (``my_affectgpt/runners/runner_base.py``)
+and ``BaseTask.train_epoch`` (``tasks/base_task.py:101-185``):
+
+  * iter-based epochs with gradient accumulation,
+  * LinearWarmupCosineLR (``common/optims.py``),
+  * trainable-only optimization: the LLM base is frozen via
+    ``optax.multi_transform`` masking (the reference freezes encoders and
+    saves trainable-only checkpoints — runner_base.py:594-638),
+  * data parallelism over the (data, model) mesh — parameters replicated,
+    batch sharded, gradient psum inserted by XLA (vs the reference's
+    DDP/NCCL),
+  * orbax checkpointing of the trainable state (+ best-val copy).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from .affectgpt import AffectGPT, trainable_labels
+
+
+def warmup_cosine_schedule(init_lr: float, min_lr: float, warmup_steps: int,
+                           total_steps: int, warmup_start_lr: float = 1e-6):
+    """LinearWarmupCosineLR (reference common/optims.py)."""
+    warmup = optax.linear_schedule(warmup_start_lr, init_lr, max(warmup_steps, 1))
+    cosine = optax.cosine_decay_schedule(init_lr, max(total_steps - warmup_steps, 1),
+                                         alpha=min_lr / init_lr if init_lr else 0.0)
+    return optax.join_schedules([warmup, cosine], [warmup_steps])
+
+
+def make_mllm_optimizer(params, schedule, weight_decay: float = 0.05,
+                        labels_fn: Callable = trainable_labels):
+    labels = labels_fn(params)
+    tx = optax.multi_transform(
+        {"train": optax.adamw(schedule, weight_decay=weight_decay),
+         "frozen": optax.set_to_zero()},
+        labels)
+    return tx
+
+
+class MLLMTrainState(train_state.TrainState):
+    pass
+
+
+@dataclass
+class RunnerConfig:
+    max_epoch: int = 10
+    iters_per_epoch: int = 100
+    batch_size: int = 4
+    accum_grad_iters: int = 1
+    init_lr: float = 1e-4
+    min_lr: float = 8e-5
+    warmup_steps: int = 100
+    weight_decay: float = 0.05
+    output_dir: str = "./mllm_output"
+
+
+class Runner:
+    def __init__(self, cfg: RunnerConfig, model: AffectGPT, params: dict,
+                 mesh=None):
+        self.cfg = cfg
+        self.model = model
+        total = cfg.max_epoch * cfg.iters_per_epoch
+        schedule = warmup_cosine_schedule(cfg.init_lr, cfg.min_lr,
+                                          cfg.warmup_steps, total)
+        tx = make_mllm_optimizer(params, schedule, cfg.weight_decay)
+        if cfg.accum_grad_iters > 1:
+            tx = optax.MultiSteps(tx, cfg.accum_grad_iters)
+        self.state = MLLMTrainState.create(
+            apply_fn=model.apply, params=params, tx=tx)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.state = jax.device_put(self.state, NamedSharding(mesh, P()))
+            self._batch_sharding = lambda v: NamedSharding(
+                mesh, P("data", *([None] * (np.asarray(v).ndim - 1))))
+        else:
+            self._batch_sharding = None
+        self._history: list[dict] = []
+
+        @partial(jax.jit, donate_argnames=("state",))
+        def train_step(state: MLLMTrainState, batch: dict):
+            def loss_fn(p):
+                loss, _ = state.apply_fn({"params": p}, batch)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            return state.apply_gradients(grads=grads), loss
+
+        @jax.jit
+        def eval_step(state: MLLMTrainState, batch: dict):
+            loss, _ = state.apply_fn({"params": state.params}, batch)
+            return loss
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+
+    def place(self, batch: dict) -> dict:
+        if self._batch_sharding is None:
+            return batch
+        return {k: jax.device_put(np.asarray(v), self._batch_sharding(v))
+                for k, v in batch.items()}
+
+    def train_epoch(self, epoch: int, batches: Iterator[dict],
+                    log_every: int = 50) -> dict:
+        losses = []
+        for it in range(self.cfg.iters_per_epoch):
+            batch = next(batches)
+            self.state, loss = self._train_step(self.state, self.place(batch))
+            losses.append(loss)
+            if (it + 1) % log_every == 0:
+                print(f"epoch {epoch} iter {it + 1}: "
+                      f"loss {float(np.mean([float(l) for l in losses[-log_every:]])):.4f}")
+        stats = {"epoch": epoch, "train_loss": float(np.mean([float(l) for l in losses]))}
+        self._history.append(stats)
+        return stats
+
+    def evaluate(self, batches: list[dict]) -> float:
+        losses = [float(self._eval_step(self.state, self.place(b))) for b in batches]
+        return float(np.mean(losses))
+
+    # -- checkpointing (orbax): trainable-only like the reference ------------
+    def save_checkpoint(self, epoch: int, is_best: bool = False) -> str:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(
+            self.cfg.output_dir, "checkpoint_best" if is_best else f"checkpoint_{epoch}"))
+        labels = trainable_labels(self.state.params)
+        trainable = jax.tree_util.tree_map(
+            lambda p, l: p if l == "train" else None, self.state.params, labels)
+        trainable = jax.tree_util.tree_map(
+            np.asarray, trainable, is_leaf=lambda x: x is None)
+        ckpt = ocp.PyTreeCheckpointer()
+        ckpt.save(path, {"params": trainable, "epoch": epoch}, force=True)
+        return path
+
+    def load_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+
+        ckpt = ocp.PyTreeCheckpointer()
+        restored = ocp.PyTreeCheckpointer.restore(ckpt, os.path.abspath(path))
+        loaded = restored["params"]
+
+        def merge(cur, new):
+            return cur if new is None else jnp.asarray(new)
+
+        params = jax.tree_util.tree_map(
+            merge, self.state.params, loaded,
+            is_leaf=lambda x: x is None or not isinstance(x, dict))
+        self.state = self.state.replace(params=params)
+        return restored.get("epoch")

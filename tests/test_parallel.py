@@ -1,0 +1,94 @@
+"""Mesh parallelism tests on the 8-device virtual CPU platform: dp training
+step, tp-sharded MLLM forward, and dp+tp combined."""
+
+import numpy as np
+
+
+def test_tp_llm_forward_matches_single_device():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mertools_tpu.core.mesh import make_mesh
+    from mertools_tpu.mllm.llm import LLM, LLMConfig
+    from mertools_tpu.parallel.tp import llm_param_specs, shard_params
+
+    cfg = LLMConfig(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                    num_kv_heads=4, intermediate_size=64)
+    model = LLM(cfg)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 64, size=(4, 6)).astype(np.int32)
+    def fwd_m(m, i):
+        return m(m.embed(i))
+
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids[:1]),
+                        method=fwd_m)["params"]
+
+    def fwd(p, i):
+        return model.apply({"params": p}, i, method=fwd_m)
+
+    ref = np.asarray(jax.jit(fwd)(params, jnp.asarray(ids)))
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    with mesh:
+        sp = shard_params(mesh, params)
+        batch = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P("data", None)))
+        out = np.asarray(jax.jit(fwd)(sp, batch))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+    # verify head-dim sharding actually applied
+    qk = sp["layer_0"]["q_proj"]["kernel"]
+    assert qk.sharding.spec == P(None, "model")
+
+
+def test_affectgpt_dp_tp_train_step():
+    """Full MLLM train step over a (2 data x 4 model) mesh."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mertools_tpu.core.mesh import make_mesh
+    from mertools_tpu.mllm import AffectGPT, AffectGPTConfig, LLMConfig, QFormerConfig
+    from mertools_tpu.parallel.tp import llm_param_specs
+
+    import sys
+    sys.path.insert(0, "tests")
+    from test_mllm import synth_mllm_batch
+
+    cfg = AffectGPTConfig(
+        llm=LLMConfig(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                      num_kv_heads=4, intermediate_size=64, lora_r=2),
+        video_qformer=QFormerConfig(num_queries=4, hidden_size=16, num_layers=1,
+                                    num_heads=2, intermediate_size=32),
+        audio_qformer=QFormerConfig(num_queries=2, hidden_size=16, num_layers=1,
+                                    num_heads=2, intermediate_size=32),
+        video_dim=12, audio_dim=10, max_video_frames=6)
+    model = AffectGPT(cfg)
+
+    rng = np.random.default_rng(0)
+    batch_np = synth_mllm_batch(rng, B=4)
+    params = model.init(jax.random.PRNGKey(0), batch_np)["params"]
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    specs = llm_param_specs(params)
+    sharded = jax.tree_util.tree_map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs)
+    batch = {k: jax.device_put(np.asarray(v),
+                               NamedSharding(mesh, P("data", *[None] * (np.asarray(v).ndim - 1))))
+             for k, v in batch_np.items()}
+
+    @jax.jit
+    def step(p, b):
+        def loss_fn(pp):
+            loss, _ = model.apply({"params": pp}, b)
+            return loss
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        # sgd-style update keeps the test free of optimizer state sharding
+        new_p = jax.tree_util.tree_map(lambda x, g: x - 1e-3 * g, p, grads)
+        return loss, new_p
+
+    with mesh:
+        loss, new_params = step(sharded, batch)
+    assert np.isfinite(float(loss))
+    # frozen-encoder inputs: grads flowed, params changed where trainable
+    before = np.asarray(params["video_proj"]["kernel"])
+    after = np.asarray(new_params["video_proj"]["kernel"])
+    assert np.abs(after - before).max() > 0
