@@ -26,6 +26,8 @@ import numpy as np
 
 
 def main():
+    from mertools_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 

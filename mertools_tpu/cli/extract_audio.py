@@ -52,6 +52,8 @@ def load_encoder(model_name: str, pretrain_dir: str | None, random_init: bool,
 
 
 def main(argv=None):
+    from ..core.cache import enable_persistent_cache
+    enable_persistent_cache()
     from ..features.audio import AudioExtractor
     from ..io import wav as wav_io
 

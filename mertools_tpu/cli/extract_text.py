@@ -18,6 +18,8 @@ import pandas as pd
 
 
 def main(argv=None):
+    from ..core.cache import enable_persistent_cache
+    enable_persistent_cache()
     from ..encoders.bert import from_hf_torch
     from ..features.text import TextExtractor, find_token_span
 

@@ -19,6 +19,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from ..core.cache import enable_persistent_cache
+    enable_persistent_cache()
     from ..encoders.vit_clip import from_hf_torch
     from ..features.vision import VisionExtractor
 

@@ -95,6 +95,8 @@ def modality_tag(features: list[str]) -> str:
 
 
 def main(argv=None):
+    from ..core.cache import enable_persistent_cache
+    enable_persistent_cache()
     ns = build_parser().parse_args(argv)
     args = Args(vars(ns))
 
