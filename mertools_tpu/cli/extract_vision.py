@@ -1,11 +1,19 @@
-"""Visual feature-extraction CLI (``extract_vision_huggingface.py`` equivalent).
+"""Visual feature-extraction CLI (``extract_vision_huggingface.py`` +
+``extract_{manet,ferplus,msceleb,imagenet}_embedding.py`` equivalent).
 
     python -m mertools_tpu.cli.extract_vision --model_name=clip-vit-large-patch14 \
         --face_dir=.../openface_face --save_dir=.../features \
         --feature_level=UTTERANCE
 
 ``face_dir`` holds per-clip ``{name}.npy`` face arrays (T, 112, 112, 3) BGR
-uint8 as produced by the OpenFace compression step.
+uint8 as produced by the OpenFace compression step. Model families:
+
+- ``clip-*``                      -> CLIP image features
+- ``dinov2-*`` / ``data2vec-vision-*`` / ``eva02-*`` -> token-summed ViT
+- ``videomae-*``                  -> 16-frame tubelet segment features
+- ``manet``                       -> 1024-d RAF-DB FER embedding
+- ``resnet50-ferplus`` / ``senet50-ferplus`` / ``*-msceleb`` / ``*-imagenet``
+                                  -> CNN global-pool embeddings
 """
 
 from __future__ import annotations
@@ -18,11 +26,69 @@ import time
 import numpy as np
 
 
+def build_extractor(args):
+    """Dispatch model_name -> (extractor, needs checkpoint dir)."""
+    name = args.model_name.lower()
+    path = (os.path.join(args.pretrain_dir, args.model_name)
+            if args.pretrain_dir else args.model_name)
+
+    if "videomae" in name:
+        from transformers import VideoMAEModel
+
+        from ..encoders.vit import from_hf_videomae
+        from ..features.vision_zoo import VideoMAEExtractor
+        cfg, params = from_hf_videomae(VideoMAEModel.from_pretrained(path))
+        return VideoMAEExtractor(cfg, params)
+    if "dinov2" in name or "dino2" in name:
+        from transformers import Dinov2Model
+
+        from ..encoders.vit import from_hf_dinov2
+        from ..features.vision_zoo import vit_token_sum_extractor
+        cfg, params = from_hf_dinov2(Dinov2Model.from_pretrained(path))
+        return vit_token_sum_extractor(cfg, params)
+    if "data2vec" in name or "beit" in name:
+        from transformers import Data2VecVisionModel
+
+        from ..encoders.vit import from_hf_beit
+        from ..features.vision_zoo import vit_token_sum_extractor
+        cfg, params = from_hf_beit(Data2VecVisionModel.from_pretrained(path))
+        return vit_token_sum_extractor(cfg, params)
+    if "manet" in name:
+        import torch
+
+        from ..encoders.resnet import convert_torch_manet
+        from ..features.vision_zoo import manet_extractor
+        sd = torch.load(os.path.join(path, "manet.pth"), map_location="cpu",
+                        weights_only=False)
+        sd = sd.get("state_dict", sd)
+        sd = {k.removeprefix("module."): v for k, v in sd.items()}
+        return manet_extractor(convert_torch_manet(sd))
+    if "ferplus" in name or "msceleb" in name or "imagenet" in name:
+        import torch
+
+        from ..encoders.resnet import (ResNetConfig, convert_torch_resnet,
+                                       resnet50_config, senet50_config)
+        from ..features.vision_zoo import ferplus_spec, resnet_embed_extractor
+        cfg = senet50_config() if name.startswith("senet") else resnet50_config()
+        sd = torch.load(path + ".pth", map_location="cpu", weights_only=False)
+        sd = sd.get("state_dict", sd)
+        # MatConvNet FER meta means (pixel scale); imagenet-style fallback
+        mean = (131.0912, 103.8827, 91.4953) if "ferplus" in name or \
+            "msceleb" in name else (123.675, 116.28, 103.53)
+        return resnet_embed_extractor(cfg, convert_torch_resnet(cfg, sd),
+                                      ferplus_spec(mean))
+    # default: CLIP family
+    from transformers import CLIPVisionModelWithProjection
+
+    from ..encoders.vit_clip import from_hf_torch
+    from ..features.vision import VisionExtractor
+    cfg, params = from_hf_torch(CLIPVisionModelWithProjection.from_pretrained(path))
+    return VisionExtractor(cfg, params, max_frames=args.max_frames)
+
+
 def main(argv=None):
     from ..core.cache import enable_persistent_cache
     enable_persistent_cache()
-    from ..encoders.vit_clip import from_hf_torch
-    from ..features.vision import VisionExtractor
 
     p = argparse.ArgumentParser("extract_vision")
     p.add_argument("--model_name", type=str, required=True)
@@ -35,12 +101,7 @@ def main(argv=None):
     p.add_argument("--gpu", type=int, default=0, help="ignored (TPU)")
     args = p.parse_args(argv)
 
-    from transformers import CLIPVisionModelWithProjection
-
-    path = (os.path.join(args.pretrain_dir, args.model_name)
-            if args.pretrain_dir else args.model_name)
-    cfg, params = from_hf_torch(CLIPVisionModelWithProjection.from_pretrained(path))
-    ex = VisionExtractor(cfg, params, max_frames=args.max_frames)
+    ex = build_extractor(args)
 
     level = "UTT" if args.feature_level == "UTTERANCE" else "FRA"
     out_dir = os.path.join(args.save_dir, f"{args.model_name}-{level}")

@@ -1,0 +1,444 @@
+"""Generic ViT encoder family: DINOv2 / data2vec-vision (BEiT) / VideoMAE / EVA-02.
+
+Backs the reference's non-CLIP visual extractors
+(``MERBench/feature_extraction/visual/extract_vision_huggingface.py``):
+data2vec-vision & DINOv2 take the last hidden state summed/meaned over patch
+tokens (``:124-145``; DINOv2 pre-samples 64 frames ``:136``), VideoMAE
+resamples 16 frames and mean-pools tubelet tokens (``:147-159``), EVA-02 runs
+through timm (``:91-95,161-169``). All four are one architecture family with
+switches; this module implements them as a single Flax ViT with:
+
+- 2D patch-conv or 3D tubelet-conv (VideoMAE) embeddings,
+- learned / fixed-sinusoid / no absolute position embeddings,
+- optional CLS token,
+- pre-LN blocks with optional LayerScale (DINOv2/BEiT lambda),
+- optional BEiT-style per-layer relative position bias,
+- q/v-only bias (BEiT/VideoMAE) or full qkv bias,
+- optional rotary position embeddings + SwiGLU (EVA-02-style),
+- optional final LayerNorm (DINOv2 yes; BEiT/VideoMAE mean-pool variants no).
+
+Torch->Flax converters cover the HF ``Dinov2Model`` / ``Data2VecVisionModel``
+/ ``VideoMAEModel`` checkpoints with <1e-4 parity (see tests).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+@dataclass(frozen=True)
+class ViTConfig:
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    image_size: int = 224
+    patch_size: int = 16
+    num_channels: int = 3
+    # VideoMAE: >0 turns on 3D tubelet embedding over (frames, H, W)
+    num_frames: int = 0
+    tubelet_size: int = 2
+    use_cls_token: bool = True
+    pos_embed: str = "learned"          # learned | sincos | none
+    layerscale: float = 0.0             # >0: LayerScale init value
+    rel_pos_bias: bool = False          # BEiT decomposed relative bias
+    qv_bias_only: bool = False          # q,v bias, k bias-free
+    use_rope: bool = False              # EVA-02 2D rotary embeddings
+    use_swiglu: bool = False            # EVA-02 SwiGLU MLP
+    final_layernorm: bool = True
+    layer_norm_eps: float = 1e-6
+    arch: str = "dinov2"
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        n = self.grid * self.grid
+        if self.num_frames:
+            n *= self.num_frames // self.tubelet_size
+        return n
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + (1 if self.use_cls_token else 0)
+
+
+def sinusoid_table(n_pos: int, dim: int) -> np.ndarray:
+    """VideoMAE fixed table (modeling_videomae.get_sinusoid_encoding_table)."""
+    pos = np.arange(n_pos)[:, None]
+    den = np.power(10000.0, 2 * (np.arange(dim) // 2) / dim)
+    tab = pos / den
+    tab[:, 0::2] = np.sin(tab[:, 0::2])
+    tab[:, 1::2] = np.cos(tab[:, 1::2])
+    return tab.astype(np.float32)
+
+
+def beit_relative_position_index(grid: int) -> np.ndarray:
+    """BEiT relative position index over (1+N, 1+N) incl. CLS slots
+    (modeling_beit.BeitRelativePositionBias.generate_relative_position_index)."""
+    num_rel = (2 * grid - 1) ** 2 + 3
+    coords = np.stack(np.meshgrid(np.arange(grid), np.arange(grid),
+                                  indexing="ij")).reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += grid - 1
+    rel[:, :, 1] += grid - 1
+    rel[:, :, 0] *= 2 * grid - 1
+    n = grid * grid
+    idx = np.zeros((n + 1, n + 1), np.int64)
+    idx[1:, 1:] = rel.sum(-1)
+    idx[0, 0:] = num_rel - 3
+    idx[0:, 0] = num_rel - 2
+    idx[0, 0] = num_rel - 1
+    return idx
+
+
+def _rope_2d(grid: int, head_dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """EVA-02-style 2D axial rotary tables (sin, cos) of shape (N, head_dim)."""
+    half = head_dim // 2
+    quarter = half // 2
+    freqs = 1.0 / (100.0 ** (np.arange(quarter) / quarter))
+    ys, xs = np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij")
+    ang_y = ys.reshape(-1, 1) * freqs[None, :]
+    ang_x = xs.reshape(-1, 1) * freqs[None, :]
+    ang = np.concatenate([ang_y, ang_x], axis=-1)         # (N, half)
+    ang = np.concatenate([ang, ang], axis=-1)             # (N, head_dim)
+    return np.sin(ang).astype(np.float32), np.cos(ang).astype(np.float32)
+
+
+def _rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+class _Block(nn.Module):
+    cfg: ViTConfig
+    precision: object = _PRECISION
+
+    @nn.compact
+    def __call__(self, x, rel_bias=None, rope=None):
+        c = self.cfg
+        H, nh = c.hidden_size, c.num_heads
+        hd = H // nh
+        ln = lambda name: nn.LayerNorm(epsilon=c.layer_norm_eps, name=name)
+        dense = lambda d, name, use_bias=True: nn.Dense(
+            d, name=name, use_bias=use_bias, precision=self.precision)
+
+        residual = x
+        xn = ln("norm1")(x)
+        q = dense(H, "q")(xn)
+        k = dense(H, "k", use_bias=not c.qv_bias_only)(xn)
+        v = dense(H, "v")(xn)
+        B, N = x.shape[0], x.shape[1]
+        q = q.reshape(B, N, nh, hd)
+        k = k.reshape(B, N, nh, hd)
+        v = v.reshape(B, N, nh, hd)
+        if rope is not None:
+            sin, cos = rope
+            ncls = 1 if c.use_cls_token else 0
+            def rot(t):
+                head, tail = t[:, :ncls], t[:, ncls:]
+                tail = tail * cos[None, :, None, :] + _rotate_half(tail) * sin[None, :, None, :]
+                return jnp.concatenate([head, tail], axis=1)
+            q, k = rot(q), rot(k)
+        logits = jnp.einsum("bqnd,bknd->bnqk", q * (hd ** -0.5), k,
+                            precision=self.precision)
+        if rel_bias is not None:
+            logits = logits + rel_bias[None]
+        w = nn.softmax(logits, axis=-1)
+        attn = jnp.einsum("bnqk,bknd->bqnd", w, v, precision=self.precision)
+        out = dense(H, "proj")(attn.reshape(B, N, H))
+        if c.layerscale > 0:
+            out = out * self.param("ls1", nn.initializers.constant(c.layerscale),
+                                   (H,))
+        x = residual + out
+
+        residual = x
+        xn = ln("norm2")(x)
+        if c.use_swiglu:
+            g = dense(c.intermediate_size, "fc1")(xn)
+            u = dense(c.intermediate_size, "fc1_gate")(xn)
+            h = nn.silu(u) * g
+        else:
+            h = nn.gelu(dense(c.intermediate_size, "fc1")(xn), approximate=False)
+        out = dense(H, "fc2")(h)
+        if c.layerscale > 0:
+            out = out * self.param("ls2", nn.initializers.constant(c.layerscale),
+                                   (H,))
+        return residual + out
+
+
+class ViTEncoder(nn.Module):
+    """(B, H, W, C) images -> (B, seq, hidden); VideoMAE variant takes
+    (B, T, H, W, C) frame stacks."""
+
+    cfg: ViTConfig
+    precision: object = _PRECISION
+
+    @nn.compact
+    def __call__(self, pixels):
+        c = self.cfg
+        if c.num_frames:
+            # tubelet embed: Conv over (T, H, W)
+            x = nn.Conv(c.hidden_size,
+                        kernel_size=(c.tubelet_size, c.patch_size, c.patch_size),
+                        strides=(c.tubelet_size, c.patch_size, c.patch_size),
+                        name="patch_embed", precision=self.precision)(pixels)
+            x = x.reshape(pixels.shape[0], -1, c.hidden_size)
+        else:
+            x = nn.Conv(c.hidden_size, kernel_size=(c.patch_size, c.patch_size),
+                        strides=(c.patch_size, c.patch_size),
+                        name="patch_embed", precision=self.precision)(pixels)
+            x = x.reshape(pixels.shape[0], -1, c.hidden_size)
+
+        if c.use_cls_token:
+            cls = self.param("cls_token", nn.initializers.zeros, (c.hidden_size,))
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls, (x.shape[0], 1, c.hidden_size)), x], 1)
+
+        if c.pos_embed == "learned":
+            pe = self.param("pos_embed", nn.initializers.normal(0.02),
+                            (c.seq_len, c.hidden_size))
+            x = x + pe[None]
+        elif c.pos_embed == "sincos":
+            x = x + jnp.asarray(sinusoid_table(c.num_patches, c.hidden_size))[None]
+
+        rel_index = (beit_relative_position_index(c.grid)
+                     if c.rel_pos_bias else None)
+        rope = None
+        if c.use_rope:
+            sin, cos = _rope_2d(c.grid, c.hidden_size // c.num_heads)
+            rope = (jnp.asarray(sin), jnp.asarray(cos))
+
+        for i in range(c.num_layers):
+            rel_bias = None
+            if c.rel_pos_bias:
+                table = self.param(f"rel_bias_table_{i}", nn.initializers.zeros,
+                                   ((2 * c.grid - 1) ** 2 + 3, c.num_heads))
+                rel_bias = table[jnp.asarray(rel_index)].transpose(2, 0, 1)
+            x = _Block(c, name=f"block_{i}",
+                       precision=self.precision)(x, rel_bias, rope)
+
+        if c.final_layernorm:
+            x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="final_norm")(x)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# canonical configs
+# ---------------------------------------------------------------------------
+
+
+def dinov2_config(hf_cfg=None, **kw) -> ViTConfig:
+    if hf_cfg is not None:
+        return ViTConfig(
+            hidden_size=hf_cfg.hidden_size, num_layers=hf_cfg.num_hidden_layers,
+            num_heads=hf_cfg.num_attention_heads,
+            intermediate_size=int(hf_cfg.hidden_size * hf_cfg.mlp_ratio),
+            image_size=hf_cfg.image_size, patch_size=hf_cfg.patch_size,
+            layerscale=hf_cfg.layerscale_value, pos_embed="learned",
+            final_layernorm=True, layer_norm_eps=hf_cfg.layer_norm_eps,
+            arch="dinov2")
+    return ViTConfig(arch="dinov2", patch_size=14, layerscale=1.0, **kw)
+
+
+def beit_config(hf_cfg=None, **kw) -> ViTConfig:
+    """data2vec-vision == BEiT architecture (HF Data2VecVisionModel)."""
+    if hf_cfg is not None:
+        return ViTConfig(
+            hidden_size=hf_cfg.hidden_size, num_layers=hf_cfg.num_hidden_layers,
+            num_heads=hf_cfg.num_attention_heads,
+            intermediate_size=hf_cfg.intermediate_size,
+            image_size=hf_cfg.image_size, patch_size=hf_cfg.patch_size,
+            layerscale=getattr(hf_cfg, "layer_scale_init_value", 0.1),
+            pos_embed=("learned" if hf_cfg.use_absolute_position_embeddings
+                       else "none"),
+            rel_pos_bias=hf_cfg.use_relative_position_bias, qv_bias_only=True,
+            final_layernorm=not getattr(hf_cfg, "use_mean_pooling", True),
+            layer_norm_eps=hf_cfg.layer_norm_eps, arch="beit")
+    return ViTConfig(arch="beit", pos_embed="none", rel_pos_bias=True,
+                     qv_bias_only=True, layerscale=0.1, final_layernorm=False,
+                     **kw)
+
+
+def videomae_config(hf_cfg=None, **kw) -> ViTConfig:
+    if hf_cfg is not None:
+        return ViTConfig(
+            hidden_size=hf_cfg.hidden_size, num_layers=hf_cfg.num_hidden_layers,
+            num_heads=hf_cfg.num_attention_heads,
+            intermediate_size=hf_cfg.intermediate_size,
+            image_size=hf_cfg.image_size, patch_size=hf_cfg.patch_size,
+            num_frames=hf_cfg.num_frames, tubelet_size=hf_cfg.tubelet_size,
+            use_cls_token=False, pos_embed="sincos",
+            qv_bias_only=hf_cfg.qkv_bias,
+            final_layernorm=not getattr(hf_cfg, "use_mean_pooling", True),
+            layer_norm_eps=hf_cfg.layer_norm_eps, arch="videomae")
+    kw.setdefault("num_frames", 16)
+    return ViTConfig(arch="videomae", use_cls_token=False,
+                     pos_embed="sincos", qv_bias_only=True,
+                     final_layernorm=False, **kw)
+
+
+def eva02_config(**kw) -> ViTConfig:
+    """EVA-02 structure (timm ``eva02_*``): rotary + SwiGLU, no torch oracle
+    in this environment — structural implementation, reference
+    ``extract_vision_huggingface.py:91-95`` runs it through timm."""
+    return ViTConfig(arch="eva02", patch_size=14, use_rope=True,
+                     use_swiglu=True, final_layernorm=True, **kw)
+
+
+# ---------------------------------------------------------------------------
+# torch converters
+# ---------------------------------------------------------------------------
+
+
+def _t(x):
+    return np.asarray(x.detach().cpu().numpy())
+
+
+def _conv_hwio(w):  # torch OIHW -> flax HWIO
+    return _t(w).transpose(2, 3, 1, 0)
+
+
+def _conv3d(w):     # torch OIDHW -> flax DHWIO
+    return _t(w).transpose(2, 3, 4, 1, 0)
+
+
+def _dense(w):
+    return _t(w).T
+
+
+def _block_params(cfg, get, i, prefix, names) -> dict:
+    """names: dict with keys q,k,v,proj,fc1,fc2,norm1,norm2[,ls1,ls2,fc1_gate]"""
+    p = {
+        "norm1": {"scale": _t(get(f"{prefix}.{names['norm1']}.weight")),
+                  "bias": _t(get(f"{prefix}.{names['norm1']}.bias"))},
+        "norm2": {"scale": _t(get(f"{prefix}.{names['norm2']}.weight")),
+                  "bias": _t(get(f"{prefix}.{names['norm2']}.bias"))},
+        "q": {"kernel": _dense(get(f"{prefix}.{names['q']}.weight"))},
+        "k": {"kernel": _dense(get(f"{prefix}.{names['k']}.weight"))},
+        "v": {"kernel": _dense(get(f"{prefix}.{names['v']}.weight"))},
+        "proj": {"kernel": _dense(get(f"{prefix}.{names['proj']}.weight")),
+                 "bias": _t(get(f"{prefix}.{names['proj']}.bias"))},
+        "fc1": {"kernel": _dense(get(f"{prefix}.{names['fc1']}.weight")),
+                "bias": _t(get(f"{prefix}.{names['fc1']}.bias"))},
+        "fc2": {"kernel": _dense(get(f"{prefix}.{names['fc2']}.weight")),
+                "bias": _t(get(f"{prefix}.{names['fc2']}.bias"))},
+    }
+    qb = get(f"{prefix}.{names['q']}.bias", optional=True)
+    if qb is not None:
+        p["q"]["bias"] = _t(qb)
+    vb = get(f"{prefix}.{names['v']}.bias", optional=True)
+    if vb is not None:
+        p["v"]["bias"] = _t(vb)
+    if not cfg.qv_bias_only:
+        kb = get(f"{prefix}.{names['k']}.bias", optional=True)
+        if kb is not None:
+            p["k"]["bias"] = _t(kb)
+    if cfg.layerscale > 0:
+        p["ls1"] = _t(get(f"{prefix}.{names['ls1']}"))
+        p["ls2"] = _t(get(f"{prefix}.{names['ls2']}"))
+    return p
+
+
+def _getter(sd):
+    def get(key, optional=False):
+        if key in sd:
+            return sd[key]
+        if optional:
+            return None
+        raise KeyError(key)
+    return get
+
+
+def from_hf_dinov2(model) -> tuple[ViTConfig, dict]:
+    cfg = dinov2_config(model.config)
+    sd = dict(model.state_dict())
+    get = _getter(sd)
+    params = {
+        "patch_embed": {
+            "kernel": _conv_hwio(get("embeddings.patch_embeddings.projection.weight")),
+            "bias": _t(get("embeddings.patch_embeddings.projection.bias"))},
+        "cls_token": _t(get("embeddings.cls_token")).reshape(-1),
+        "pos_embed": _t(get("embeddings.position_embeddings"))[0],
+        "final_norm": {"scale": _t(get("layernorm.weight")),
+                       "bias": _t(get("layernorm.bias"))},
+    }
+    names = dict(norm1="norm1", norm2="norm2",
+                 q="attention.attention.query", k="attention.attention.key",
+                 v="attention.attention.value", proj="attention.output.dense",
+                 fc1="mlp.fc1", fc2="mlp.fc2",
+                 ls1="layer_scale1.lambda1", ls2="layer_scale2.lambda1")
+    for i in range(cfg.num_layers):
+        params[f"block_{i}"] = _block_params(cfg, get, i,
+                                             f"encoder.layer.{i}", names)
+    return cfg, params
+
+
+def from_hf_beit(model) -> tuple[ViTConfig, dict]:
+    """HF Data2VecVisionModel / BeitModel (identical structure)."""
+    cfg = beit_config(model.config)
+    sd = dict(model.state_dict())
+    get = _getter(sd)
+    params = {
+        "patch_embed": {
+            "kernel": _conv_hwio(get("embeddings.patch_embeddings.projection.weight")),
+            "bias": _t(get("embeddings.patch_embeddings.projection.bias"))},
+        "cls_token": _t(get("embeddings.cls_token")).reshape(-1),
+    }
+    if cfg.final_layernorm:
+        params["final_norm"] = {"scale": _t(get("layernorm.weight")),
+                                "bias": _t(get("layernorm.bias"))}
+    names = dict(norm1="layernorm_before", norm2="layernorm_after",
+                 q="attention.attention.query", k="attention.attention.key",
+                 v="attention.attention.value", proj="attention.output.dense",
+                 fc1="intermediate.dense", fc2="output.dense",
+                 ls1="lambda_1", ls2="lambda_2")
+    for i in range(cfg.num_layers):
+        pre = f"encoder.layer.{i}"
+        params[f"block_{i}"] = _block_params(cfg, get, i, pre, names)
+        if cfg.rel_pos_bias:
+            params[f"rel_bias_table_{i}"] = _t(get(
+                f"{pre}.attention.attention.relative_position_bias."
+                "relative_position_bias_table"))
+    return cfg, params
+
+
+def from_hf_videomae(model) -> tuple[ViTConfig, dict]:
+    cfg = videomae_config(model.config)
+    sd = dict(model.state_dict())
+    get = _getter(sd)
+    params = {
+        "patch_embed": {
+            "kernel": _conv3d(get("embeddings.patch_embeddings.projection.weight")),
+            "bias": _t(get("embeddings.patch_embeddings.projection.bias"))},
+    }
+    if cfg.final_layernorm:
+        params["final_norm"] = {"scale": _t(get("layernorm.weight")),
+                                "bias": _t(get("layernorm.bias"))}
+    names = dict(norm1="layernorm_before", norm2="layernorm_after",
+                 q="attention.attention.query", k="attention.attention.key",
+                 v="attention.attention.value", proj="attention.output.dense",
+                 fc1="intermediate.dense", fc2="output.dense")
+    for i in range(cfg.num_layers):
+        pre = f"encoder.layer.{i}"
+        blk = _block_params(cfg, get, i, pre, names)
+        # VideoMAE keeps q/v biases as separate parameters (modeling_videomae
+        # VideoMAESelfAttention.q_bias/v_bias), not on the Linear modules.
+        qb = get(f"{pre}.attention.attention.q_bias", optional=True)
+        vb = get(f"{pre}.attention.attention.v_bias", optional=True)
+        if qb is not None:
+            blk["q"]["bias"] = _t(qb)
+        if vb is not None:
+            blk["v"]["bias"] = _t(vb)
+        params[f"block_{i}"] = blk
+    return cfg, params

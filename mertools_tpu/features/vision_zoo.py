@@ -1,0 +1,223 @@
+"""Batched extraction pipelines for the full visual encoder zoo.
+
+Reference per-model semantics (``MERBench/feature_extraction/visual/
+extract_vision_huggingface.py:104-169`` and the ``extract_{manet,ferplus,
+msceleb,imagenet,emonet}_embedding.py`` scripts):
+
+- CLIP family      : per-frame ``get_image_features`` (features/vision.py)
+- data2vec-vision  : per-frame last-hidden **sum over all tokens** (:124-133)
+- DINOv2           : 64-frame uniform resample, token sum (:136-145)
+- VideoMAE         : 16-frame resample -> per-tubelet-segment patch mean
+                     (:147-159) -> (8, D) per clip
+- MANet / ResNet-FER (ferplus/msceleb/imagenet): per-frame CNN embedding,
+  model-specific torchvision transform stacks
+- UTT level = temporal mean (:183-189)
+
+All pipelines pool frames across clips into fixed-size device batches with
+on-device preprocessing (resize/normalize inside jit), instead of the
+reference's per-video python loops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..encoders.resnet import MANet, ResNet, ResNetConfig
+from ..encoders.vit import ViTConfig, ViTEncoder
+
+IMAGENET_DEFAULT = ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
+IMAGENET_STANDARD = ((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+
+
+@dataclass(frozen=True)
+class PreprocessSpec:
+    """On-device uint8-BGR -> model-input preprocessing.
+
+    resize_short + center_crop mirrors torchvision Resize(256)+CenterCrop(224)
+    (extract_ferplus_embedding.py:69-75); otherwise direct resize to
+    image_size (extract_manet_embedding.py:63-64 / HF processors).
+    """
+    image_size: int = 224
+    mean: tuple = (0.0, 0.0, 0.0)
+    std: tuple = (1.0, 1.0, 1.0)
+    scale: float = 1.0 / 255.0       # uint8 -> [0,1]; FER mcn models use 1.0
+    bgr_to_rgb: bool = True
+    resize_short: int = 0            # >0: resize short side then center-crop
+    method: str = "bicubic"
+
+
+def preprocess_device(frames: jnp.ndarray, spec: PreprocessSpec) -> jnp.ndarray:
+    """(N, H, W, 3) uint8 -> (N, S, S, 3) float32, fully on device."""
+    x = frames.astype(jnp.float32)
+    if spec.bgr_to_rgb:
+        x = x[..., ::-1]
+    x = x * spec.scale
+    S = spec.image_size
+    if spec.resize_short:
+        R = spec.resize_short
+        x = jax.image.resize(x, (x.shape[0], R, R, 3), method=spec.method)
+        off = (R - S) // 2
+        x = x[:, off: off + S, off: off + S]
+    else:
+        x = jax.image.resize(x, (x.shape[0], S, S, 3), method=spec.method)
+    mean = jnp.asarray(spec.mean, jnp.float32)
+    std = jnp.asarray(spec.std, jnp.float32)
+    return (x - mean) / std
+
+
+def resample_frames_uniform(n_frames: int, max_frames: int) -> np.ndarray:
+    if n_frames <= max_frames:
+        return np.arange(n_frames)
+    step = n_frames / max_frames
+    return np.minimum((np.arange(max_frames) * step).astype(np.int64),
+                      n_frames - 1)
+
+
+class FrameStreamExtractor:
+    """Generic per-frame backend: frames of many clips stream through one
+    jitted (preprocess -> encode) step in fixed-size batches."""
+
+    def __init__(self, forward, params, spec: PreprocessSpec,
+                 batch_size: int = 64, max_frames: int | None = None):
+        self.spec = spec
+        self.batch_size = batch_size
+        self.max_frames = max_frames
+        self._params = jax.device_put(params)
+
+        @jax.jit
+        def step(p, frames):
+            return forward(p, preprocess_device(frames, spec))
+
+        self._step = step
+
+    def extract(self, faces: dict[str, np.ndarray], level: str = "FRA"
+                ) -> dict[str, np.ndarray]:
+        jobs, counts = [], {}
+        for name, arr in faces.items():
+            idx = (np.arange(len(arr)) if self.max_frames is None
+                   else resample_frames_uniform(len(arr), self.max_frames))
+            counts[name] = len(idx)
+            for fi, ai in enumerate(idx):
+                jobs.append((name, fi, arr[ai]))
+        results = {n: {} for n in faces}
+        bs = self.batch_size
+        h, w = jobs[0][2].shape[:2]
+        for i in range(0, len(jobs), bs):
+            group = jobs[i: i + bs]
+            batch = np.zeros((bs, h, w, 3), np.uint8)
+            for r, (_, _, frame) in enumerate(group):
+                batch[r] = frame
+            emb = np.asarray(self._step(self._params, jnp.asarray(batch)))
+            for r, (name, fi, _) in enumerate(group):
+                results[name][fi] = emb[r]
+        out = {}
+        for name in faces:
+            feat = np.stack([results[name][fi] for fi in range(counts[name])])
+            out[name] = (feat.mean(0) if level.upper().startswith("UTT")
+                         else feat)
+        return out
+
+
+# ----------------------------------------------------------------- backends
+
+
+def vit_token_sum_extractor(cfg: ViTConfig, params, spec=None,
+                            batch_size=64, max_frames=None):
+    """data2vec-vision / DINOv2 / EVA-02: token-summed last hidden state
+    per frame (extract_vision_huggingface.py:130-145)."""
+    if spec is None:
+        stats = IMAGENET_DEFAULT if cfg.arch == "dinov2" else IMAGENET_STANDARD
+        spec = PreprocessSpec(image_size=cfg.image_size, mean=stats[0],
+                              std=stats[1])
+    enc = ViTEncoder(cfg)
+    if max_frames is None and cfg.arch == "dinov2":
+        max_frames = 64  # reference pre-samples 64 frames (:136)
+
+    def forward(p, pix):
+        return enc.apply({"params": p}, pix).sum(axis=1)
+
+    return FrameStreamExtractor(forward, params, spec, batch_size, max_frames)
+
+
+def resnet_embed_extractor(cfg: ResNetConfig, params, spec: PreprocessSpec,
+                           batch_size=64):
+    enc = ResNet(cfg)
+
+    def forward(p, pix):
+        return enc.apply({"params": p}, pix)
+
+    return FrameStreamExtractor(forward, params, spec, batch_size)
+
+
+def manet_extractor(params, batch_size=32):
+    """MANet RAF-DB embedding: Resize(224) + ToTensor only
+    (extract_manet_embedding.py:63-64) -> 1024-d."""
+    enc = MANet()
+    spec = PreprocessSpec(image_size=224)
+
+    def forward(p, pix):
+        return enc.apply({"params": p}, pix)
+
+    return FrameStreamExtractor(forward, params, spec, batch_size)
+
+
+def ferplus_spec(mean, std=(1.0, 1.0, 1.0), image_size=224):
+    """MatConvNet FER models: Resize(256)+CenterCrop, pixel scale 255,
+    channel-mean subtraction (extract_ferplus_embedding.py:64-75)."""
+    return PreprocessSpec(image_size=image_size, mean=tuple(mean),
+                          std=tuple(std), scale=1.0, resize_short=256)
+
+
+class VideoMAEExtractor:
+    """Clip-level: 16-frame uniform resample -> tubelet tokens -> per-segment
+    patch mean (B, T/tubelet, D) (extract_vision_huggingface.py:147-159)."""
+
+    def __init__(self, cfg: ViTConfig, params, spec=None, batch_size=8):
+        assert cfg.num_frames > 0
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.spec = spec or PreprocessSpec(image_size=cfg.image_size,
+                                           mean=IMAGENET_STANDARD[0],
+                                           std=IMAGENET_STANDARD[1])
+        enc = ViTEncoder(cfg)
+        self._params = jax.device_put(params)
+        n_seg = cfg.num_frames // cfg.tubelet_size
+        patches = cfg.grid * cfg.grid
+
+        @jax.jit
+        def step(p, clips):  # (B, T, H, W, 3) uint8
+            B, T = clips.shape[0], clips.shape[1]
+            flat = clips.reshape((B * T,) + clips.shape[2:])
+            pix = preprocess_device(flat, self.spec)
+            pix = pix.reshape(B, T, self.cfg.image_size, self.cfg.image_size, 3)
+            tokens = enc.apply({"params": p}, pix)          # (B, n_seg*patches, D)
+            tokens = tokens.reshape(B, n_seg, patches, -1)
+            return tokens.mean(axis=2)                       # (B, n_seg, D)
+
+        self._step = step
+
+    def extract(self, faces: dict[str, np.ndarray], level: str = "FRA"
+                ) -> dict[str, np.ndarray]:
+        names = list(faces)
+        T = self.cfg.num_frames
+        out = {}
+        for i in range(0, len(names), self.batch_size):
+            group = names[i: i + self.batch_size]
+            h, w = faces[group[0]].shape[1:3]
+            batch = np.zeros((self.batch_size, T, h, w, 3), np.uint8)
+            for r, name in enumerate(group):
+                arr = faces[name]
+                idx = resample_frames_uniform(len(arr), T)
+                # short clips: repeat-pad to 16 frames like the reference's
+                # resample (continuous index clamp)
+                idx = np.resize(idx, T) if len(idx) < T else idx
+                batch[r] = arr[idx]
+            segs = np.asarray(self._step(self._params, jnp.asarray(batch)))
+            for r, name in enumerate(group):
+                out[name] = (segs[r].mean(0)
+                             if level.upper().startswith("UTT") else segs[r])
+        return out

@@ -1,0 +1,105 @@
+"""Torch->Flax parity for the generic ViT family (DINOv2 / data2vec-vision /
+VideoMAE) on random tiny configs, plus structural checks for EVA-02 (no torch
+oracle for timm in this environment).
+
+Reference usage: ``MERBench/feature_extraction/visual/
+extract_vision_huggingface.py:124-169`` (last_hidden_state pooling).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from mertools_tpu.encoders import vit as V
+
+ATOL = 2e-4
+
+
+def _img(rng, b, s, c=3):
+    return rng.normal(size=(b, s, s, c)).astype(np.float32)
+
+
+def test_dinov2_parity(rng):
+    import torch
+    from transformers import Dinov2Config, Dinov2Model
+
+    hf_cfg = Dinov2Config(hidden_size=32, num_hidden_layers=2,
+                          num_attention_heads=4, mlp_ratio=2, image_size=28,
+                          patch_size=14, layerscale_value=1.0)
+    torch.manual_seed(0)
+    model = Dinov2Model(hf_cfg).eval()
+    cfg, params = V.from_hf_dinov2(model)
+    x = _img(rng, 2, 28)
+    with torch.no_grad():
+        ref = model(pixel_values=torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
+    out = np.asarray(V.ViTEncoder(cfg).apply({"params": params},
+                                             jax.numpy.asarray(x)))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=ATOL)
+
+
+def test_data2vec_vision_parity(rng):
+    import torch
+    from transformers import Data2VecVisionConfig, Data2VecVisionModel
+
+    hf_cfg = Data2VecVisionConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, image_size=32, patch_size=16,
+        use_relative_position_bias=True, layer_scale_init_value=0.1,
+        use_mean_pooling=True)
+    torch.manual_seed(0)
+    model = Data2VecVisionModel(hf_cfg).eval()
+    # randomize the zero-init relative bias tables so the test is meaningful
+    sd = model.state_dict()
+    for k in sd:
+        if "relative_position_bias_table" in k:
+            sd[k] = torch.randn_like(sd[k]) * 0.1
+    model.load_state_dict(sd)
+
+    cfg, params = V.from_hf_beit(model)
+    assert cfg.rel_pos_bias and cfg.pos_embed == "none"
+    x = _img(rng, 2, 32)
+    with torch.no_grad():
+        ref = model(pixel_values=torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
+    out = np.asarray(V.ViTEncoder(cfg).apply({"params": params},
+                                             jax.numpy.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=ATOL)
+
+
+def test_videomae_parity(rng):
+    import torch
+    from transformers import VideoMAEConfig, VideoMAEModel
+
+    hf_cfg = VideoMAEConfig(hidden_size=32, num_hidden_layers=2,
+                            num_attention_heads=4, intermediate_size=64,
+                            image_size=32, patch_size=16, num_frames=4,
+                            tubelet_size=2, use_mean_pooling=True)
+    torch.manual_seed(0)
+    model = VideoMAEModel(hf_cfg).eval()
+    cfg, params = V.from_hf_videomae(model)
+    x = rng.normal(size=(2, 4, 32, 32, 3)).astype(np.float32)  # B,T,H,W,C
+    with torch.no_grad():
+        ref = model(pixel_values=torch.from_numpy(
+            x.transpose(0, 1, 4, 2, 3))).last_hidden_state.numpy()
+    out = np.asarray(V.ViTEncoder(cfg).apply({"params": params},
+                                             jax.numpy.asarray(x)))
+    assert out.shape == ref.shape  # (2, (4//2)*(2*2), 32)
+    np.testing.assert_allclose(out, ref, atol=ATOL)
+
+
+def test_eva02_structural(rng):
+    cfg = V.eva02_config(hidden_size=32, num_layers=2, num_heads=4,
+                         intermediate_size=48, image_size=28)
+    enc = V.ViTEncoder(cfg)
+    x = jax.numpy.asarray(_img(rng, 2, 28))
+    params = enc.init(jax.random.PRNGKey(0), x)["params"]
+    out = np.asarray(enc.apply({"params": params}, x))
+    assert out.shape == (2, cfg.seq_len, 32)
+    assert np.isfinite(out).all()
+    # rope: permuting patch positions must change outputs (position-aware)
+    xp = jax.numpy.asarray(_img(rng, 2, 28)[:, ::-1])
+    out2 = np.asarray(enc.apply({"params": params}, xp))
+    assert not np.allclose(out, out2)
