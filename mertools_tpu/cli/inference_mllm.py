@@ -1,0 +1,103 @@
+"""MLLM inference CLI (``inference_hybird.py`` equivalent).
+
+    python -m mertools_tpu.cli.inference_mllm --ckpt=.../checkpoints \
+        --video_feat_dir=.../clip-vit-large-FRA --audio_feat_dir=.../hubert-FRA \
+        --subtitle_csv=transcription.csv --save_path=name2reason.npz \
+        --tokenizer=/path/to/llm
+
+Reads per-clip frame/audio features from the feature store (the offline
+extraction pipeline's output), restores the trained AffectGPT state (orbax),
+and generates an emotion-reason description per clip in BATCHES on TPU —
+replacing the reference's per-sample decode loop
+(``inference_hybird.py:214-254``). Writes ``name2reason.npz`` exactly like
+the reference (``:259-260``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import glob
+import os
+
+import numpy as np
+
+
+def read_subtitles(path: str | None) -> dict:
+    if not path or not os.path.exists(path):
+        return {}
+    with open(path, newline="", encoding="utf-8") as f:
+        rows = list(csv.DictReader(f))
+    key = "sentence" if rows and "sentence" in rows[0] else "chinese"
+    return {r["name"]: (r.get(key) or "") for r in rows}
+
+
+def main(argv=None):
+    from ..core.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    p = argparse.ArgumentParser("inference_mllm")
+    p.add_argument("--ckpt", required=True, help="orbax checkpoint dir")
+    p.add_argument("--video_feat_dir", required=True)
+    p.add_argument("--audio_feat_dir", required=True)
+    p.add_argument("--subtitle_csv", default=None)
+    p.add_argument("--save_path", required=True)
+    p.add_argument("--tokenizer", required=True)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--max_new_tokens", type=int, default=256)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--max_video_frames", type=int, default=64)
+    p.add_argument("--max_audio_frames", type=int, default=64)
+    args = p.parse_args(argv)
+
+    import jax
+    from transformers import AutoTokenizer
+
+    from ..mllm.chat import Chat
+    from ..mllm.runner import restore_model
+
+    model, params = restore_model(args.ckpt)
+    tok = AutoTokenizer.from_pretrained(args.tokenizer)
+    chat = Chat(model, params, tok, max_new_tokens=args.max_new_tokens,
+                temperature=args.temperature)
+
+    subtitles = read_subtitles(args.subtitle_csv)
+    files = sorted(glob.glob(os.path.join(args.video_feat_dir, "*.npy")))
+    names = [os.path.splitext(os.path.basename(f))[0] for f in files]
+
+    name2reason = {}
+    if os.path.exists(args.save_path):  # idempotent resume (reference :209)
+        old = np.load(args.save_path, allow_pickle=True)
+        name2reason = dict(old["name2reason"].item()) if "name2reason" in old \
+            else {}
+    todo = [n for n in names if n not in name2reason]
+    print(f"{len(todo)} clips to process ({len(name2reason)} cached)")
+
+    def load_feat(d, name, cap):
+        x = np.load(os.path.join(d, name + ".npy")).astype(np.float32)
+        if x.ndim == 1:
+            x = x[None]
+        if len(x) > cap:
+            idx = np.linspace(0, len(x) - 1, cap).astype(int)
+            x = x[idx]
+        return x
+
+    for i in range(0, len(todo), args.batch):
+        group = todo[i: i + args.batch]
+        samples = [{
+            "video_feats": load_feat(args.video_feat_dir, n,
+                                     args.max_video_frames),
+            "audio_feats": load_feat(args.audio_feat_dir, n,
+                                     args.max_audio_frames),
+            "subtitle": subtitles.get(n, ""),
+        } for n in group]
+        answers = chat.answer_batch(samples)
+        for n, a in zip(group, answers):
+            name2reason[n] = a
+        np.savez_compressed(args.save_path, name2reason=name2reason)
+        print(f"  {len(name2reason)}/{len(names)} done")
+    print(f"wrote {args.save_path}")
+
+
+if __name__ == "__main__":
+    main()

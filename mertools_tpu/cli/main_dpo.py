@@ -1,0 +1,115 @@
+"""Preference-judging CLI (``MER2026/MER2026_Track3/main_dpo_sample.py``
+equivalent).
+
+    python -m mertools_tpu.cli.main_dpo judge --label_csv=labels.csv \
+        --ckpt=.../mllm_checkpoint --tokenizer=... \
+        --video_feat_dir=... --audio_feat_dir=... \
+        --save_npz=result.npz [--pipeline=normal|cot]
+
+    python -m mertools_tpu.cli.main_dpo score --result_npz=result.npz \
+        [--metric=twoclass|threeclass]
+
+label_csv columns: name, a1, a2[, preference]. Judging runs the
+AffectGPT-backed batched judge; scoring reproduces the 2/3-class WAF+ACC
+metrics (utils/common.py:67-107). Idempotent: existing save_npz is skipped
+(main_dpo_sample.py:19-20).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+
+import numpy as np
+
+
+def cmd_judge(args):
+    from ..core.cache import enable_persistent_cache
+    enable_persistent_cache()
+    if os.path.exists(args.save_npz):
+        print(f"{args.save_npz} exists, skip (idempotent)")
+        return
+
+    from transformers import AutoTokenizer
+
+    from ..mllm.chat import Chat
+    from ..mllm.runner import restore_model
+    from ..preference.judge import PreferenceJudge, mllm_caller
+
+    model, params = restore_model(args.ckpt)
+    tok = AutoTokenizer.from_pretrained(args.tokenizer)
+    chat = Chat(model, params, tok, max_new_tokens=args.max_new_tokens,
+                temperature=0.0)
+    judge = PreferenceJudge(mllm_caller(chat))
+
+    with open(args.label_csv, newline="", encoding="utf-8") as f:
+        rows = list(csv.DictReader(f))
+
+    def load_feat(d, name):
+        x = np.load(os.path.join(d, name + ".npy")).astype(np.float32)
+        return x[None] if x.ndim == 1 else x
+
+    gt_labels, pred_labels, descriptions = [], [], []
+    for i in range(0, len(rows), args.batch):
+        group = rows[i: i + args.batch]
+        samples = [{
+            "a1": (r["a1"] or "").replace("\n", " ").strip(),
+            "a2": (r["a2"] or "").replace("\n", " ").strip(),
+            "video_feats": load_feat(args.video_feat_dir, r["name"]),
+            "audio_feats": load_feat(args.audio_feat_dir, r["name"]),
+        } for r in group]
+        if args.pipeline == "cot":
+            labels, desc = judge.judge_cot(samples)
+            descriptions.extend(desc)
+        else:
+            labels = judge.judge_normal(samples)
+        pred_labels.extend(labels)
+        gt_labels.extend(r.get("preference", "tie") for r in group)
+        print(f"  {len(pred_labels)}/{len(rows)}")
+
+    np.savez_compressed(args.save_npz, gt_labels=gt_labels,
+                        pred_labels=pred_labels,
+                        descriptions=descriptions)
+    print(f"wrote {args.save_npz}")
+
+
+def cmd_score(args):
+    from ..preference.judge import preference_metric
+
+    data = np.load(args.result_npz, allow_pickle=True)
+    gt = [str(x) for x in data["gt_labels"]]
+    pred = [str(x) for x in data["pred_labels"]]
+    f, acc = preference_metric(gt, pred, args.metric)
+    print(f"{args.metric}: WAF={f:.4f} ACC={acc:.4f}")
+    return f, acc
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("main_dpo")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    j = sub.add_parser("judge")
+    j.add_argument("--label_csv", required=True)
+    j.add_argument("--ckpt", required=True)
+    j.add_argument("--tokenizer", required=True)
+    j.add_argument("--video_feat_dir", required=True)
+    j.add_argument("--audio_feat_dir", required=True)
+    j.add_argument("--save_npz", required=True)
+    j.add_argument("--pipeline", default="normal", choices=["normal", "cot"])
+    j.add_argument("--batch", type=int, default=8)
+    j.add_argument("--max_new_tokens", type=int, default=64)
+    j.set_defaults(fn=cmd_judge)
+
+    s = sub.add_parser("score")
+    s.add_argument("--result_npz", required=True)
+    s.add_argument("--metric", default="twoclass",
+                   choices=["twoclass", "threeclass"])
+    s.set_defaults(fn=cmd_score)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

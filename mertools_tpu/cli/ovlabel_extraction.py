@@ -1,0 +1,128 @@
+"""Open-vocabulary label extraction CLI (``ovlabel_extraction.py`` /
+``evaluation.py`` vLLM-batch equivalent).
+
+    python -m mertools_tpu.cli.ovlabel_extraction \
+        --reason_npz=name2reason.npz --store_npz=name2openset.npz \
+        --model=/path/to/qwen-checkpoint
+
+The reference batches reason->openset prompts through vLLM
+(``MER2025/MER2025_Track23/evaluation.py:16-77``, sampling temperature=0.7,
+top_p=0.8, max 512 tokens). Here the same batched extraction runs through the
+Flax LLM with the KV-cached sampler (mllm/generate.py) on TPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+EXTRACT_PROMPT = (
+    "Below is a description of a person's emotional state in a video.\n"
+    "Description: {reason}\n"
+    "Please extract every emotion label conveyed by the description and "
+    "answer ONLY with a comma-separated list of lowercase English emotion "
+    "words (for example: happy, excited). Answer:")
+
+
+def postprocess_openset(text: str) -> str:
+    """Model output -> normalized 'label1, label2' string."""
+    text = text.strip().split("\n")[0]
+    labels = []
+    for part in text.replace(";", ",").split(","):
+        w = "".join(ch for ch in part.strip().lower() if ch.isalpha() or
+                    ch in " -")
+        w = w.strip()
+        if w and w not in labels:
+            labels.append(w)
+    return ", ".join(labels)
+
+
+def load_name2reason(reason_npz=None, reason_root=None):
+    if reason_npz:
+        data = np.load(reason_npz, allow_pickle=True)
+        if "name2reason" in data:
+            return dict(data["name2reason"].item())
+        return dict(zip([str(n) for n in data["filenames"]],
+                        [str(i) for i in data["fileitems"]]))
+    out = {}
+    for f in sorted(os.listdir(reason_root)):
+        if f.endswith(".npy"):
+            out[f[:-4]] = str(np.load(os.path.join(reason_root, f),
+                                      allow_pickle=True))
+    return out
+
+
+def main(argv=None):
+    from ..core.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    p = argparse.ArgumentParser("ovlabel_extraction")
+    p.add_argument("--reason_npz", default=None)
+    p.add_argument("--reason_root", default=None)
+    p.add_argument("--store_npz", default=None)
+    p.add_argument("--store_root", default=None)
+    p.add_argument("--model", required=True, help="HF causal-LM checkpoint")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--max_new_tokens", type=int, default=64)
+    p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--top_p", type=float, default=0.8)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from transformers import AutoModelForCausalLM, AutoTokenizer
+
+    from ..mllm.generate import generate
+    from ..mllm.llm import LLMConfig, convert_torch_state
+
+    hf = AutoModelForCausalLM.from_pretrained(args.model)
+    cfg = LLMConfig.from_hf(hf.config)
+    params = convert_torch_state(cfg, hf.state_dict())
+    del hf
+    tok = AutoTokenizer.from_pretrained(args.model)
+    emb_table = np.asarray(params["embed_tokens"]["embedding"])
+
+    name2reason = load_name2reason(args.reason_npz, args.reason_root)
+    names = list(name2reason)
+    print(f"extracting OV labels for {len(names)} clips")
+
+    responses = []
+    for i in range(0, len(names), args.batch):
+        group = names[i: i + args.batch]
+        ids_list = [tok.encode(EXTRACT_PROMPT.format(
+            reason=str(name2reason[n])[:2000])) for n in group]
+        S = max(len(x) for x in ids_list)
+        B = len(group)
+        embeds = np.zeros((B, S, cfg.hidden_size), np.float32)
+        mask = np.zeros((B, S), np.int32)
+        for b, ids in enumerate(ids_list):
+            embeds[b, : len(ids)] = emb_table[ids]
+            mask[b, : len(ids)] = 1
+        tokens = np.asarray(generate(
+            cfg, params, jnp.asarray(embeds), jnp.asarray(mask),
+            max_new_tokens=args.max_new_tokens,
+            temperature=args.temperature, top_p=args.top_p,
+            eos_token_id=int(tok.eos_token_id),
+            prng_key=jax.random.PRNGKey(i)))
+        for b, n in enumerate(group):
+            toks = tokens[b]
+            stop = np.nonzero(toks == tok.eos_token_id)[0]
+            text = tok.decode(toks[: stop[0]] if len(stop) else toks,
+                              skip_special_tokens=True)
+            responses.append(postprocess_openset(text))
+        print(f"  {len(responses)}/{len(names)}")
+
+    if args.store_root:
+        os.makedirs(args.store_root, exist_ok=True)
+        for n, r in zip(names, responses):
+            np.save(os.path.join(args.store_root, f"{n}.npy"), r)
+    if args.store_npz:
+        np.savez_compressed(args.store_npz, filenames=names,
+                            fileitems=responses)
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Conversation / inference wrapper for the AffectGPT-equivalent MLLM.
+
+Reference (``my_affectgpt/conversation/conversation_video.py``): a
+``Conversation`` prompt template ("###Human: ... ###Assistant:"), per-modality
+postprocessing into LLM-dim embeddings (:154-199), and ``answer_sample``
+(:200-260) which splices AV embeddings at placeholder tokens and calls
+``llama_model.generate`` per sample (batch=1, sampling top_p=0.9).
+
+TPU-native: prompts for a whole batch are tokenized host-side, AV tokens are
+spliced by the model's vmapped ``dynamic_update_slice``, and decoding runs the
+KV-cached batched sampler (mllm/generate.py) — many clips per compile instead
+of the reference's per-sample generate loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .affectgpt import AffectGPT
+from .generate import generate
+
+DEFAULT_SYSTEM = ("You are able to understand the video and audio the user "
+                  "provides. Answer the question about the emotional state "
+                  "of the person.")
+
+
+@dataclass
+class Conversation:
+    system: str = DEFAULT_SYSTEM
+    roles: tuple = ("Human", "Assistant")
+    sep: str = "###"
+
+    def render(self, subtitle: str, question: str) -> tuple[str, str]:
+        """Returns (prefix_before_av, suffix_after_av)."""
+        pre = f"{self.system}\n{self.sep}{self.roles[0]}: <Video>"
+        sub = f" Subtitle: {subtitle}" if subtitle else ""
+        post = (f"</Video>{sub} {question}\n"
+                f"{self.sep}{self.roles[1]}: ")
+        return pre, post
+
+
+DEFAULT_QUESTION = ("Please describe the emotional state of the main "
+                    "character, then infer the most likely emotion labels.")
+
+
+class Chat:
+    def __init__(self, model: AffectGPT, params, tokenizer,
+                 conv: Conversation | None = None, max_new_tokens: int = 256,
+                 temperature: float = 0.0, top_p: float = 0.9,
+                 eos_token_id: int | None = None, max_len: int = 512):
+        self.model = model
+        self.params = jax.device_put(params)
+        self.tok = tokenizer
+        self.conv = conv or Conversation()
+        self.max_new_tokens = max_new_tokens
+        self.temperature = temperature
+        self.top_p = top_p
+        self.eos = (eos_token_id if eos_token_id is not None
+                    else tokenizer.eos_token_id)
+        self.max_len = max_len
+        self._embed_fn = jax.jit(
+            lambda p, b: model.apply({"params": p}, b,
+                                     method=model.generate_step_embeds))
+
+    def _encode_prompts(self, items):
+        """items: list of (subtitle, question). Returns right-padded
+        input_ids, attention_mask, splice_start."""
+        n_av = self.model.num_av_tokens
+        ids_list, starts = [], []
+        for subtitle, question in items:
+            pre, post = self.conv.render(subtitle, question or DEFAULT_QUESTION)
+            pre_ids = self.tok.encode(pre, add_special_tokens=True)
+            post_ids = self.tok.encode(post, add_special_tokens=False)
+            start = len(pre_ids)
+            ids = pre_ids + [0] * n_av + post_ids
+            ids = ids[: self.max_len]
+            start = min(start, max(self.max_len - n_av, 0))
+            ids_list.append(ids)
+            starts.append(start)
+        S = max(len(i) for i in ids_list)
+        B = len(ids_list)
+        input_ids = np.zeros((B, S), np.int32)
+        mask = np.zeros((B, S), np.int32)
+        for b, ids in enumerate(ids_list):
+            input_ids[b, : len(ids)] = ids
+            mask[b, : len(ids)] = 1
+        return input_ids, mask, np.asarray(starts, np.int32)
+
+    def answer_batch(self, samples: list[dict], prng_key=None) -> list[str]:
+        """samples: dicts with video_feats (Tv, Dv), audio_feats (Ta, Da),
+        optional subtitle/question strings. Returns decoded answers."""
+        B = len(samples)
+        Tv = max(s["video_feats"].shape[0] for s in samples)
+        Ta = max(s["audio_feats"].shape[0] for s in samples)
+        Dv = samples[0]["video_feats"].shape[1]
+        Da = samples[0]["audio_feats"].shape[1]
+        video = np.zeros((B, Tv, Dv), np.float32)
+        audio = np.zeros((B, Ta, Da), np.float32)
+        vmask = np.zeros((B, Tv), np.int32)
+        amask = np.zeros((B, Ta), np.int32)
+        for b, s in enumerate(samples):
+            tv, ta = s["video_feats"].shape[0], s["audio_feats"].shape[0]
+            video[b, :tv] = s["video_feats"]
+            audio[b, :ta] = s["audio_feats"]
+            vmask[b, :tv] = 1
+            amask[b, :ta] = 1
+        input_ids, mask, starts = self._encode_prompts(
+            [(s.get("subtitle", ""), s.get("question")) for s in samples])
+
+        batch = {"video_feats": jnp.asarray(video),
+                 "audio_feats": jnp.asarray(audio),
+                 "video_mask": jnp.asarray(vmask),
+                 "audio_mask": jnp.asarray(amask),
+                 "input_ids": jnp.asarray(input_ids),
+                 "splice_start": jnp.asarray(starts)}
+        embeds = self._embed_fn(self.params, batch)
+        tokens = np.asarray(generate(
+            self.model.cfg.llm, self.params["llm"], embeds, jnp.asarray(mask),
+            max_new_tokens=self.max_new_tokens, temperature=self.temperature,
+            top_p=self.top_p, eos_token_id=int(self.eos),
+            prng_key=prng_key if prng_key is not None else jax.random.PRNGKey(0)))
+        out = []
+        for b in range(B):
+            toks = tokens[b]
+            stop = np.nonzero(toks == self.eos)[0]
+            toks = toks[: stop[0]] if len(stop) else toks
+            out.append(self.tok.decode(toks.tolist(),
+                                       skip_special_tokens=True).strip())
+        return out

@@ -1,0 +1,214 @@
+"""KV-cached autoregressive generation for the Flax LLM (LoRA-aware).
+
+Replaces the reference's ``llama_model.generate`` calls
+(``my_affectgpt/conversation/conversation_video.py:200-260``: num_beams=1,
+do_sample, top_p=0.9, max_new_tokens up to 1200) and vLLM's batched decode
+used for open-vocabulary label extraction
+(``MER2025/MER2025_Track23/evaluation.py:16-77``).
+
+Design: pure functions over the converted/trained parameter pytree (the same
+params drive the Flax ``LLM`` module, which tests use as the oracle).
+``prefill`` runs the prompt (token or spliced AV embeddings) in ONE forward
+and captures per-layer K/V into static-size caches; ``decode`` is a
+``lax.scan`` over steps — greedy when temperature == 0, top-p sampling
+otherwise. Right-padded batches: pad slots are masked out of attention and
+rotary positions count only valid tokens, so ragged prompts batch under one
+compile (continuous-batching-style utilization without an engine).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_P = jax.lax.Precision.HIGHEST
+
+
+def _rms(p, x, eps):
+    var = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    return (x * jax.lax.rsqrt(var + eps)).astype(x.dtype) * p["weight"]
+
+
+def _lora_dense(p, x):
+    y = jnp.einsum("...d,df->...f", x, p["kernel"], precision=_P)
+    if "bias" in p:
+        y = y + p["bias"]
+    if "lora_a" in p:
+        r = p["lora_a"].shape[-1]
+        y = y + (16.0 / r) * jnp.einsum("...d,dr,rf->...f", x, p["lora_a"],
+                                        p["lora_b"], precision=_P)
+    return y
+
+
+def _rotary(x, positions, theta):
+    hd = x.shape[-1]
+    inv_freq = 1.0 / (theta ** (np.arange(0, hd, 2, dtype=np.float32) / hd))
+    ang = positions[..., None].astype(jnp.float32) * inv_freq
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    if x.ndim == 4:  # (B, S, N, hd)
+        cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+    else:            # (B, N, hd) single step: positions (B,)
+        cos, sin = cos[:, None, :], sin[:, None, :]
+    x1, x2 = x[..., : hd // 2], x[..., hd // 2:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
+
+
+def _qkv(cfg, lp, xn):
+    nh, nkv = cfg.num_heads, cfg.num_kv_heads
+    hd = cfg.hidden_size // nh
+    q = _lora_dense(lp["q_proj"], xn).reshape(*xn.shape[:-1], nh, hd)
+    k = _lora_dense(lp["k_proj"], xn).reshape(*xn.shape[:-1], nkv, hd)
+    v = _lora_dense(lp["v_proj"], xn).reshape(*xn.shape[:-1], nkv, hd)
+    return q, k, v
+
+
+def _mlp(lp, x):
+    g = jnp.einsum("...d,df->...f", x, lp["gate_proj"]["kernel"], precision=_P)
+    u = jnp.einsum("...d,df->...f", x, lp["up_proj"]["kernel"], precision=_P)
+    return jnp.einsum("...f,fd->...d", jax.nn.silu(g) * u,
+                      lp["down_proj"]["kernel"], precision=_P)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cache_len"))
+def prefill(cfg, params, inputs_embeds, attention_mask, cache_len: int):
+    """One forward over the (right-padded) prompt, capturing KV caches.
+
+    Returns (last_logits (B, V), k_cache, v_cache (layers, B, L, nkv, hd),
+    n_valid (B,)).
+    """
+    B, S, H = inputs_embeds.shape
+    nh, nkv = cfg.num_heads, cfg.num_kv_heads
+    hd = H // nh
+    mask = attention_mask.astype(jnp.int32)
+    positions = jnp.clip(jnp.cumsum(mask, axis=1) - 1, 0, None)
+    n_valid = jnp.sum(mask, axis=1)
+
+    causal = (jnp.arange(S)[:, None] >= jnp.arange(S)[None, :])
+    bias = jnp.where(causal[None, None] & (mask[:, None, None, :] > 0),
+                     0.0, -1e30)
+
+    ks, vs = [], []
+    x = inputs_embeds
+    for i in range(cfg.num_layers):
+        lp = params[f"layer_{i}"]
+        xn = _rms(lp["input_layernorm"], x, cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, lp, xn)
+        q = _rotary(q, positions, cfg.rope_theta)
+        k = _rotary(k, positions, cfg.rope_theta)
+        ks.append(k)
+        vs.append(v)
+        if nkv != nh:
+            k = jnp.repeat(k, nh // nkv, axis=2)
+            vr = jnp.repeat(v, nh // nkv, axis=2)
+        else:
+            vr = v
+        logits = jnp.einsum("bqnd,bknd->bnqk", q, k, precision=_P) / np.sqrt(hd)
+        w = jax.nn.softmax((logits + bias).astype(jnp.float32), -1).astype(x.dtype)
+        att = jnp.einsum("bnqk,bknd->bqnd", w, vr, precision=_P)
+        x = x + _lora_dense(lp["o_proj"], att.reshape(B, S, H))
+        xn = _rms(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
+        x = x + _mlp(lp, xn)
+
+    x = _rms(params["norm"], x, cfg.rms_norm_eps)
+    # logits at the LAST VALID position of each sample
+    last = jnp.take_along_axis(x, (n_valid - 1)[:, None, None], axis=1)[:, 0]
+    logits = jnp.einsum("bd,dv->bv", last, params["lm_head"]["kernel"],
+                        precision=_P)
+
+    pad = cache_len - S
+    k_cache = jnp.pad(jnp.stack(ks), ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+    v_cache = jnp.pad(jnp.stack(vs), ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+    return logits, k_cache, v_cache, n_valid
+
+
+def _step(cfg, params, tok, pos, slot, k_cache, v_cache, slot_mask):
+    """One decode step. tok (B,), pos (B,) rotary positions, slot scalar
+    physical cache index; slot_mask (B, L) marks attendable slots."""
+    B = tok.shape[0]
+    H = cfg.hidden_size
+    nh, nkv = cfg.num_heads, cfg.num_kv_heads
+    hd = H // nh
+    x = params["embed_tokens"]["embedding"][tok]
+    for i in range(cfg.num_layers):
+        lp = params[f"layer_{i}"]
+        xn = _rms(lp["input_layernorm"], x, cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, lp, xn)
+        q = _rotary(q, pos, cfg.rope_theta)
+        k = _rotary(k, pos, cfg.rope_theta)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k[None, :, None], (i, 0, slot, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v[None, :, None], (i, 0, slot, 0, 0))
+        kk, vv = k_cache[i], v_cache[i]
+        if nkv != nh:
+            kk = jnp.repeat(kk, nh // nkv, axis=2)
+            vv = jnp.repeat(vv, nh // nkv, axis=2)
+        logits = jnp.einsum("bnd,blnd->bnl", q, kk, precision=_P) / np.sqrt(hd)
+        logits = jnp.where(slot_mask[:, None, :], logits, -1e30)
+        w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
+        att = jnp.einsum("bnl,blnd->bnd", w, vv, precision=_P)
+        x = x + _lora_dense(lp["o_proj"], att.reshape(B, H))
+        xn = _rms(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
+        x = x + _mlp(lp, xn)
+    x = _rms(params["norm"], x, cfg.rms_norm_eps)
+    logits = jnp.einsum("bd,dv->bv", x, params["lm_head"]["kernel"],
+                        precision=_P)
+    return logits, k_cache, v_cache
+
+
+def _sample(logits, key, temperature, top_p):
+    if temperature == 0.0:
+        return jnp.argmax(logits, -1).astype(jnp.int32)
+    probs = jax.nn.softmax(logits.astype(jnp.float32) / temperature, -1)
+    srt = jnp.sort(probs, -1)[:, ::-1]
+    cum = jnp.cumsum(srt, -1)
+    # smallest set with cumulative prob >= top_p: cutoff prob per sample
+    cut_idx = jnp.argmax(cum >= top_p, -1)
+    cutoff = jnp.take_along_axis(srt, cut_idx[:, None], -1)
+    probs = jnp.where(probs >= cutoff, probs, 0.0)
+    probs = probs / jnp.sum(probs, -1, keepdims=True)
+    return jax.random.categorical(key, jnp.log(probs + 1e-20), -1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens",
+                                             "temperature", "top_p",
+                                             "eos_token_id"))
+def generate(cfg, params, inputs_embeds, attention_mask, *,
+             max_new_tokens: int = 64, temperature: float = 0.0,
+             top_p: float = 0.9, eos_token_id: int = 2, prng_key=None):
+    """Batched generation from (possibly AV-spliced) prompt embeddings.
+
+    inputs_embeds (B, S, H) right-padded, attention_mask (B, S).
+    Returns (B, max_new_tokens) int32, EOS-padded after first EOS.
+    """
+    B, S, _ = inputs_embeds.shape
+    L = S + max_new_tokens
+    logits0, k_cache, v_cache, n_valid = prefill(cfg, params, inputs_embeds,
+                                                 attention_mask, L)
+    key = prng_key if prng_key is not None else jax.random.PRNGKey(0)
+    slot_mask0 = jnp.pad(attention_mask.astype(bool),
+                         ((0, 0), (0, max_new_tokens)))
+
+    k0, key = jax.random.split(key)
+    first = _sample(logits0, k0, temperature, top_p)
+    done0 = first == eos_token_id
+
+    def step(carry, t):
+        tok, kc, vc, done, key, slot_mask = carry
+        slot = S + t
+        slot_mask = slot_mask.at[:, slot].set(True)
+        pos = n_valid + t
+        logits, kc, vc = _step(cfg, params, tok, pos, slot, kc, vc, slot_mask)
+        key, k1 = jax.random.split(key)
+        nxt = _sample(logits, k1, temperature, top_p)
+        nxt = jnp.where(done, eos_token_id, nxt)
+        done = jnp.logical_or(done, nxt == eos_token_id)
+        return (nxt, kc, vc, done, key, slot_mask), tok
+
+    (_, _, _, _, _, _), toks = jax.lax.scan(
+        step, (first, k_cache, v_cache, done0, key, slot_mask0),
+        jnp.arange(max_new_tokens))
+    return jnp.swapaxes(toks, 0, 1)  # (B, max_new)

@@ -160,3 +160,53 @@ class Runner:
             is_leaf=lambda x: x is None or not isinstance(x, dict))
         self.state = self.state.replace(params=params)
         return restored.get("epoch")
+
+
+# ---------------------------------------------------------------------------
+# standalone model persistence (inference entry points restore from here;
+# reference composes staged ckpt_1/2/3 with strict=False — runner_base.py:659)
+# ---------------------------------------------------------------------------
+def save_model(path: str, model: AffectGPT, params: dict) -> str:
+    """Full model save: JSON config + orbax param tree."""
+    import dataclasses
+    import json
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    cfg = dataclasses.asdict(model.cfg)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=1)
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(os.path.join(path, "params"),
+              jax.tree_util.tree_map(np.asarray, params), force=True)
+    return path
+
+
+def restore_model(path: str):
+    """Returns (AffectGPT, params) from a save_model directory."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    from .affectgpt import AffectGPTConfig
+    from .llm import LLMConfig
+    from .qformer import QFormerConfig
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "config.json")) as f:
+        raw = json.load(f)
+    cfg = AffectGPTConfig(
+        llm=LLMConfig(**raw["llm"]),
+        video_qformer=QFormerConfig(**raw["video_qformer"]),
+        audio_qformer=QFormerConfig(**raw["audio_qformer"]),
+        multi_qformer=(QFormerConfig(**raw["multi_qformer"])
+                       if raw.get("multi_qformer") else None),
+        video_dim=raw["video_dim"], audio_dim=raw["audio_dim"],
+        max_video_frames=raw["max_video_frames"],
+        fusion=raw.get("fusion", "qformer"))
+    ckpt = ocp.PyTreeCheckpointer()
+    params = ckpt.restore(os.path.join(path, "params"))
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    return AffectGPT(cfg), params

@@ -1,0 +1,117 @@
+"""Emotion-preference (DPO-style) judging — MER2026 Track3 equivalent.
+
+Reference (``MER2026/MER2026_Track3/main_dpo_sample.py:17-206`` +
+``utils/common.py:34-107``): for each clip with two candidate descriptions
+(a1, a2), an MLLM judges which better matches the audio/video, either in one
+call ("normal") or via a describe-then-compare chain-of-thought pipeline;
+responses are normalized to {a1, a2, same}; scoring is 2-class (ties
+dropped, pred 'same' -> 'a1') or 3-class weighted-F1 + accuracy.
+
+The reference wraps ~21 external MLLM APIs with a unified
+``func_calling_sample(audio, video, prompt, input_type)`` — here the caller
+protocol is ``fn(sample: dict, prompt: str) -> str`` and an AffectGPT-backed
+caller judges whole BATCHES on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+
+NORMAL_PROMPT = (
+    'We provide two descriptions for a given input: a1: "{a1}". a2: "{a2}". '
+    "Please determine which one is better aligned with the input content. "
+    "If both of them equally align with the input content, please output "
+    "'same'. Therefore, the output should be a1, a2, or same. Please "
+    "directly output the answer without additional reasoning.")
+
+DESCRIBE_PROMPT = ("Please provide a detailed description of the given "
+                   "input, especially focusing on the emotions expressed.")
+
+COMPARE_PROMPT = (
+    'The input is described as: "{description}". We have two candidate '
+    'descriptions: a1: "{a1}". a2: "{a2}". Which candidate is better '
+    "aligned with the description? Output a1, a2, or same only.")
+
+
+def postprocess_preference(responses: Sequence[str]) -> list[str]:
+    """Normalize free-text judgments to {a1, a2, same}
+    (utils/common.py:34-50): prefix match first, then earliest mention,
+    'same' as the undecidable fallback."""
+    out = []
+    for response in responses:
+        r = (response or "").lower()
+        if r.startswith("a1"):
+            out.append("a1")
+        elif r.startswith("a2"):
+            out.append("a2")
+        elif r.startswith("same"):
+            out.append("same")
+        else:
+            keys = ["a1", "a2", "same"]
+            poses = [r.find(k) for k in keys]
+            poses = [10000 if p == -1 else p for p in poses]
+            out.append(keys[int(np.argmin(poses))] if min(poses) < 10000
+                       else "same")
+    return out
+
+
+def preference_metric(gt_labels: Sequence[str], pred_labels: Sequence[str],
+                      metric: str = "twoclass") -> tuple[float, float]:
+    """(weighted-F1, accuracy). twoclass drops 'same' GT rows and maps
+    pred 'same' -> 'a1' (utils/common.py:86-107)."""
+    from sklearn.metrics import accuracy_score, f1_score
+
+    if metric == "twoclass":
+        gt, pred = [], []
+        for g, p in zip(gt_labels, pred_labels):
+            if g == "same":
+                continue
+            gt.append({"a1": 0, "a2": 1}[g])
+            pred.append({"a1": 0, "a2": 1}.get(p, 0))
+    elif metric == "threeclass":
+        idx = {"a1": 0, "a2": 1, "same": 2}
+        gt = [idx[g] for g in gt_labels]
+        pred = [idx[p] for p in pred_labels]
+    else:
+        raise ValueError(metric)
+    return (float(f1_score(gt, pred, average="weighted")),
+            float(accuracy_score(gt, pred)))
+
+
+class PreferenceJudge:
+    """Judging pipelines over a batched caller.
+
+    caller(samples: list[dict], prompts: list[str]) -> list[str] — the
+    TPU-batched equivalent of the per-model ``func_calling_sample`` wrappers.
+    """
+
+    def __init__(self, caller: Callable[[list, list], list]):
+        self.caller = caller
+
+    def judge_normal(self, samples: list[dict]) -> list[str]:
+        """samples need keys a1, a2 + whatever the caller consumes."""
+        prompts = [NORMAL_PROMPT.format(a1=s["a1"], a2=s["a2"])
+                   for s in samples]
+        return postprocess_preference(self.caller(samples, prompts))
+
+    def judge_cot(self, samples: list[dict]) -> tuple[list[str], list[str]]:
+        """Describe -> compare (main_dpo_sample.py:57-120). Returns
+        (labels, descriptions)."""
+        desc = self.caller(samples, [DESCRIBE_PROMPT] * len(samples))
+        prompts = [COMPARE_PROMPT.format(description=d, a1=s["a1"],
+                                         a2=s["a2"])
+                   for d, s in zip(desc, samples)]
+        return postprocess_preference(self.caller(samples, prompts)), desc
+
+
+def mllm_caller(chat) -> Callable[[list, list], list]:
+    """Batched caller backed by the AffectGPT Chat wrapper (mllm/chat.py):
+    samples carry video_feats/audio_feats/subtitle."""
+
+    def call(samples, prompts):
+        items = [{**s, "question": p} for s, p in zip(samples, prompts)]
+        return chat.answer_batch(items)
+
+    return call

@@ -16,6 +16,13 @@ import jax  # noqa: E402
 # mesh is available.
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: repeat suite runs skip recompiles. Separate
+# directory from the TPU-process cache (different machine-feature targets).
+from mertools_tpu.core.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(os.path.join(os.path.dirname(__file__), "..",
+                                     ".jax_cache_cpu"))
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,131 @@
+"""KV-cached LLM generation vs full-forward oracle (greedy), ragged batching,
+EOS handling, LoRA-aware decode, sampling sanity.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mertools_tpu.mllm.generate import generate
+from mertools_tpu.mllm.llm import LLM, LLMConfig
+
+
+def _init_llm(cfg, seed=7):
+    model = LLM(cfg)
+    emb = np.zeros((1, 4, cfg.hidden_size), np.float32)
+
+    def both(mdl, embeds, ids):
+        mdl.embed(ids)  # materialize embed_tokens (unused by __call__)
+        return mdl(embeds)
+
+    params = model.init(jax.random.PRNGKey(seed), emb,
+                        np.zeros((1, 1), np.int32), method=both)["params"]
+    return model, params
+
+
+@pytest.fixture(scope="module")
+def tiny_llm():
+    cfg = LLMConfig.tiny(vocab=89)
+    model, params = _init_llm(cfg)
+    return cfg, model, params
+
+
+def _oracle_greedy(cfg, model, params, embeds, max_new, eos):
+    """Append-token full forward each step; argmax at the end."""
+    emb_table = np.asarray(params["embed_tokens"]["embedding"])
+    cur = np.asarray(embeds)
+    out = []
+    for _ in range(max_new):
+        logits = np.asarray(model.apply({"params": params}, jnp.asarray(cur)))
+        nxt = int(logits[0, -1].argmax())
+        out.append(nxt)
+        if nxt == eos:
+            break
+        cur = np.concatenate([cur, emb_table[None, None, nxt]], axis=1)
+    return out
+
+
+def test_greedy_matches_oracle(tiny_llm, rng):
+    cfg, model, params = tiny_llm
+    embeds = rng.normal(size=(1, 5, cfg.hidden_size)).astype(np.float32) * 0.1
+    mask = np.ones((1, 5), np.int32)
+    eos = 88
+    ref = _oracle_greedy(cfg, model, params, embeds, 8, eos)
+    got = np.asarray(generate(cfg, params, jnp.asarray(embeds),
+                              jnp.asarray(mask), max_new_tokens=8,
+                              temperature=0.0, eos_token_id=eos))[0]
+    got = got.tolist()
+    assert got[: len(ref)] == ref, (got, ref)
+    if len(ref) < 8:  # after EOS: padded with EOS
+        assert all(t == eos for t in got[len(ref):])
+
+
+def test_ragged_batch_matches_solo(tiny_llm, rng):
+    cfg, model, params = tiny_llm
+    eos = 88
+    S = 6
+    e1 = rng.normal(size=(1, S, cfg.hidden_size)).astype(np.float32) * 0.1
+    e2 = rng.normal(size=(1, S, cfg.hidden_size)).astype(np.float32) * 0.1
+    m1 = np.array([[1, 1, 1, 1, 0, 0]], np.int32)   # len 4, right-padded
+    m2 = np.ones((1, S), np.int32)
+    batch_e = np.concatenate([e1, e2])
+    batch_m = np.concatenate([m1, m2])
+    both = np.asarray(generate(cfg, params, jnp.asarray(batch_e),
+                               jnp.asarray(batch_m), max_new_tokens=6,
+                               eos_token_id=eos))
+    for b, (e, m) in enumerate([(e1, m1), (e2, m2)]):
+        solo = np.asarray(generate(cfg, params, jnp.asarray(e),
+                                   jnp.asarray(m), max_new_tokens=6,
+                                   eos_token_id=eos))
+        np.testing.assert_array_equal(both[b], solo[0])
+
+
+def test_ragged_equals_unpadded(tiny_llm, rng):
+    """A right-padded prompt must generate exactly what the unpadded prompt
+    generates (pad slots fully invisible)."""
+    cfg, model, params = tiny_llm
+    eos = 88
+    e = rng.normal(size=(1, 4, cfg.hidden_size)).astype(np.float32) * 0.1
+    ref = np.asarray(generate(cfg, params, jnp.asarray(e),
+                              jnp.ones((1, 4), jnp.int32),
+                              max_new_tokens=5, eos_token_id=eos))
+    e_pad = np.concatenate([e, rng.normal(size=(1, 3, cfg.hidden_size))
+                            .astype(np.float32)], axis=1)
+    m_pad = np.array([[1, 1, 1, 1, 0, 0, 0]], np.int32)
+    got = np.asarray(generate(cfg, params, jnp.asarray(e_pad),
+                              jnp.asarray(m_pad), max_new_tokens=5,
+                              eos_token_id=eos))
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_lora_changes_generation(tiny_llm, rng):
+    cfg0, model0, params0 = tiny_llm
+    cfg = LLMConfig.tiny(vocab=89, lora_r=2)
+    model, params = _init_llm(cfg)
+    # set lora_b nonzero so the delta is active
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, x: (jnp.ones_like(x) * 0.3
+                      if any(getattr(k, "key", "") == "lora_b" for k in p)
+                      else x), params)
+    e = rng.normal(size=(1, 5, cfg.hidden_size)).astype(np.float32) * 0.1
+    m = np.ones((1, 5), np.int32)
+    ref = _oracle_greedy(cfg, model, params, e, 6, 88)
+    got = np.asarray(generate(cfg, params, jnp.asarray(e), jnp.asarray(m),
+                              max_new_tokens=6, eos_token_id=88))[0].tolist()
+    assert got[: len(ref)] == ref, (got, ref)
+
+
+def test_topp_sampling_reproducible(tiny_llm, rng):
+    cfg, model, params = tiny_llm
+    e = rng.normal(size=(2, 4, cfg.hidden_size)).astype(np.float32) * 0.1
+    m = np.ones((2, 4), np.int32)
+    a = np.asarray(generate(cfg, params, jnp.asarray(e), jnp.asarray(m),
+                            max_new_tokens=5, temperature=0.8, top_p=0.9,
+                            eos_token_id=88, prng_key=jax.random.PRNGKey(1)))
+    b = np.asarray(generate(cfg, params, jnp.asarray(e), jnp.asarray(m),
+                            max_new_tokens=5, temperature=0.8, top_p=0.9,
+                            eos_token_id=88, prng_key=jax.random.PRNGKey(1)))
+    np.testing.assert_array_equal(a, b)
+    assert (a >= 0).all() and (a < cfg.vocab_size).all()
