@@ -1,0 +1,162 @@
+"""Dataset preprocessing / normalization CLI (L2 of the reference).
+
+Subcommands mirror ``toolkit/preprocess/*.py`` + ``main-baseline.py``:
+
+    # video dir -> 16 kHz mono wavs (ffmpeg-subprocess replacement,
+    # functions.py:269-277)
+    python -m mertools_tpu.cli.preprocess split-audio --video_root=... \
+        --save_root=...
+
+    # label CSV (name,emo[,val][,split]) -> label-6way.npz with
+    # {split}_corpus dicts (preprocess/mer2023.py:8-53 layout)
+    python -m mertools_tpu.cli.preprocess make-labels --label_csv=... \
+        --save_path=label-6way.npz
+
+    # per-clip aligned-face frame dirs -> one (T,112,112,3) BGR uint8 npy
+    # (OpenFace compression, functions.py "OpenFace compression" /
+    # extract_openface.py:14-97 output contract)
+    python -m mertools_tpu.cli.preprocess compress-faces --face_root=... \
+        --save_root=... [--size=112]
+
+    # integrity checks over a feature store
+    # (func_check_feature_completeness, functions.py:297-326)
+    python -m mertools_tpu.cli.preprocess check-features --feature_root=... \
+        --label_npz=...
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import glob
+import os
+
+import numpy as np
+
+
+def cmd_split_audio(args):
+    from ..io import video as vio
+    from ..io import wav as wav_io
+
+    os.makedirs(args.save_root, exist_ok=True)
+    files = sorted(glob.glob(os.path.join(args.video_root, "*.mp4")) +
+                   glob.glob(os.path.join(args.video_root, "*.avi")))
+    done = 0
+    for f in files:
+        name = os.path.splitext(os.path.basename(f))[0]
+        out = os.path.join(args.save_root, name + ".wav")
+        if os.path.exists(out):  # idempotent (functions.py:274)
+            continue
+        wav = vio.demux_audio_16k(f)
+        wav_io.write_wav(out, wav, 16000)
+        done += 1
+    print(f"split {done}/{len(files)} videos -> {args.save_root}")
+
+
+def cmd_make_labels(args):
+    from ..data.labels import write_label_archive
+
+    with open(args.label_csv, newline="", encoding="utf-8") as f:
+        rows = list(csv.DictReader(f))
+    corpora: dict[str, dict] = {}
+    for r in rows:
+        split = r.get("split", args.default_split) or args.default_split
+        entry = {"emo": r.get("emo", r.get("discrete", ""))}
+        val = r.get("val", r.get("valence", ""))
+        entry["val"] = float(val) if val not in ("", None) else ""
+        corpora.setdefault(split, {})[r["name"]] = entry
+    write_label_archive(args.save_path, corpora)
+    sizes = {k: len(v) for k, v in corpora.items()}
+    print(f"wrote {args.save_path}: {sizes}")
+
+
+def cmd_compress_faces(args):
+    """Each ``{face_root}/{clip}/`` dir of frame images (or a video file) ->
+    ``{save_root}/{clip}.npy`` (T, size, size, 3) BGR uint8."""
+    from ..io import video as vio
+
+    os.makedirs(args.save_root, exist_ok=True)
+    clips = sorted(os.listdir(args.face_root))
+    done = 0
+    for clip in clips:
+        src = os.path.join(args.face_root, clip)
+        name = os.path.splitext(clip)[0]
+        out = os.path.join(args.save_root, name + ".npy")
+        if os.path.exists(out):
+            continue
+        if os.path.isdir(src):
+            frames = []
+            for img in sorted(glob.glob(os.path.join(src, "*.npy"))):
+                frames.append(np.load(img))
+            if not frames:
+                continue
+            arr = np.stack(frames)
+        else:
+            arr = vio.decode_frames(src)[..., ::-1]  # RGB -> BGR
+        if arr.shape[1] != args.size or arr.shape[2] != args.size:
+            import jax
+            import jax.numpy as jnp
+            arr = np.asarray(jax.image.resize(
+                jnp.asarray(arr, jnp.float32),
+                (arr.shape[0], args.size, args.size, 3), method="bilinear"))
+        np.save(out, np.clip(arr, 0, 255).astype(np.uint8))
+        done += 1
+    print(f"compressed {done}/{len(clips)} clips -> {args.save_root}")
+
+
+def cmd_check_features(args):
+    """Completeness scan: every labeled clip has a feature file with finite
+    values and a consistent trailing dim."""
+    names = set()
+    archive = np.load(args.label_npz, allow_pickle=True)
+    for key in archive.files:
+        names.update(archive[key].tolist().keys())
+    missing, bad, dims = [], [], set()
+    for name in sorted(names):
+        path = os.path.join(args.feature_root, name + ".npy")
+        if not os.path.exists(path):
+            missing.append(name)
+            continue
+        feat = np.load(path)
+        if not np.isfinite(feat).all() or feat.size == 0:
+            bad.append(name)
+        dims.add(feat.shape[-1])
+    print(f"checked {len(names)}: missing={len(missing)} bad={len(bad)} "
+          f"dims={sorted(dims)}")
+    if missing[:5]:
+        print("  e.g. missing:", missing[:5])
+    return {"missing": missing, "bad": bad, "dims": sorted(dims)}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("preprocess")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("split-audio")
+    s.add_argument("--video_root", required=True)
+    s.add_argument("--save_root", required=True)
+    s.set_defaults(fn=cmd_split_audio)
+
+    m = sub.add_parser("make-labels")
+    m.add_argument("--label_csv", required=True)
+    m.add_argument("--save_path", required=True)
+    m.add_argument("--default_split", default="train")
+    m.set_defaults(fn=cmd_make_labels)
+
+    c = sub.add_parser("compress-faces")
+    c.add_argument("--face_root", required=True)
+    c.add_argument("--save_root", required=True)
+    c.add_argument("--size", type=int, default=112)
+    c.set_defaults(fn=cmd_compress_faces)
+
+    k = sub.add_parser("check-features")
+    k.add_argument("--feature_root", required=True)
+    k.add_argument("--label_npz", required=True)
+    k.set_defaults(fn=cmd_check_features)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

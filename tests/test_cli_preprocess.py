@@ -1,0 +1,76 @@
+"""Preprocess CLI: audio split, label archives, face compression, checks."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mertools_tpu.io import video as vio
+
+
+def test_make_labels_roundtrip(tmp_path):
+    from mertools_tpu.cli.preprocess import main
+    from mertools_tpu.data.labels import read_names_labels
+
+    csv_path = tmp_path / "labels.csv"
+    csv_path.write_text(
+        "name,emo,val,split\n"
+        "c0,happy,1.5,train\n"
+        "c1,sad,-1.0,train\n"
+        "c2,neutral,,test1\n", encoding="utf-8")
+    npz = tmp_path / "label-6way.npz"
+    main(["make-labels", f"--label_csv={csv_path}", f"--save_path={npz}"])
+
+    names, emos, vals = read_names_labels(str(npz), "train")
+    assert sorted(names) == ["c0", "c1"]
+    assert vals[names.index("c0")] == pytest.approx(1.5)
+    names_t, _, vals_t = read_names_labels(str(npz), "test1")
+    assert names_t == ["c2"] and vals_t[0] == -10.0  # missing-val sentinel
+
+
+@pytest.mark.skipif(not vio.available(), reason="libmervideo.so not built")
+def test_split_audio(tmp_path):
+    from mertools_tpu.cli.preprocess import main
+    from mertools_tpu.io.wav import read_wav
+
+    vid = tmp_path / "video"
+    vid.mkdir()
+    frames = np.zeros((10, 32, 32, 3), np.uint8)
+    t = np.arange(8000) / 16000.0
+    tone = (0.4 * np.sin(2 * np.pi * 250 * t)).astype(np.float32)
+    vio.encode_video(str(vid / "x.mp4"), frames, fps=20.0, audio=tone,
+                     audio_sr=16000)
+    out = tmp_path / "audio"
+    main(["split-audio", f"--video_root={vid}", f"--save_root={out}"])
+    wav, sr = read_wav(str(out / "x.wav"))
+    assert sr == 16000 and len(wav) > 4000
+
+
+def test_compress_faces_from_frame_dirs(tmp_path):
+    from mertools_tpu.cli.preprocess import main
+
+    root = tmp_path / "faces"
+    (root / "clipA").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        np.save(root / "clipA" / f"{i:03d}.npy",
+                rng.integers(0, 255, size=(112, 112, 3), dtype=np.uint8))
+    out = tmp_path / "npy"
+    main(["compress-faces", f"--face_root={root}", f"--save_root={out}"])
+    arr = np.load(out / "clipA.npy")
+    assert arr.shape == (4, 112, 112, 3) and arr.dtype == np.uint8
+
+
+def test_check_features(tmp_path):
+    from mertools_tpu.cli.preprocess import main
+    from mertools_tpu.data.labels import write_label_archive
+
+    npz = tmp_path / "labels.npz"
+    write_label_archive(str(npz), {"train": {
+        "a": {"emo": "happy", "val": 1.0}, "b": {"emo": "sad", "val": 0.0}}})
+    feat = tmp_path / "feat"
+    feat.mkdir()
+    np.save(feat / "a.npy", np.ones((5, 8), np.float32))
+    res = main(["check-features", f"--feature_root={feat}",
+                f"--label_npz={npz}"])
+    assert res["missing"] == ["b"] and res["dims"] == [8]
