@@ -1,0 +1,169 @@
+"""End-to-end fine-tuning model: raw pretrained encoder + MLP head.
+
+Reference (``MER2025/MER2025_Track23/toolkit/models/e2e_model.py:7-76``):
+fine-tune a raw encoder end-to-end with the standard fusion contract
+``(features, emos_out, vals_out, interloss)``. Pooling rules:
+
+- text : sum of last-4 hidden states, attention-masked mean over tokens
+- audio: (B, 8 segments, 32000 samples) -> flatten to (B*8) clips ->
+  last-4-sum, time-mean, segment-mean
+- video: CLIP image features frame-mean, or VideoMAE per-segment patch mean
+  then segment mean
+
+The backbone learns at 1/10 of the head lr in the reference's ``lr_adjust=
+case2`` regime (``MERBench/main-release.py:204-213``) — expressed here as an
+optax label tree (:func:`e2e_param_labels`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .modules import MLPEncoder
+
+
+@dataclass(frozen=True)
+class E2EConfig:
+    modality: str            # audio | text | video_clip | video_mae
+    feat_dim: int            # backbone output dim
+    hidden_dim: int = 256
+    dropout: float = 0.3
+    output_dim1: int = 6
+    output_dim2: int = 1
+
+
+class E2EModel(nn.Module):
+    cfg: E2EConfig
+    backbone: Any            # Flax encoder module (see pooling contract)
+
+    def _pool(self, batch):
+        c = self.cfg
+        if c.modality == "text":
+            hs = self.backbone(batch["input_ids"],
+                               batch.get("attention_mask"))
+            x = sum(hs[-4:])                              # (B, S, D)
+            m = batch["attention_mask"][..., None].astype(x.dtype)
+            return (x * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
+        if c.modality == "audio":
+            a = batch["audios"]                           # (B, seg, samples)
+            B, seg, pts = a.shape
+            hs = self.backbone(a.reshape(B * seg, pts), None)
+            x = sum(hs[-4:]).mean(axis=1)                 # (B*seg, D)
+            return x.reshape(B, seg, -1).mean(axis=1)
+        if c.modality == "video_clip":
+            v = batch["videos"]                           # (B, T, H, W, 3)
+            B, T = v.shape[0], v.shape[1]
+            out = self.backbone(v.reshape((B * T,) + v.shape[2:]))
+            emb = out["image_embeds"] if isinstance(out, dict) else out
+            return emb.reshape(B, T, -1).mean(axis=1)
+        if c.modality == "video_mae":
+            tokens = self.backbone(batch["videos"])       # (B, seg*patch, D)
+            vc = self.backbone.cfg
+            n_seg = vc.num_frames // vc.tubelet_size
+            patches = vc.grid * vc.grid
+            return tokens.reshape(tokens.shape[0], n_seg, patches,
+                                  -1).mean(axis=(1, 2))
+        raise ValueError(c.modality)
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        c = self.cfg
+        feats = self._pool(batch)
+        h = MLPEncoder(c.hidden_dim, c.dropout, name="encoder")(
+            feats, train=train)
+        emos = nn.Dense(c.output_dim1, name="fc_out_1")(h)
+        vals = nn.Dense(c.output_dim2, name="fc_out_2")(h)
+        return h, emos, vals, jnp.asarray(0.0)
+
+
+def e2e_param_labels(params: dict) -> dict:
+    """'head' for encoder/fc_out params, 'backbone' otherwise — drives the
+    reference's 1/10-backbone-lr optimizer split via optax.multi_transform."""
+
+    def label(path, _):
+        names = [getattr(k, "key", str(k)) for k in path]
+        head = names and names[0] in ("encoder", "fc_out_1", "fc_out_2")
+        return "head" if head else "backbone"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+class VideoMAEPretrain(nn.Module):
+    """Masked video pretraining (``videomae_pretrain.py:10-37`` /
+    VideoMAEForPreTraining): tube-mask a fraction of tokens, reconstruct
+    normalized patch pixels with a small decoder, MSE on masked tokens.
+
+    Returns the fusion contract with interloss = reconstruction loss so the
+    CV trainer drives it unchanged.
+    """
+    backbone: Any            # ViTEncoder with a videomae config
+    decoder_dim: int = 192
+    decoder_layers: int = 2
+    decoder_heads: int = 4
+    mask_ratio: float = 0.9
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        from ..encoders.vit import ViTConfig, _Block
+
+        vc = self.backbone.cfg
+        videos = batch["videos"]                         # (B, T, H, W, 3)
+        B = videos.shape[0]
+        tokens = self.backbone(videos)                   # (B, N, D)
+        N = tokens.shape[1]
+
+        # deterministic tube mask per sample (seeded by batch['mask_seed'])
+        n_mask = int(N * self.mask_ratio)
+        seed = batch.get("mask_seed", 0)
+        key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+        scores = jax.random.uniform(key, (B, N))
+        ranks = jnp.argsort(jnp.argsort(scores, axis=1), axis=1)
+        mask = ranks < n_mask                            # n_mask True per row
+
+        dec_cfg = ViTConfig(hidden_size=self.decoder_dim,
+                            num_layers=self.decoder_layers,
+                            num_heads=self.decoder_heads,
+                            intermediate_size=self.decoder_dim * 4,
+                            use_cls_token=False, pos_embed="none",
+                            final_layernorm=True)
+        x = nn.Dense(self.decoder_dim, name="dec_in")(tokens)
+        mtok = self.param("mask_token", nn.initializers.normal(0.02),
+                          (self.decoder_dim,))
+        x = jnp.where(mask[..., None], mtok, x)
+        pe = self.param("dec_pos", nn.initializers.normal(0.02),
+                        (N, self.decoder_dim))
+        x = x + pe[None]
+        for i in range(self.decoder_layers):
+            x = _Block(dec_cfg, name=f"dec_block_{i}")(x)
+        x = nn.LayerNorm(name="dec_norm")(x)
+
+        patch_dim = vc.tubelet_size * vc.patch_size * vc.patch_size * 3
+        pred = nn.Dense(patch_dim, name="dec_out")(x)    # (B, N, patch_dim)
+
+        # target: per-patch normalized pixels (VideoMAE norm_pix_loss)
+        tgt = _patchify(videos, vc)
+        mu = tgt.mean(-1, keepdims=True)
+        sd = tgt.std(-1, keepdims=True) + 1e-6
+        tgt = (tgt - mu) / sd
+        err = ((pred - tgt) ** 2).mean(-1)
+        loss = (err * mask).sum() / jnp.maximum(mask.sum(), 1)
+
+        feats = tokens.mean(axis=1)
+        zero = jnp.zeros((B, 1))
+        return feats, zero, zero, loss
+
+
+def _patchify(videos, vc):
+    """(B, T, H, W, 3) -> (B, N, tubelet*p*p*3) in tubelet-major order
+    matching the 3D conv token order."""
+    B, T, H, W, _ = videos.shape
+    p, tb = vc.patch_size, vc.tubelet_size
+    x = videos.astype(jnp.float32).reshape(
+        B, T // tb, tb, H // p, p, W // p, p, 3)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(B, (T // tb) * (H // p) * (W // p), tb * p * p * 3)

@@ -1,0 +1,98 @@
+"""E2E fine-tuning model + VideoMAE masked pretraining (fusion contract)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mertools_tpu.models.e2e_model import (E2EConfig, E2EModel,
+                                           VideoMAEPretrain, _patchify,
+                                           e2e_param_labels)
+
+
+def _text_backbone():
+    from mertools_tpu.encoders.bert import BertConfig, BertEncoder
+    cfg = BertConfig(vocab_size=50, hidden_size=16, num_hidden_layers=4,
+                     num_attention_heads=2, intermediate_size=32,
+                     max_position_embeddings=32)
+    return BertEncoder(cfg), 16
+
+
+def test_e2e_text_contract(rng):
+    backbone, dim = _text_backbone()
+    model = E2EModel(E2EConfig("text", feat_dim=dim, hidden_dim=24,
+                               output_dim1=6, output_dim2=1), backbone)
+    batch = {"input_ids": rng.integers(0, 50, size=(2, 12)).astype(np.int32),
+             "attention_mask": np.ones((2, 12), np.int32)}
+    batch["attention_mask"][0, 8:] = 0
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+    feats, emos, vals, inter = model.apply({"params": params}, batch)
+    assert feats.shape == (2, 24) and emos.shape == (2, 6)
+    assert vals.shape == (2, 1) and float(inter) == 0.0
+
+    labels = e2e_param_labels(params)
+    flat = jax.tree_util.tree_leaves_with_path(labels)
+    lab = {jax.tree_util.keystr(p): v for p, v in flat}
+    assert any(v == "backbone" for v in lab.values())
+    assert any(v == "head" for v in lab.values())
+
+
+def test_e2e_audio_segments(rng):
+    from mertools_tpu.encoders.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+    cfg = Wav2Vec2Config(hidden_size=16, num_hidden_layers=4,
+                         num_attention_heads=2, intermediate_size=32,
+                         conv_dim=(8, 8), conv_kernel=(10, 3),
+                         conv_stride=(5, 2), num_conv_pos_embeddings=16,
+                         num_conv_pos_embedding_groups=2)
+    model = E2EModel(E2EConfig("audio", feat_dim=16, hidden_dim=8),
+                     Wav2Vec2Encoder(cfg))
+    batch = {"audios": rng.normal(size=(2, 3, 800)).astype(np.float32)}
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+    feats, emos, vals, _ = model.apply({"params": params}, batch)
+    assert feats.shape == (2, 8) and np.isfinite(np.asarray(emos)).all()
+
+
+def test_videomae_pretrain_loss_decreases(rng):
+    from mertools_tpu.encoders.vit import ViTEncoder, videomae_config
+    import optax
+
+    vc = videomae_config(hidden_size=24, num_layers=1, num_heads=2,
+                         intermediate_size=48, image_size=16, patch_size=8,
+                         num_frames=4, tubelet_size=2)
+    model = VideoMAEPretrain(ViTEncoder(vc), decoder_dim=24,
+                             decoder_layers=1, decoder_heads=2,
+                             mask_ratio=0.5)
+    videos = rng.normal(size=(2, 4, 16, 16, 3)).astype(np.float32)
+    batch = {"videos": videos, "mask_seed": 1}
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o, b):
+        def loss_fn(pp):
+            return model.apply({"params": pp}, b)[3]
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        up, o = tx.update(g, o, p)
+        return optax.apply_updates(p, up), o, loss
+
+    first = None
+    for i in range(30):
+        params, opt, loss = step(params, opt, batch)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < 0.7 * first, (first, float(loss))
+
+
+def test_patchify_shapes(rng):
+    from mertools_tpu.encoders.vit import videomae_config
+    vc = videomae_config(image_size=16, patch_size=8, num_frames=4,
+                         tubelet_size=2)
+    v = rng.normal(size=(2, 4, 16, 16, 3)).astype(np.float32)
+    p = _patchify(jnp.asarray(v), vc)
+    assert p.shape == (2, 2 * 2 * 2, 2 * 8 * 8 * 3)
+    # first patch = first tubelet, top-left corner
+    ref = v[0, 0:2, 0:8, 0:8].transpose(0, 1, 2, 3).reshape(-1)
+    np.testing.assert_allclose(np.asarray(p)[0, 0], ref, atol=1e-6)
