@@ -47,9 +47,15 @@ class WhisperASR:
         self._params = jax.device_put(params)
         model = WhisperModel(cfg)
 
+        on_tpu = jax.devices()[0].platform == "tpu"
+
         @jax.jit
         def encode(p, wavs):
-            mel = log_mel_spectrogram(wavs)           # (B, 80, 3000)
+            if on_tpu:  # fused Pallas frontend (ops/mel_pallas.py)
+                from ..ops.mel_pallas import log_mel_spectrogram_fused
+                mel = log_mel_spectrogram_fused(wavs)
+            else:
+                mel = log_mel_spectrogram(wavs)       # (B, 80, 3000)
             return model.apply({"params": p}, mel, method=model.encode)
 
         self._encode = encode
