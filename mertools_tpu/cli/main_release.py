@@ -53,6 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--feat_type", type=str, default="utt",
                    choices=["utt", "frm_align", "frm_unalign"])
     p.add_argument("--feat_scale", type=int, default=None)
+    # noise-robustness sweeps (MER2024/main-release.py:96-97): snr-tagged
+    # feature stores for train vs test
+    p.add_argument("--train_snr", type=str, default=None)
+    p.add_argument("--test_snr", type=str, default=None)
+    # top-N fusion (MER2024/main-release.py:98-99)
+    p.add_argument("--fusion_topn", type=int, default=None)
+    p.add_argument("--fusion_modality", type=str, default="AVT",
+                   choices=["AVT", "AV", "AT", "VT"])
     # e2e
     p.add_argument("--e2e_name", type=str, default=None)
     p.add_argument("--e2e_dim", type=int, default=None)
@@ -85,6 +93,9 @@ def resolve_paths(args: Args) -> None:
     assert args.label_path, "need --label_path or a registry entry"
     for mod, feat in (("audio", args.audio_feature), ("text", args.text_feature),
                       ("video", args.video_feature)):
+        if args.fusion_topn:  # top-N mode picks features from the rank lists
+            args[f"{mod}_root"] = None
+            continue
         assert feat, f"--{mod}_feature is required"
         args[f"{mod}_root"] = os.path.join(args.features_root, feat)
 
@@ -105,7 +116,7 @@ def main(argv=None):
         args.feat_scale = 1
     elif args.feat_scale is None:
         args.feat_scale = 6 if args.feat_type == "frm_align" else 12
-    if args.feat_type in ("frm_align", "frm_unalign"):
+    if args.feat_type in ("frm_align", "frm_unalign") and not args.fusion_topn:
         for f in (args.audio_feature, args.text_feature, args.video_feature):
             assert f.endswith("FRA"), f"{args.feat_type} needs -FRA features, got {f}"
 
@@ -135,6 +146,8 @@ def main(argv=None):
     train_set, folds, test_sets = loader.load(seed=seed)
     args.audio_dim, args.text_dim, args.video_dim = (
         train_set.adim, train_set.tdim, train_set.vdim)
+    if args.fusion_topn:
+        args.model = args.model or "attention_topn"
     print(f"train: {len(train_set)}; folds: {len(folds)}; "
           f"tests: { {k: len(v) for k, v in test_sets.items()} }")
 
@@ -142,9 +155,13 @@ def main(argv=None):
     result = run_cv(args, train_set, test_sets, seed=seed, folds=folds,
                     calc_fn=loader.calc_results)
 
-    feature_name = "+".join(sorted(set(whole_features)))
+    feature_name = "+".join(sorted(set(f for f in whole_features if f)))
     model_name = f"{args.model}+{args.feat_type}+{args.e2e_name}"
     prefix = f"features:{feature_name}_dataset:{args.dataset}_model:{model_name}"
+    if args.test_snr is not None:  # MER2024 result naming (:188-191)
+        prefix += f"_trainsnr:{args.train_snr}_testsnr:{args.test_snr}"
+    if args.fusion_topn is not None:
+        prefix += f"_fusiontopn:{args.fusion_topn}_modality:{args.fusion_modality}"
     stamp = time.time()
 
     save_path = os.path.join(res_root, f"cv_{prefix}_{result.cv_str}_{stamp}.npz")

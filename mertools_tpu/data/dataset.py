@@ -23,6 +23,7 @@ loop gathers rows on device inside a ``lax.scan`` — no per-batch host work.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -138,3 +139,73 @@ def epoch_plan(indices: np.ndarray, batch_size: int,
     mask[:n] = 1.0
     padded = np.tile(indices, math.ceil(total / n))[:total]
     return padded.reshape(nb, batch_size), mask.reshape(nb, batch_size)
+
+
+@dataclass
+class TopNFeatureDataset:
+    """Top-N fusion dataset: N feature sets per modality subset, all UTT
+    (reference ``MER2024/toolkit/data/feat_data_topn.py:9-60``).
+
+    arrays() exposes ``feat0..feat{K-1}`` for AttentionTopN.
+    """
+    names: list[str]
+    feats: list[np.ndarray]      # K x (N, D_k)
+    emos: np.ndarray
+    vals: np.ndarray
+    feat_type: str = "utt"
+
+    def __len__(self):
+        return len(self.names)
+
+    @property
+    def feat_dims(self):
+        return [f.shape[-1] for f in self.feats]
+
+    # FeatureDataset protocol compat (run_cv reads these for logging)
+    adim = property(lambda self: self.feats[0].shape[-1])
+    tdim = property(lambda self: self.feats[0].shape[-1])
+    vdim = property(lambda self: self.feats[0].shape[-1])
+
+    def arrays(self) -> dict[str, np.ndarray]:
+        out = {f"feat{i}": f for i, f in enumerate(self.feats)}
+        out["emos"] = self.emos
+        out["vals"] = self.vals
+        return out
+
+    @classmethod
+    def build(cls, names, emos, vals, features_root, topn: int,
+              modality: str = "AVT", snr: str | None = None,
+              max_workers=8) -> "TopNFeatureDataset":
+        from ..core import globals_mer as G
+
+        ranks = {"AVT": [G.AUDIO_RANK_LOW2HIGH, G.TEXT_RANK_LOW2HIGH,
+                         G.IMAGE_RANK_LOW2HIGH],
+                 "AT": [G.AUDIO_RANK_LOW2HIGH, G.TEXT_RANK_LOW2HIGH,
+                        G.TEXT_RANK_LOW2HIGH],
+                 "AV": [G.AUDIO_RANK_LOW2HIGH, G.IMAGE_RANK_LOW2HIGH,
+                        G.IMAGE_RANK_LOW2HIGH],
+                 "VT": [G.TEXT_RANK_LOW2HIGH, G.TEXT_RANK_LOW2HIGH,
+                        G.IMAGE_RANK_LOW2HIGH]}[modality]
+        featnames = []
+        for rank in ranks:
+            featnames.extend(rank[-topn:])  # best-N per modality slot
+        feats = []
+        for fname in featnames:
+            root = os.path.join(features_root,
+                                snr_variant(G.feature_dir_name(fname, "UTT"),
+                                            snr))
+            raw, _ = feature_store.read_features(root, names, max_workers)
+            feats.append(align.align_to_utt_np(raw).astype(np.float32))
+        return cls(names=list(names), feats=feats,
+                   emos=np.asarray(emos, np.int32),
+                   vals=np.asarray(vals, np.float32))
+
+
+def snr_variant(feature_dir: str, snr: str | None) -> str:
+    """Insert the noise tag before the level suffix:
+    ``name-UTT`` -> ``name-noisesnrmix-UTT`` (MER2024 feat_data.py:13-22;
+    the separator char mirrors the one before the suffix)."""
+    if not snr:
+        return feature_dir
+    sep = feature_dir[-4]
+    return sep.join([feature_dir[:-4], snr, feature_dir[-3:]])

@@ -18,6 +18,8 @@ scheme — and builds :class:`FeatureDataset` objects from the feature store:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from sklearn.metrics import accuracy_score, f1_score, mean_squared_error
 
@@ -72,10 +74,27 @@ class BaseLoader:
     def read_split(self, label_path: str, split: str):
         return labels_mod.read_names_labels(label_path, split, debug=bool(self.args.debug))
 
-    def _build(self, names, emos, vals) -> FeatureDataset:
+    def _build(self, names, emos, vals, snr: str | None = None):
         a = self.args
+        if a.fusion_topn:  # top-N fusion (MER2024 feat_data_topn.py)
+            from .dataset import TopNFeatureDataset
+
+            ds = TopNFeatureDataset.build(
+                names, emos, vals, a.features_root, int(a.fusion_topn),
+                a.fusion_modality or "AVT", snr=snr)
+            a.feat_dims = ds.feat_dims
+            return ds
+        from .dataset import snr_variant
+
+        def root(r):  # noise sweep: snr-tagged feature dirs
+            if not snr or r is None:
+                return r
+            head, tail = os.path.split(r)
+            return os.path.join(head, snr_variant(tail, snr))
+
         return FeatureDataset.build(
-            names, emos, vals, a.audio_root, a.text_root, a.video_root,
+            names, emos, vals, root(a.audio_root), root(a.text_root),
+            root(a.video_root),
             feat_type=a.feat_type or "utt", feat_scale=a.feat_scale or 1)
 
     # -- protocol -----------------------------------------------------------
@@ -83,25 +102,28 @@ class BaseLoader:
         """Returns (train_set, folds, test_sets)."""
         a = self.args
         label_path = a.label_path
+        train_snr, test_snr = a.train_snr, a.test_snr
         if self.fixed_eval_split:
             tr = self.read_split(label_path, "train")
             ev = self.read_split(label_path, self.fixed_eval_split)
             names = list(tr[0]) + list(ev[0])
             emos = np.concatenate([tr[1], ev[1]])
             vals = np.concatenate([tr[2], ev[2]])
-            train_set = self._build(names, emos, vals)
+            train_set = self._build(names, emos, vals, snr=train_snr)
             folds = [(np.arange(len(tr[0])), np.arange(len(tr[0]), len(names)))]
-            test_sets = {s: self._build(*self.read_split(label_path, s))
+            test_sets = {s: self._build(*self.read_split(label_path, s),
+                                        snr=test_snr)
                          for s in self.test_splits}
             return train_set, folds, test_sets
 
         tr = self.read_split(label_path, "train")
-        train_set = self._build(*tr)
+        train_set = self._build(*tr, snr=train_snr)
         folds = self.make_folds(tr[0], seed)
         test_sets = {}
         for s in self.test_splits:
             try:
-                test_sets[s] = self._build(*self.read_split(label_path, s))
+                test_sets[s] = self._build(*self.read_split(label_path, s),
+                                           snr=test_snr)
             except KeyError:
                 pass  # split absent in this archive
         return train_set, folds, test_sets
