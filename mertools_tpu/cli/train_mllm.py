@@ -1,0 +1,174 @@
+"""AffectGPT-equivalent training CLI (``MER2025_Track23/train.py``).
+
+    python -m mertools_tpu.cli.train_mllm --config=train_config.yaml \
+        [--options run.max_epoch=2 model.lora_r=16 ...]
+
+YAML config sections mirror the reference's model_cfg/datasets_cfg/run_cfg
+(OmegaConf + dotted --options overrides, common/config.py):
+
+    model:
+      llm_checkpoint: /path/to/qwen   # HF causal LM (or 'tiny' for smoke)
+      lora_r: 16
+      video_dim: 768
+      audio_dim: 1024
+      video_queries: 32
+      audio_queries: 8
+    datasets:
+      openset_csv: ...
+      reason_csv: ...
+      subtitle_csv: ...
+      video_feat_dir: ...
+      audio_feat_dir: ...
+      label_type: mixed
+    run:
+      max_epoch: 10
+      iters_per_epoch: 100
+      batch_size: 4
+      init_lr: 1e-4
+      output_dir: ./mllm_output
+
+Training runs on the (data x model) mesh: batch sharded over ``data``,
+tensor-parallel LLM over ``model`` when --n_model > 1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def apply_options(cfg: dict, options: list[str]) -> dict:
+    for opt in options or []:
+        key, val = opt.split("=", 1)
+        parts = key.split(".")
+        node = cfg
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        try:
+            import ast
+
+            val = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            pass
+        node[parts[-1]] = val
+    return cfg
+
+
+def build_model(mcfg: dict):
+    import jax
+
+    from ..mllm import AffectGPT, AffectGPTConfig, LLMConfig, QFormerConfig
+
+    if mcfg.get("llm_checkpoint", "tiny") == "tiny":
+        llm_cfg = LLMConfig.tiny(vocab=int(mcfg.get("vocab_size", 256)),
+                                 lora_r=int(mcfg.get("lora_r", 4)))
+        llm_params = None
+        tokenizer = None
+    else:
+        from transformers import AutoModelForCausalLM, AutoTokenizer
+
+        from ..mllm.llm import convert_torch_state
+
+        hf = AutoModelForCausalLM.from_pretrained(mcfg["llm_checkpoint"])
+        llm_cfg = LLMConfig.from_hf(hf.config,
+                                    lora_r=int(mcfg.get("lora_r", 16)))
+        llm_params = convert_torch_state(llm_cfg, hf.state_dict())
+        tokenizer = AutoTokenizer.from_pretrained(mcfg["llm_checkpoint"])
+        del hf
+
+    cfg = AffectGPTConfig(
+        llm=llm_cfg,
+        video_qformer=QFormerConfig(
+            num_queries=int(mcfg.get("video_queries", 32))),
+        audio_qformer=QFormerConfig(
+            num_queries=int(mcfg.get("audio_queries", 8))),
+        video_dim=int(mcfg.get("video_dim", 768)),
+        audio_dim=int(mcfg.get("audio_dim", 1024)),
+        max_video_frames=int(mcfg.get("max_video_frames", 64)))
+    return AffectGPT(cfg), llm_params, tokenizer
+
+
+def main(argv=None):
+    from ..core.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    p = argparse.ArgumentParser("train_mllm")
+    p.add_argument("--config", required=True)
+    p.add_argument("--options", nargs="*", default=[])
+    p.add_argument("--n_model", type=int, default=1,
+                   help="tensor-parallel width over the mesh 'model' axis")
+    args = p.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from ..core.config import load_yaml
+    from ..core.mesh import make_mesh
+    from ..mllm.data import CaptionDataset, batch_iterator
+    from ..mllm.runner import Runner, RunnerConfig, save_model
+
+    cfg = apply_options(load_yaml(args.config), args.options)
+    mcfg, dcfg, rcfg = cfg["model"], cfg["datasets"], cfg.get("run", {})
+
+    model, llm_params, tokenizer = build_model(mcfg)
+    if tokenizer is None:
+        from ..mllm.data import FakeWordTokenizer
+
+        tokenizer = FakeWordTokenizer(model.cfg.llm.vocab_size)
+
+    dataset = CaptionDataset.from_csvs(
+        dcfg["openset_csv"], dcfg["reason_csv"], dcfg.get("subtitle_csv"),
+        dcfg["video_feat_dir"], dcfg["audio_feat_dir"],
+        label_type=dcfg.get("label_type", "description"))
+    print(f"dataset: {len(dataset)} annotated clips")
+
+    run_cfg = RunnerConfig(
+        max_epoch=int(rcfg.get("max_epoch", 10)),
+        iters_per_epoch=int(rcfg.get("iters_per_epoch", 100)),
+        batch_size=int(rcfg.get("batch_size", 4)),
+        accum_grad_iters=int(rcfg.get("accum_grad_iters", 1)),
+        init_lr=float(rcfg.get("init_lr", 1e-4)),
+        min_lr=float(rcfg.get("min_lr", 8e-5)),
+        warmup_steps=int(rcfg.get("warmup_steps", 100)),
+        output_dir=rcfg.get("output_dir", "./mllm_output"))
+
+    it = batch_iterator(dataset, tokenizer, model.num_av_tokens,
+                        run_cfg.batch_size,
+                        seed=int(rcfg.get("seed", 42)),
+                        max_len=int(rcfg.get("max_len", 512)))
+    batch0 = next(it)
+    params = model.init(jax.random.PRNGKey(int(rcfg.get("seed", 42))),
+                        batch0)["params"]
+    if llm_params is not None:
+        params = dict(params)
+        params["llm"] = jax.tree_util.tree_map(
+            lambda cur, new: new if new is not None else cur,
+            params["llm"], {**llm_params},
+            is_leaf=lambda x: not isinstance(x, dict))
+
+    n_data = jax.device_count() // args.n_model
+    mesh = None
+    if jax.device_count() > 1 and run_cfg.batch_size % max(n_data, 1) == 0:
+        mesh = make_mesh(n_model=args.n_model)
+    elif jax.device_count() > 1:
+        print(f"batch_size {run_cfg.batch_size} not divisible by data axis "
+              f"{n_data}; running single-device")
+    runner = Runner(run_cfg, model, params, mesh=mesh)
+    os.makedirs(run_cfg.output_dir, exist_ok=True)
+
+    best = float("inf")
+    for epoch in range(run_cfg.max_epoch):
+        stats = runner.train_epoch(epoch, it)
+        print(f"epoch {epoch}: {stats}")
+        runner.save_checkpoint(epoch)
+        if stats["train_loss"] < best:
+            best = stats["train_loss"]
+            runner.save_checkpoint(epoch, is_best=True)
+    save_model(os.path.join(run_cfg.output_dir, "model"), model,
+               runner.state.params)
+    print(f"done; best train loss {best:.4f}; model saved to "
+          f"{run_cfg.output_dir}/model")
+
+
+if __name__ == "__main__":
+    main()

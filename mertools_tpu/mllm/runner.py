@@ -139,8 +139,9 @@ class Runner:
         labels = trainable_labels(self.state.params)
         trainable = jax.tree_util.tree_map(
             lambda p, l: p if l == "train" else None, self.state.params, labels)
-        trainable = jax.tree_util.tree_map(
-            np.asarray, trainable, is_leaf=lambda x: x is None)
+        # None leaves = frozen params; tree_map's default None handling drops
+        # them as empty subtrees (orbax cannot serialize object arrays)
+        trainable = jax.tree_util.tree_map(np.asarray, trainable)
         ckpt = ocp.PyTreeCheckpointer()
         ckpt.save(path, {"params": trainable, "epoch": epoch}, force=True)
         return path

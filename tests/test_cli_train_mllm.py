@@ -1,0 +1,53 @@
+"""train_mllm CLI smoke: tiny config end-to-end (data -> runner -> orbax
+checkpoints -> restorable model)."""
+
+import os
+
+import numpy as np
+
+
+def test_train_mllm_smoke(tmp_path):
+    rng = np.random.default_rng(0)
+    fv = tmp_path / "v"; fa = tmp_path / "a"
+    fv.mkdir(); fa.mkdir()
+    names = [f"c{i}" for i in range(6)]
+    for n in names:
+        np.save(fv / f"{n}.npy", rng.normal(size=(5, 12)).astype(np.float32))
+        np.save(fa / f"{n}.npy", rng.normal(size=(4, 10)).astype(np.float32))
+    (tmp_path / "openset.csv").write_text(
+        "name,openset\n" + "\n".join(f"{n},happy" for n in names) + "\n")
+    (tmp_path / "reason.csv").write_text(
+        "name,reason\n" + "\n".join(f"{n},smiling person" for n in names) + "\n")
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"""
+model:
+  llm_checkpoint: tiny
+  vocab_size: 96
+  lora_r: 2
+  video_dim: 12
+  audio_dim: 10
+  video_queries: 4
+  audio_queries: 2
+  max_video_frames: 8
+datasets:
+  openset_csv: {tmp_path}/openset.csv
+  reason_csv: {tmp_path}/reason.csv
+  video_feat_dir: {fv}
+  audio_feat_dir: {fa}
+run:
+  max_epoch: 1
+  iters_per_epoch: 3
+  batch_size: 2
+  warmup_steps: 2
+  max_len: 64
+  output_dir: {tmp_path}/out
+""")
+    from mertools_tpu.cli.train_mllm import main
+    main([f"--config={cfg}", "--options", "run.iters_per_epoch=2"])
+    out = tmp_path / "out"
+    assert (out / "checkpoint_0").exists()
+    assert (out / "model" / "config.json").exists()
+
+    from mertools_tpu.mllm.runner import restore_model
+    model, params = restore_model(str(out / "model"))
+    assert model.cfg.llm.vocab_size == 96
