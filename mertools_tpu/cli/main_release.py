@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--features_root", type=str, default=None,
                    help="root dir holding {feature_name}/ stores (overrides registry)")
     p.add_argument("--label_path", type=str, default=None)
+    p.add_argument("--test_features_root", type=str, default=None,
+                   help="cross-corpus: feature root of the TEST dataset")
+    p.add_argument("--test_label_path", type=str, default=None)
     p.add_argument("--debug", action="store_true", default=False)
     p.add_argument("--savemodel", action="store_true", default=False)
     p.add_argument("--save_iters", type=int, default=10 ** 8)
@@ -85,6 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
 def resolve_paths(args: Args) -> None:
     """Fill audio/text/video feature roots + label path from the registry."""
     reg = configure_from_env()
+    if args.train_dataset:
+        # cross-corpus: the CROSSDIS/CROSSDIM loaders resolve per-dataset
+        # paths themselves (registry or --{test_,}features_root overrides)
+        for mod in ("audio", "text", "video"):
+            args[f"{mod}_root"] = None
+        return
     if args.features_root is None and args.dataset in reg:
         args.features_root = reg[args.dataset].features
         if args.label_path is None:

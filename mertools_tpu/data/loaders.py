@@ -231,4 +231,135 @@ class SIMSv2Loader(_CMUBase):
 
 
 def get_loader(args: Args) -> BaseLoader:
+    if args.train_dataset:  # cross-corpus dispatch (dataloader/__init__.py:18-36)
+        assert args.test_dataset, "--test_dataset required with --train_dataset"
+        from_dim = args.train_dataset in DIM_DATASETS
+        assert (args.test_dataset in DIM_DATASETS) == from_dim, \
+            "train/test datasets must both be dimensional or both discrete"
+        name = "CROSSDIM" if from_dim else "CROSSDIS"
+        return registry.get_dataset(name)(args)
     return registry.get_dataset(args.dataset)(args)
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus protocols (MERBench dataloader/crossdis.py + crossdim.py)
+# ---------------------------------------------------------------------------
+
+# crossdis evaluates the 4-class intersection (crossdis.py:11-17)
+CROSSDIS_EMOS = ("happy", "sad", "neutral", "angry")
+CROSSDIS_EMO2IDX = {e: i for i, e in enumerate(CROSSDIS_EMOS)}
+# per-dataset raw-label -> common-name maps (crossdis.py dataset_map)
+CROSSDIS_MAP = {
+    "IEMOCAPFour": {0: "happy", 1: "sad", 2: "neutral", 3: "angry"},
+    "IEMOCAPSix": {0: "happy", 1: "sad", 2: "neutral", 3: "angry"},
+    "MELD": {0: "angry", 1: "happy", 2: "sad", 3: "neutral"},
+    "MER2023": {"neutral": "neutral", "angry": "angry", "happy": "happy",
+                "sad": "sad"},
+}
+DIS_DATASETS = tuple(CROSSDIS_MAP)
+DIM_DATASETS = ("CMUMOSI", "CMUMOSEI", "SIMS", "SIMSv2")
+
+
+class _CrossBase(BaseLoader):
+    """Train on args.train_dataset, test on args.test_dataset. Paths resolve
+    per dataset from the registry; --features_root/--label_path override the
+    TRAIN side, --test_features_root/--test_label_path the TEST side."""
+
+    def _paths(self, dataset, side):
+        from ..core.config import configure_from_env
+
+        a = self.args
+        override_feat = a.features_root if side == "train" else a.test_features_root
+        override_label = a.label_path if side == "train" else a.test_label_path
+        if override_feat and override_label:
+            return override_feat, override_label
+        reg = configure_from_env()
+        entry = reg[dataset]
+        return (override_feat or entry.features,
+                override_label or entry.label)
+
+    def _build_for(self, dataset, side, names, emos, vals):
+        a = self.args
+        feats_root, _ = self._paths(dataset, side)
+        roots = [os.path.join(feats_root, f) if f else None
+                 for f in (a.audio_feature, a.text_feature, a.video_feature)]
+        return FeatureDataset.build(
+            names, emos, vals, *roots,
+            feat_type=a.feat_type or "utt", feat_scale=a.feat_scale or 1)
+
+
+@registry.register_dataset("CROSSDIS")
+class CrossDisLoader(_CrossBase):
+    """Discrete cross-corpus: filter to the 4 common emotions, re-index,
+    train with the source dataset's CV scheme, test on the target's test
+    split (crossdis.py:20-127)."""
+
+    output_dim1 = 4
+    output_dim2 = 0
+    metric_name = "emo"
+
+    def _read_mapped(self, dataset, split, side):
+        _, label_path = self._paths(dataset, side)
+        archive = np.load(label_path, allow_pickle=True)
+        corpus = archive[f"{split}_corpus"].tolist()
+        mapping = CROSSDIS_MAP[dataset]
+        names, emos = [], []
+        for name, label in corpus.items():
+            emo = label.get("emo")
+            if emo in mapping:
+                names.append(name)
+                emos.append(CROSSDIS_EMO2IDX[mapping[emo]])
+        return names, np.asarray(emos, np.int32), np.zeros(len(names), np.float32)
+
+    def load(self, seed: int = 0):
+        a = self.args
+        src, tgt = a.train_dataset, a.test_dataset
+        train_split = "whole" if src.startswith("IEMOCAP") else "train"
+        tr = self._read_mapped(src, train_split, "train")
+        train_set = self._build_for(src, "train", *tr)
+        if src.startswith("IEMOCAP"):
+            folds = _IEMOCAPBase.make_folds(self, tr[0], seed)
+        elif src == "MELD":
+            ev = self._read_mapped(src, "val", "train")
+            names = list(tr[0]) + list(ev[0])
+            emos = np.concatenate([tr[1], ev[1]])
+            vals = np.concatenate([tr[2], ev[2]])
+            train_set = self._build_for(src, "train", names, emos, vals)
+            folds = [(np.arange(len(tr[0])), np.arange(len(tr[0]), len(names)))]
+        else:
+            folds = self.make_folds(tr[0], seed)
+        test_split = {"MER2023": "test1", "MELD": "test"}.get(
+            tgt, "whole" if tgt.startswith("IEMOCAP") else "test")
+        te = self._read_mapped(tgt, test_split, "test")
+        test_sets = {"test1": self._build_for(tgt, "test", *te)}
+        return train_set, folds, test_sets
+
+
+@registry.register_dataset("CROSSDIM")
+class CrossDimLoader(_CrossBase):
+    """Dimensional (valence) cross-corpus: train/val from the source
+    dataset's fixed splits, test from the target (crossdim.py:8-55)."""
+
+    output_dim1 = 0
+    output_dim2 = 1
+    metric_name = "emo"
+    calc_results = staticmethod(calc_results_val_sign)
+
+    def _read_for(self, dataset, split, side):
+        _, label_path = self._paths(dataset, side)
+        return labels_mod.read_names_labels(label_path, split,
+                                            debug=bool(self.args.debug))
+
+    def load(self, seed: int = 0):
+        a = self.args
+        src, tgt = a.train_dataset, a.test_dataset
+        tr = self._read_for(src, "train", "train")
+        ev = self._read_for(src, "val", "train")
+        names = list(tr[0]) + list(ev[0])
+        emos = np.concatenate([tr[1], ev[1]])
+        vals = np.concatenate([tr[2], ev[2]])
+        train_set = self._build_for(src, "train", names, emos, vals)
+        folds = [(np.arange(len(tr[0])), np.arange(len(tr[0]), len(names)))]
+        te = self._read_for(tgt, "test", "test")
+        test_sets = {"test": self._build_for(tgt, "test", *te)}
+        return train_set, folds, test_sets
