@@ -156,8 +156,15 @@ def main(argv=None):
     runner = Runner(run_cfg, model, params, mesh=mesh)
     os.makedirs(run_cfg.output_dir, exist_ok=True)
 
+    start_epoch = 0
+    resume = rcfg.get("resume_ckpt_path")
+    if resume:  # reference resume semantics (runner_base.py:353-356,385-387)
+        loaded_epoch = runner.load_checkpoint(resume)
+        start_epoch = int(loaded_epoch or 0) + 1
+        print(f"resumed from {resume} (epoch {loaded_epoch})")
+
     best = float("inf")
-    for epoch in range(run_cfg.max_epoch):
+    for epoch in range(start_epoch, run_cfg.max_epoch):
         stats = runner.train_epoch(epoch, it)
         print(f"epoch {epoch}: {stats}")
         runner.save_checkpoint(epoch)

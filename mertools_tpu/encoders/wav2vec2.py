@@ -46,6 +46,14 @@ class Wav2Vec2Config:
     num_conv_pos_embeddings: int = 128
     num_conv_pos_embedding_groups: int = 16
     layer_norm_eps: float = 1e-5
+    # WavLM: gated relative-position-bias attention (modeling_wavlm.py:108-271)
+    attn_type: str = "standard"       # "standard" | "wavlm"
+    num_buckets: int = 320
+    max_distance: int = 800
+    # data2vec-audio: stack of pos-conv layers with non-affine LN
+    # (modeling_data2vec_audio.py:93-124) instead of one weight-normed conv
+    pos_conv_depth: int = 0
+    conv_pos_kernel_size: int = 19
 
     @classmethod
     def base(cls):
@@ -66,12 +74,25 @@ class Wav2Vec2Config:
                    conv_dim=tuple(hf_cfg.conv_dim),
                    conv_kernel=tuple(hf_cfg.conv_kernel),
                    conv_stride=tuple(hf_cfg.conv_stride),
-                   conv_bias=hf_cfg.conv_bias,
-                   feat_extract_norm=hf_cfg.feat_extract_norm,
-                   do_stable_layer_norm=hf_cfg.do_stable_layer_norm,
+                   conv_bias=getattr(hf_cfg, "conv_bias", False),
+                   # data2vec-audio has no feat_extract_norm knob: every conv
+                   # carries a LayerNorm ("layer" mode), post-LN encoder
+                   feat_extract_norm=getattr(hf_cfg, "feat_extract_norm",
+                                             "layer"),
+                   do_stable_layer_norm=getattr(hf_cfg,
+                                                "do_stable_layer_norm", False),
                    num_conv_pos_embeddings=hf_cfg.num_conv_pos_embeddings,
                    num_conv_pos_embedding_groups=hf_cfg.num_conv_pos_embedding_groups,
-                   layer_norm_eps=hf_cfg.layer_norm_eps)
+                   layer_norm_eps=hf_cfg.layer_norm_eps,
+                   attn_type=("wavlm" if hf_cfg.model_type == "wavlm"
+                              else "standard"),
+                   num_buckets=getattr(hf_cfg, "num_buckets", 320),
+                   max_distance=getattr(hf_cfg, "max_bucket_distance", 800),
+                   pos_conv_depth=(hf_cfg.num_conv_pos_embeddings
+                                   if hf_cfg.model_type == "data2vec-audio"
+                                   else 0),
+                   conv_pos_kernel_size=getattr(hf_cfg,
+                                                "conv_pos_kernel_size", 19))
 
     def feat_lengths(self, wav_lengths):
         """conv output frame count per sample (HF _get_feat_extract_output_lengths)."""
@@ -138,16 +159,75 @@ class _Attention(nn.Module):
         return proj("out_proj", out)
 
 
+def wavlm_rel_buckets(T: int, num_buckets: int, max_distance: int) -> np.ndarray:
+    """T5-style bidirectional log buckets (modeling_wavlm.py:253-271)."""
+    half = num_buckets // 2
+    rel = np.arange(T)[None, :] - np.arange(T)[:, None]     # memory - context
+    buckets = (rel > 0).astype(np.int64) * half
+    rel = np.abs(rel)
+    max_exact = half // 2
+    is_small = rel < max_exact
+    large = max_exact + (np.log(np.maximum(rel, 1) / max_exact) /
+                         np.log(max_distance / max_exact) *
+                         (half - max_exact)).astype(np.int64)
+    large = np.minimum(large, half - 1)
+    return buckets + np.where(is_small, rel, large)
+
+
+class _WavLMAttention(nn.Module):
+    """WavLM gated relative-position attention: the shared (nh, T, T) bias is
+    gated per layer/query from projected head states
+    (modeling_wavlm.py:147-186)."""
+
+    cfg: Wav2Vec2Config
+    precision: object = _PRECISION
+
+    @nn.compact
+    def __call__(self, x, bias, pos_bias):
+        c = self.cfg
+        H, nh = c.hidden_size, c.num_attention_heads
+        hd = H // nh
+        B, T = x.shape[0], x.shape[1]
+
+        def proj(name, y):
+            return nn.Dense(H, name=name, precision=self.precision)(y)
+
+        heads = x.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)   # (B,nh,T,hd)
+        g = nn.Dense(8, name="gru_rel_pos_linear",
+                     precision=self.precision)(heads)
+        g = g.reshape(B, nh, T, 2, 4).sum(-1)
+        gate_a, gate_b = jnp.split(jax.nn.sigmoid(g), 2, axis=-1)
+        const = self.param("gru_rel_pos_const", nn.initializers.ones,
+                           (1, nh, 1, 1))
+        gate = gate_a * (gate_b * const - 1.0) + 2.0            # (B,nh,T,1)
+        gated_bias = gate * pos_bias[None]                      # (B,nh,T,T)
+
+        q = proj("q_proj", x).reshape(B, T, nh, hd) * (hd ** -0.5)
+        k = proj("k_proj", x).reshape(B, T, nh, hd)
+        v = proj("v_proj", x).reshape(B, T, nh, hd)
+        logits = jnp.einsum("bqnd,bknd->bnqk", q, k, precision=self.precision)
+        logits = logits + gated_bias
+        if bias is not None:
+            logits = logits + bias
+        w = nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bnqk,bknd->bqnd", w, v, precision=self.precision)
+        return proj("out_proj", out.reshape(B, T, H))
+
+
 class _Layer(nn.Module):
     cfg: Wav2Vec2Config
     precision: object = _PRECISION
 
     @nn.compact
-    def __call__(self, x, bias):
+    def __call__(self, x, bias, pos_bias=None):
         c = self.cfg
         ln = lambda name: nn.LayerNorm(epsilon=c.layer_norm_eps, name=name)
         dense = lambda d, name: nn.Dense(d, name=name, precision=self.precision)
-        attn = _Attention(c, self.precision, name="attention")
+        if c.attn_type == "wavlm":
+            wl = _WavLMAttention(c, self.precision, name="attention")
+            attn = lambda y, b: wl(y, b, pos_bias)
+        else:
+            attn = _Attention(c, self.precision, name="attention")
         if c.do_stable_layer_norm:  # pre-LN
             x = x + attn(ln("layer_norm")(x), bias)
             h = ln("final_layer_norm")(x)
@@ -203,28 +283,57 @@ class Wav2Vec2Encoder(nn.Module):
         if mask is not None:
             x = jnp.where(mask[:, :, None], x, 0.0)  # HF zeroes masked frames
 
-        # convolutional positional embedding (same-style pad k//2 both sides,
-        # drop last column when kernel is even — HF Wav2Vec2PositionalConvEmbedding)
-        k = c.num_conv_pos_embeddings
-        pos = nn.Conv(c.hidden_size, kernel_size=(k,),
-                      feature_group_count=c.num_conv_pos_embedding_groups,
-                      padding=[(k // 2, k // 2)], name="pos_conv",
-                      precision=self.precision)(x)
-        if k % 2 == 0:
-            pos = pos[:, :-1]
-        pos = jax.nn.gelu(pos, approximate=False)
-        x = x + pos
+        if c.pos_conv_depth > 0:
+            # data2vec-audio: conv->LN(no affine)->gelu stack
+            k = c.conv_pos_kernel_size
+            pos = x
+            for j in range(c.pos_conv_depth):
+                pos = nn.Conv(c.hidden_size, kernel_size=(k,),
+                              feature_group_count=c.num_conv_pos_embedding_groups,
+                              padding=[(k // 2, k // 2)],
+                              name=f"pos_conv_{j}",
+                              precision=self.precision)(pos)
+                if k % 2 == 0:
+                    pos = pos[:, :-1]
+                mean = pos.mean(-1, keepdims=True)
+                var = ((pos - mean) ** 2).mean(-1, keepdims=True)
+                pos = (pos - mean) * jax.lax.rsqrt(var + c.layer_norm_eps)
+                pos = jax.nn.gelu(pos, approximate=False)
+            x = x + pos
+        else:
+            # convolutional positional embedding (same-style pad k//2 both
+            # sides, drop last column when kernel is even — HF
+            # Wav2Vec2PositionalConvEmbedding)
+            k = c.num_conv_pos_embeddings
+            pos = nn.Conv(c.hidden_size, kernel_size=(k,),
+                          feature_group_count=c.num_conv_pos_embedding_groups,
+                          padding=[(k // 2, k // 2)], name="pos_conv",
+                          precision=self.precision)(x)
+            if k % 2 == 0:
+                pos = pos[:, :-1]
+            pos = jax.nn.gelu(pos, approximate=False)
+            x = x + pos
 
         bias = None
         if mask is not None:
             bias = jnp.where(mask[:, None, None, :], 0.0, -1e30).astype(x.dtype)
+
+        pos_bias = None
+        if c.attn_type == "wavlm":
+            # shared relative bias, embedded once (layer 0 owns the table in
+            # HF; stored top-level here) then gated per layer
+            table = self.param("rel_attn_embed", nn.initializers.normal(0.02),
+                               (c.num_buckets, c.num_attention_heads))
+            buckets = wavlm_rel_buckets(x.shape[1], c.num_buckets,
+                                        c.max_distance)
+            pos_bias = table[jnp.asarray(buckets)].transpose(2, 0, 1)
 
         hidden_states = []
         if not c.do_stable_layer_norm:
             x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="encoder_layer_norm")(x)
         hidden_states.append(x)
         for i in range(c.num_hidden_layers):
-            x = _Layer(c, self.precision, name=f"layer_{i}")(x, bias)
+            x = _Layer(c, self.precision, name=f"layer_{i}")(x, bias, pos_bias)
             hidden_states.append(x)
         if c.do_stable_layer_norm:
             x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="encoder_layer_norm")(x)
@@ -265,6 +374,13 @@ def convert_torch_state(cfg: Wav2Vec2Config, sd: dict) -> dict:
     p["fp_layer_norm"] = ln("feature_projection.layer_norm")
     p["fp_projection"] = dense("feature_projection.projection")
 
+    if cfg.pos_conv_depth > 0:  # data2vec-audio stack (plain convs)
+        for j in range(cfg.pos_conv_depth):
+            base = f"encoder.pos_conv_embed.layers.{j}.conv"
+            p[f"pos_conv_{j}"] = {
+                "kernel": _t(sd[f"{base}.weight"]).transpose(2, 1, 0),
+                "bias": _t(sd[f"{base}.bias"])}
+        return _finish_layers(cfg, sd, p, dense, ln)
     # weight-normed positional conv: w = g * v / ||v||_(dims 0,1)
     base = "encoder.pos_conv_embed.conv"
     if f"{base}.parametrizations.weight.original0" in sd:
@@ -277,11 +393,17 @@ def convert_torch_state(cfg: Wav2Vec2Config, sd: dict) -> dict:
     w = (g * v / norm)  # (out, in/groups, k)
     p["pos_conv"] = {"kernel": w.transpose(2, 1, 0),
                      "bias": _t(sd[f"{base}.bias"])}
+    return _finish_layers(cfg, sd, p, dense, ln)
 
+
+def _finish_layers(cfg, sd, p, dense, ln):
     p["encoder_layer_norm"] = ln("encoder.layer_norm")
+    if cfg.attn_type == "wavlm":
+        p["rel_attn_embed"] = _t(
+            sd["encoder.layers.0.attention.rel_attn_embed.weight"])
     for i in range(cfg.num_hidden_layers):
         pre = f"encoder.layers.{i}"
-        p[f"layer_{i}"] = {
+        layer = {
             "attention": {n: dense(f"{pre}.attention.{n}")
                           for n in ("q_proj", "k_proj", "v_proj", "out_proj")},
             "layer_norm": ln(f"{pre}.layer_norm"),
@@ -289,6 +411,12 @@ def convert_torch_state(cfg: Wav2Vec2Config, sd: dict) -> dict:
             "ffn_intermediate": dense(f"{pre}.feed_forward.intermediate_dense"),
             "ffn_output": dense(f"{pre}.feed_forward.output_dense"),
         }
+        if cfg.attn_type == "wavlm":
+            layer["attention"]["gru_rel_pos_linear"] = dense(
+                f"{pre}.attention.gru_rel_pos_linear")
+            layer["attention"]["gru_rel_pos_const"] = _t(
+                sd[f"{pre}.attention.gru_rel_pos_const"])
+        p[f"layer_{i}"] = layer
     return jax.tree_util.tree_map(jnp.asarray, p)
 
 

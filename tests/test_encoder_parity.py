@@ -97,3 +97,63 @@ def test_wav2vec2_parity():
         ref = hf(torch.tensor(wav)).last_hidden_state.numpy()
     ours = np.asarray(enc.apply({"params": params}, jnp.asarray(wav))[-1])
     assert np.abs(ours - ref).max() < 1e-4
+
+
+def test_wavlm_parity():
+    """WavLM gated relative-position attention vs HF torch
+    (modeling_wavlm.py:108-271)."""
+    import torch
+    from transformers import WavLMConfig, WavLMModel
+
+    from mertools_tpu.encoders.wav2vec2 import Wav2Vec2Encoder, from_hf_torch
+
+    hf_cfg = WavLMConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, conv_dim=(16, 16), conv_kernel=(10, 3),
+        conv_stride=(5, 2), num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=2, num_buckets=32,
+        max_bucket_distance=50, do_stable_layer_norm=True,
+        feat_extract_norm="layer", conv_bias=True)
+    torch.manual_seed(0)
+    model = WavLMModel(hf_cfg).eval()
+    cfg, params = from_hf_torch(model)
+    assert cfg.attn_type == "wavlm"
+
+    rng = np.random.default_rng(0)
+    wav = rng.normal(size=(2, 2000)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        ref = model(torch.from_numpy(wav),
+                    output_hidden_states=True).hidden_states
+    enc = Wav2Vec2Encoder(cfg)
+    out = enc.apply({"params": params}, wav)
+    assert len(out) == len(ref)
+    for o, r in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(o), r.numpy(), atol=3e-4)
+
+
+def test_data2vec_audio_parity():
+    """data2vec-audio (emotion2vec architecture family): pos-conv stack +
+    per-conv LayerNorm (modeling_data2vec_audio.py:93-124)."""
+    import torch
+    from transformers import Data2VecAudioConfig, Data2VecAudioModel
+
+    from mertools_tpu.encoders.wav2vec2 import Wav2Vec2Encoder, from_hf_torch
+
+    hf_cfg = Data2VecAudioConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, conv_dim=(16, 16), conv_kernel=(10, 3),
+        conv_stride=(5, 2), num_conv_pos_embeddings=3,
+        conv_pos_kernel_size=7, num_conv_pos_embedding_groups=2)
+    torch.manual_seed(0)
+    model = Data2VecAudioModel(hf_cfg).eval()
+    cfg, params = from_hf_torch(model)
+    assert cfg.pos_conv_depth == 3
+
+    rng = np.random.default_rng(0)
+    wav = rng.normal(size=(2, 2000)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        ref = model(torch.from_numpy(wav),
+                    output_hidden_states=True).hidden_states
+    out = Wav2Vec2Encoder(cfg).apply({"params": params}, wav)
+    for o, r in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(o), r.numpy(), atol=3e-4)
