@@ -20,6 +20,26 @@ import time
 import numpy as np
 
 
+def load_whisper(model_name, pretrain_dir, random_init):
+    import jax
+
+    from ..encoders.whisper import WhisperConfig, WhisperModel, from_hf_torch
+
+    if random_init:
+        cfg = WhisperConfig(d_model=64, encoder_layers=2, decoder_layers=2,
+                            num_heads=4, ffn_dim=128, vocab_size=128,
+                            decoder_start_token_id=120, eos_token_id=121)
+        model = WhisperModel(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            np.zeros((1, 80, 3000), np.float32),
+                            np.zeros((1, 2), np.int32))["params"]
+        return cfg, params
+    from transformers import WhisperModel as HFWhisper
+
+    path = os.path.join(pretrain_dir, model_name) if pretrain_dir else model_name
+    return from_hf_torch(HFWhisper.from_pretrained(path))
+
+
 def load_encoder(model_name: str, pretrain_dir: str | None, random_init: bool,
                  size: str = "large"):
     """Returns (cfg, params). random_init builds a random encoder of the
@@ -77,9 +97,17 @@ def main(argv=None):
     out_dir = os.path.join(args.save_dir, f"{args.model_name}-{level}")
     os.makedirs(out_dir, exist_ok=True)
 
-    cfg, params = load_encoder(args.model_name, args.pretrain_dir,
-                               args.random_init, args.encoder_size)
-    ex = AudioExtractor(cfg, params, sample_budget=args.batch_budget_sec * 16000)
+    if "whisper" in args.model_name.lower():
+        from ..features.audio import WhisperAudioExtractor
+
+        cfg, params = load_whisper(args.model_name, args.pretrain_dir,
+                                   args.random_init)
+        ex = WhisperAudioExtractor(cfg, params)
+    else:
+        cfg, params = load_encoder(args.model_name, args.pretrain_dir,
+                                   args.random_init, args.encoder_size)
+        ex = AudioExtractor(cfg, params,
+                            sample_budget=args.batch_budget_sec * 16000)
 
     files = sorted(glob.glob(os.path.join(args.audio_dir, "*.wav")))
     print(f"extracting {len(files)} wavs -> {out_dir}")

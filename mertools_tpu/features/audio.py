@@ -181,3 +181,57 @@ def reference_single_clip(cfg: Wav2Vec2Config, params, wav: np.ndarray,
     hs = enc.apply({"params": params}, jnp.asarray(batch))
     feat = sum(hs[i] for i in layer_ids)  # (B, T, D)
     return np.asarray(feat).reshape(-1, feat.shape[-1])
+
+
+class WhisperAudioExtractor:
+    """Whisper feature path (extract_audio_huggingface.py:83-91): 30 s
+    padded log-mel -> full encoder + a 2-token decoder stub
+    (decoder_start_token repeated) -> decoder last_hidden (2, D) per clip;
+    UTT = mean over the 2 positions. Batched; the fused Pallas mel frontend
+    runs on TPU."""
+
+    def __init__(self, cfg, params, batch_size: int = 8):
+        import jax
+
+        from ..encoders.whisper import WhisperModel
+        from ..ops.mel import CHUNK_SAMPLES, log_mel_spectrogram
+
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.chunk = CHUNK_SAMPLES
+        self._params = jax.device_put(params)
+        model = WhisperModel(cfg)
+        on_tpu = jax.devices()[0].platform == "tpu"
+        sot = cfg.decoder_start_token_id
+
+        @jax.jit
+        def fwd(p, wavs):
+            if on_tpu:
+                from ..ops.mel_pallas import log_mel_spectrogram_fused
+                mel = log_mel_spectrogram_fused(wavs)
+            else:
+                mel = log_mel_spectrogram(wavs)
+            ids = jnp.full((wavs.shape[0], 2), sot, jnp.int32)
+            return model.apply({"params": p}, mel, ids)  # (B, 2, D)
+
+        self._fwd = fwd
+
+    def extract(self, wavs: dict[str, np.ndarray], level: str = "FRA"
+                ) -> dict[str, np.ndarray]:
+        import jax.numpy as jnp
+
+        names = list(wavs)
+        out = {}
+        B = self.batch_size
+        for i in range(0, len(names), B):
+            group = names[i: i + B]
+            batch = np.zeros((B, self.chunk), np.float32)
+            for r, n in enumerate(group):
+                w = wavs[n]
+                batch[r, : min(len(w), self.chunk)] = w[: self.chunk]
+            hs = np.asarray(self._fwd(self._params, jnp.asarray(batch)))
+            for r, n in enumerate(group):
+                feat = hs[r]                      # (2, D)
+                out[n] = (feat.mean(0) if level.upper().startswith("UTT")
+                          else feat)
+        return out

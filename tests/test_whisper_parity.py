@@ -84,3 +84,30 @@ def test_whisper_mel_to_feature_pipeline():
         {"params": params}, our_mel,
         jnp.asarray([[cfg.decoder_start_token_id] * 2], jnp.int32)))[0]
     assert np.abs(ours - ref).max() < 1e-3  # the BASELINE parity contract
+
+
+def test_whisper_audio_extractor_feature_path(rng):
+    """2-token decoder-stub features (extract_audio_huggingface.py:83-91):
+    UTT = mean over the two positions, FRA = (2, D)."""
+    import jax
+
+    from mertools_tpu.encoders.whisper import WhisperConfig, WhisperModel
+    from mertools_tpu.features.audio import WhisperAudioExtractor
+
+    cfg = WhisperConfig(d_model=32, encoder_layers=1, decoder_layers=1,
+                        num_heads=4, ffn_dim=64, vocab_size=64,
+                        decoder_start_token_id=60, eos_token_id=61)
+    model = WhisperModel(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        np.zeros((1, 80, 3000), np.float32),
+                        np.zeros((1, 2), np.int32))["params"]
+    ex = WhisperAudioExtractor(cfg, params, batch_size=2)
+    wavs = {f"c{i}": rng.normal(size=16000 * (i + 1)).astype(np.float32) * 0.1
+            for i in range(3)}
+    fra = ex.extract(wavs, "FRA")
+    utt = ex.extract(wavs, "UTT")
+    assert fra["c0"].shape == (2, 32) and utt["c0"].shape == (32,)
+    np.testing.assert_allclose(utt["c1"], fra["c1"].mean(0), rtol=1e-5,
+                               atol=1e-6)
+    # different clips -> different features (content-sensitive)
+    assert not np.allclose(fra["c0"], fra["c2"])
