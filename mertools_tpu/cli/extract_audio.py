@@ -88,6 +88,10 @@ def main(argv=None):
                    help="random weights (smoke/bench without checkpoints)")
     p.add_argument("--encoder_size", type=str, default="large",
                    choices=["tiny", "base", "large"])
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   choices=[None, "bf16"],
+                   help="bf16: ~2.2x faster, ~0.8%% rel err (TF32-class); "
+                        "default fp32-HIGHEST for <1e-3 parity")
     p.add_argument("--batch_budget_sec", type=int, default=80,
                    help="audio seconds per device batch")
     p.add_argument("--gpu", type=int, default=0, help="ignored (TPU)")
@@ -107,7 +111,8 @@ def main(argv=None):
         cfg, params = load_encoder(args.model_name, args.pretrain_dir,
                                    args.random_init, args.encoder_size)
         ex = AudioExtractor(cfg, params,
-                            sample_budget=args.batch_budget_sec * 16000)
+                            sample_budget=args.batch_budget_sec * 16000,
+                            compute_dtype=args.compute_dtype)
 
     files = sorted(glob.glob(os.path.join(args.audio_dir, "*.wav")))
     print(f"extracting {len(files)} wavs -> {out_dir}")

@@ -50,6 +50,13 @@ class AffectGPT(nn.Module):
             (c.max_video_frames, c.video_dim))
         self.video_qformer = QFormer(c.video_qformer, self.precision)
         self.audio_qformer = QFormer(c.audio_qformer, self.precision)
+        if c.fusion == "attention":
+            self.video_attn_query = self.param(
+                "video_attn_query", nn.initializers.normal(0.02),
+                (c.video_dim,))
+            self.audio_attn_query = self.param(
+                "audio_attn_query", nn.initializers.normal(0.02),
+                (c.audio_dim,))
         if c.multi_qformer is not None:
             self.multi_qformer = QFormer(c.multi_qformer, self.precision)
         self.video_proj = nn.Dense(c.llm.hidden_size, name="video_proj",
@@ -61,9 +68,28 @@ class AffectGPT(nn.Module):
     @property
     def num_av_tokens(self) -> int:
         c = self.cfg
+        if c.fusion in ("mean", "attention"):
+            return 2  # one pooled token per modality
         if c.multi_qformer is not None:
             return c.multi_qformer.num_queries
         return c.video_qformer.num_queries + c.audio_qformer.num_queries
+
+    def _pool(self, feats, mask, which: str):
+        """mean / attention temporal pooling variants
+        (affectgpt.py:408-441 encode_*_mean, :442-520 encode_*_attention)."""
+        c = self.cfg
+        m = (jnp.ones(feats.shape[:2], feats.dtype) if mask is None
+             else mask.astype(feats.dtype))
+        if c.fusion == "mean":
+            pooled = (feats * m[..., None]).sum(1) / jnp.maximum(
+                m.sum(1, keepdims=True), 1.0)
+        else:  # learned attention pooling over time
+            q = getattr(self, f"{which}_attn_query")
+            logits = jnp.einsum("btd,d->bt", feats, q)
+            logits = jnp.where(m > 0, logits, -1e30)
+            w = jax.nn.softmax(logits, axis=-1)
+            pooled = jnp.einsum("bt,btd->bd", w, feats)
+        return pooled[:, None]                       # (B, 1, D)
 
     def encode_av(self, video_feats, audio_feats, video_mask=None, audio_mask=None):
         """Frozen-encoder features -> (B, P, H_llm) AV tokens.
@@ -75,6 +101,11 @@ class AffectGPT(nn.Module):
         video_feats = jax.lax.stop_gradient(video_feats)
         audio_feats = jax.lax.stop_gradient(audio_feats)
         video_feats = video_feats + self.frame_pos[None, : video_feats.shape[1]]
+        if c.fusion in ("mean", "attention"):
+            v_tok = self._pool(video_feats, video_mask, "video")
+            a_tok = self._pool(audio_feats, audio_mask, "audio")
+            return jnp.concatenate(
+                [self.video_proj(v_tok), self.audio_proj(a_tok)], axis=1)
         v_tok = self.video_qformer(video_feats, video_mask)
         a_tok = self.audio_qformer(audio_feats, audio_mask)
         if c.multi_qformer is not None:

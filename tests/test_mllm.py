@@ -180,3 +180,56 @@ def test_affectgpt_trains_on_synthetic_captioning():
     truth = test_batch["labels"][:, -1]
     acc = (pred == truth).mean()
     assert acc >= 0.75, acc
+
+
+@pytest.mark.parametrize("fusion", ["mean", "attention"])
+def test_fusion_variants(fusion, rng):
+    import jax
+    """mean / attention AV fusion (reference encode_*_mean/attention,
+    affectgpt.py:408-655): 2 pooled AV tokens instead of Q-Former queries."""
+    from mertools_tpu.mllm import (AffectGPT, AffectGPTConfig, LLMConfig,
+                                   QFormerConfig)
+
+    cfg = AffectGPTConfig(
+        llm=LLMConfig(vocab_size=64, hidden_size=32, num_layers=1,
+                      num_heads=4, num_kv_heads=4, intermediate_size=64),
+        video_qformer=QFormerConfig(num_queries=4, hidden_size=16,
+                                    num_layers=1, num_heads=2,
+                                    intermediate_size=32),
+        audio_qformer=QFormerConfig(num_queries=2, hidden_size=16,
+                                    num_layers=1, num_heads=2,
+                                    intermediate_size=32),
+        video_dim=12, audio_dim=10, max_video_frames=8, fusion=fusion)
+    model = AffectGPT(cfg)
+    assert model.num_av_tokens == 2
+    B, S = 2, 12
+    labels = np.full((B, S), -100, np.int64)
+    labels[:, -3:] = 5
+    batch = {
+        "video_feats": rng.normal(size=(B, 6, 12)).astype(np.float32),
+        "audio_feats": rng.normal(size=(B, 5, 10)).astype(np.float32),
+        "video_mask": np.ones((B, 6), np.int32),
+        "audio_mask": np.ones((B, 5), np.int32),
+        "input_ids": rng.integers(0, 64, size=(B, S)).astype(np.int32),
+        "splice_start": np.full(B, 1, np.int32),
+        "attention_mask": np.ones((B, S), np.int32),
+        "labels": labels,
+    }
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+    loss, logits = model.apply({"params": params}, batch)
+    assert np.isfinite(float(loss))
+    # masked frames must not affect attention pooling
+    batch2 = dict(batch)
+    vf = batch["video_feats"].copy()
+    vf[:, 4:] = 99.0
+    batch2["video_feats"] = vf
+    vm = batch["video_mask"].copy()
+    vm[:, 4:] = 0
+    batch2["video_mask"] = vm
+    vf_ref = batch["video_feats"].copy()
+    vf_ref[:, 4:] = -99.0
+    batch3 = dict(batch2, video_feats=vf_ref)
+    l2, _ = model.apply({"params": params}, batch2)
+    l3, _ = model.apply({"params": params}, batch3)
+    if fusion == "attention":
+        np.testing.assert_allclose(float(l2), float(l3), rtol=1e-5)
