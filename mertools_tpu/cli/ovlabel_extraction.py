@@ -68,6 +68,7 @@ def main(argv=None):
     p.add_argument("--max_new_tokens", type=int, default=64)
     p.add_argument("--temperature", type=float, default=0.7)
     p.add_argument("--top_p", type=float, default=0.8)
+    p.add_argument("--repetition_penalty", type=float, default=1.05)
     args = p.parse_args(argv)
 
     import jax
@@ -104,6 +105,7 @@ def main(argv=None):
             cfg, params, jnp.asarray(embeds), jnp.asarray(mask),
             max_new_tokens=args.max_new_tokens,
             temperature=args.temperature, top_p=args.top_p,
+            repetition_penalty=args.repetition_penalty,
             eos_token_id=int(tok.eos_token_id),
             prng_key=jax.random.PRNGKey(i)))
         for b, n in enumerate(group):

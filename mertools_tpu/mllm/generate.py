@@ -159,7 +159,18 @@ def _step(cfg, params, tok, pos, slot, k_cache, v_cache, slot_mask):
     return logits, k_cache, v_cache
 
 
-def _sample(logits, key, temperature, top_p):
+def _sample(logits, key, temperature, top_p, seen_counts=None,
+            repetition_penalty=1.0):
+    if repetition_penalty != 1.0 and seen_counts is not None:
+        # HF-style: divide positive logits / multiply negative ones for any
+        # token already generated (reference SamplingParams
+        # repetition_penalty=1.05, evaluation.py:20)
+        seen = seen_counts > 0
+        logits = jnp.where(seen,
+                           jnp.where(logits > 0,
+                                     logits / repetition_penalty,
+                                     logits * repetition_penalty),
+                           logits)
     if temperature == 0.0:
         return jnp.argmax(logits, -1).astype(jnp.int32)
     probs = jax.nn.softmax(logits.astype(jnp.float32) / temperature, -1)
@@ -175,10 +186,12 @@ def _sample(logits, key, temperature, top_p):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens",
                                              "temperature", "top_p",
-                                             "eos_token_id"))
+                                             "eos_token_id",
+                                             "repetition_penalty"))
 def generate(cfg, params, inputs_embeds, attention_mask, *,
              max_new_tokens: int = 64, temperature: float = 0.0,
-             top_p: float = 0.9, eos_token_id: int = 2, prng_key=None):
+             top_p: float = 0.9, eos_token_id: int = 2, prng_key=None,
+             repetition_penalty: float = 1.0):
     """Batched generation from (possibly AV-spliced) prompt embeddings.
 
     inputs_embeds (B, S, H) right-padded, attention_mask (B, S).
@@ -192,23 +205,30 @@ def generate(cfg, params, inputs_embeds, attention_mask, *,
     slot_mask0 = jnp.pad(attention_mask.astype(bool),
                          ((0, 0), (0, max_new_tokens)))
 
+    B_ = inputs_embeds.shape[0]
+    seen0 = jnp.zeros((B_, cfg.vocab_size), jnp.int32)
+
     k0, key = jax.random.split(key)
-    first = _sample(logits0, k0, temperature, top_p)
+    first = _sample(logits0, k0, temperature, top_p, seen0,
+                    repetition_penalty)
     done0 = first == eos_token_id
+    seen0 = seen0.at[jnp.arange(B_), first].add(1)
 
     def step(carry, t):
-        tok, kc, vc, done, key, slot_mask = carry
+        tok, kc, vc, done, key, slot_mask, seen = carry
         slot = S + t
         slot_mask = slot_mask.at[:, slot].set(True)
         pos = n_valid + t
         logits, kc, vc = _step(cfg, params, tok, pos, slot, kc, vc, slot_mask)
         key, k1 = jax.random.split(key)
-        nxt = _sample(logits, k1, temperature, top_p)
+        nxt = _sample(logits, k1, temperature, top_p, seen,
+                      repetition_penalty)
         nxt = jnp.where(done, eos_token_id, nxt)
         done = jnp.logical_or(done, nxt == eos_token_id)
-        return (nxt, kc, vc, done, key, slot_mask), tok
+        seen = seen.at[jnp.arange(B_), nxt].add(1)
+        return (nxt, kc, vc, done, key, slot_mask, seen), tok
 
-    (_, _, _, _, _, _), toks = jax.lax.scan(
-        step, (first, k_cache, v_cache, done0, key, slot_mask0),
+    (_, _, _, _, _, _, _), toks = jax.lax.scan(
+        step, (first, k_cache, v_cache, done0, key, slot_mask0, seen0),
         jnp.arange(max_new_tokens))
     return jnp.swapaxes(toks, 0, 1)  # (B, max_new)

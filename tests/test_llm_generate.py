@@ -129,3 +129,28 @@ def test_topp_sampling_reproducible(tiny_llm, rng):
                             eos_token_id=88, prng_key=jax.random.PRNGKey(1)))
     np.testing.assert_array_equal(a, b)
     assert (a >= 0).all() and (a < cfg.vocab_size).all()
+
+
+def test_repetition_penalty_reduces_repeats(tiny_llm, rng):
+    cfg, model, params = tiny_llm
+    e = rng.normal(size=(1, 4, cfg.hidden_size)).astype(np.float32) * 0.1
+    m = np.ones((1, 4), np.int32)
+    plain = np.asarray(generate(cfg, params, jnp.asarray(e), jnp.asarray(m),
+                                max_new_tokens=12, eos_token_id=88))[0]
+    pen = np.asarray(generate(cfg, params, jnp.asarray(e), jnp.asarray(m),
+                              max_new_tokens=12, eos_token_id=88,
+                              repetition_penalty=5.0))[0]
+
+    def uniq(seq):
+        seq = [t for t in seq.tolist() if t != 88]
+        return len(set(seq)) / max(len(seq), 1)
+
+    assert uniq(pen) >= uniq(plain)
+    # penalty also applies under the pad-invariance contract
+    e_pad = np.concatenate([e, np.zeros((1, 2, cfg.hidden_size),
+                                        np.float32)], 1)
+    m_pad = np.array([[1, 1, 1, 1, 0, 0]], np.int32)
+    pen2 = np.asarray(generate(cfg, params, jnp.asarray(e_pad),
+                               jnp.asarray(m_pad), max_new_tokens=12,
+                               eos_token_id=88, repetition_penalty=5.0))[0]
+    np.testing.assert_array_equal(pen, pen2)
