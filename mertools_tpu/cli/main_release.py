@@ -64,9 +64,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fusion_topn", type=int, default=None)
     p.add_argument("--fusion_modality", type=str, default="AVT",
                    choices=["AVT", "AV", "AT", "VT"])
-    # e2e
+    # e2e (raw-input fine-tuning; e2e_data.py roots)
     p.add_argument("--e2e_name", type=str, default=None)
     p.add_argument("--e2e_dim", type=int, default=None)
+    p.add_argument("--raw_audio_root", type=str, default=None)
+    p.add_argument("--trans_csv", type=str, default=None)
+    p.add_argument("--face_npy_root", type=str, default=None)
+    p.add_argument("--pretrain_dir", type=str, default=None)
+    p.add_argument("--e2e_nseg", type=int, default=None)
+    p.add_argument("--e2e_seglen", type=int, default=None)
     # model
     p.add_argument("--n_classes", type=int, default=None)
     p.add_argument("--hyper_path", type=str, default=None)
@@ -102,7 +108,8 @@ def resolve_paths(args: Args) -> None:
     assert args.label_path, "need --label_path or a registry entry"
     for mod, feat in (("audio", args.audio_feature), ("text", args.text_feature),
                       ("video", args.video_feature)):
-        if args.fusion_topn:  # top-N mode picks features from the rank lists
+        if args.fusion_topn or args.model == "e2e_model":
+            # top-N picks features from the rank lists; e2e reads raw inputs
             args[f"{mod}_root"] = None
             continue
         assert feat, f"--{mod}_feature is required"
@@ -125,7 +132,8 @@ def main(argv=None):
         args.feat_scale = 1
     elif args.feat_scale is None:
         args.feat_scale = 6 if args.feat_type == "frm_align" else 12
-    if args.feat_type in ("frm_align", "frm_unalign") and not args.fusion_topn:
+    if args.feat_type in ("frm_align", "frm_unalign") and not (
+            args.fusion_topn or args.model == "e2e_model"):
         for f in (args.audio_feature, args.text_feature, args.video_feature):
             assert f.endswith("FRA"), f"{args.feat_type} needs -FRA features, got {f}"
 

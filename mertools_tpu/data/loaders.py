@@ -76,6 +76,24 @@ class BaseLoader:
 
     def _build(self, names, emos, vals, snr: str | None = None):
         a = self.args
+        if a.model == "e2e_model":  # raw-input fine-tuning (e2e_data.py)
+            from ..models.e2e_model import e2e_modality
+            from .e2e_dataset import E2EDataset
+
+            modality = e2e_modality(a.e2e_name)
+            if modality == "audio":
+                return E2EDataset.build_audio(
+                    names, emos, vals, a.raw_audio_root,
+                    n_seg=a.get("e2e_nseg") or 8,
+                    seg_len=a.get("e2e_seglen") or 32000)
+            if modality == "text":
+                from transformers import AutoTokenizer
+
+                tok = (a.get("_e2e_tokenizer") or
+                       AutoTokenizer.from_pretrained(a.e2e_name))
+                return E2EDataset.build_text(names, emos, vals, a.trans_csv,
+                                             tok)
+            return E2EDataset.build_video(names, emos, vals, a.face_npy_root)
         if a.fusion_topn:  # top-N fusion (MER2024 feat_data_topn.py)
             from .dataset import TopNFeatureDataset
 

@@ -51,7 +51,8 @@ class Chat:
     def __init__(self, model: AffectGPT, params, tokenizer,
                  conv: Conversation | None = None, max_new_tokens: int = 256,
                  temperature: float = 0.0, top_p: float = 0.9,
-                 eos_token_id: int | None = None, max_len: int = 512):
+                 eos_token_id: int | None = None, max_len: int = 512,
+                 repetition_penalty: float = 1.0):
         self.model = model
         self.params = jax.device_put(params)
         self.tok = tokenizer
@@ -61,6 +62,7 @@ class Chat:
         self.top_p = top_p
         self.eos = (eos_token_id if eos_token_id is not None
                     else tokenizer.eos_token_id)
+        self.repetition_penalty = repetition_penalty
         self.max_len = max_len
         self._embed_fn = jax.jit(
             lambda p, b: model.apply({"params": p}, b,
@@ -122,6 +124,7 @@ class Chat:
             self.model.cfg.llm, self.params["llm"], embeds, jnp.asarray(mask),
             max_new_tokens=self.max_new_tokens, temperature=self.temperature,
             top_p=self.top_p, eos_token_id=int(self.eos),
+            repetition_penalty=self.repetition_penalty,
             prng_key=prng_key if prng_key is not None else jax.random.PRNGKey(0)))
         out = []
         for b in range(B):

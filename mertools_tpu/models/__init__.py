@@ -1,8 +1,9 @@
 from .base import get_model  # noqa: F401
 
 # importing registers each model under its reference name
-from . import (attention, attention_topn, ef_lstm, graph_mfn, lf_dnn, lmf,  # noqa: F401
-               mctn, mfm, mfn, misa, mmim, mult, tfn)
+from . import (attention, attention_topn, e2e_model, ef_lstm,  # noqa: F401
+               graph_mfn, lf_dnn, lmf, mctn, mfm, mfn, misa, mmim, mult,
+               tfn)
 
 # reference model zoo (MERBench/toolkit/models/__init__.py:18-46 + MER2024
 # additions): attention, tfn, lmf, misa, mmim, mfn, graph_mfn, mfm, mctn,

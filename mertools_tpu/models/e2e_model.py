@@ -76,8 +76,10 @@ class E2EModel(nn.Module):
         feats = self._pool(batch)
         h = MLPEncoder(c.hidden_dim, c.dropout, name="encoder")(
             feats, train=train)
-        emos = nn.Dense(c.output_dim1, name="fc_out_1")(h)
-        vals = nn.Dense(c.output_dim2, name="fc_out_2")(h)
+        from .modules import SimpleClassifierHeads
+
+        emos, vals = SimpleClassifierHeads(c.output_dim1, c.output_dim2,
+                                           name="heads")(h)
         return h, emos, vals, jnp.asarray(0.0)
 
 
@@ -87,7 +89,7 @@ def e2e_param_labels(params: dict) -> dict:
 
     def label(path, _):
         names = [getattr(k, "key", str(k)) for k in path]
-        head = names and names[0] in ("encoder", "fc_out_1", "fc_out_2")
+        head = names and names[0] in ("encoder", "heads")
         return "head" if head else "backbone"
 
     return jax.tree_util.tree_map_with_path(label, params)
@@ -167,3 +169,112 @@ def _patchify(videos, vc):
         B, T // tb, tb, H // p, p, W // p, p, 3)
     x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
     return x.reshape(B, (T // tb) * (H // p) * (W // p), tb * p * p * 3)
+
+
+# ---------------------------------------------------------------------------
+# driver integration (reference Track23 toolkit/models/__init__.py:21-61
+# routes model='e2e_model' through load_e2e_pretrain_model)
+# ---------------------------------------------------------------------------
+def e2e_modality(e2e_name: str) -> str:
+    from ..core import globals_mer as G
+
+    if e2e_name in G.WHOLE_AUDIO or "tiny-audio" in e2e_name:
+        return "audio"
+    if e2e_name in G.WHOLE_TEXT or "tiny-text" in e2e_name:
+        return "text"
+    if e2e_name in G.WHOLE_IMAGE or "tiny-video" in e2e_name:
+        return "video_clip"
+    raise ValueError(f"unknown e2e_name {e2e_name!r}")
+
+
+def build_e2e_model(args):
+    """args.e2e_name -> (E2EModel, pretrained backbone params or None)."""
+    import os
+
+    name = args.e2e_name
+    modality = e2e_modality(name)
+    pretrain = args.get("pretrain_dir") if hasattr(args, "get") else None
+    path = os.path.join(pretrain, name) if pretrain else name
+    backbone_params = None
+
+    if modality == "audio":
+        from ..encoders.wav2vec2 import (Wav2Vec2Config, Wav2Vec2Encoder,
+                                         from_hf_torch)
+
+        if "tiny" in name:
+            bcfg = Wav2Vec2Config(hidden_size=16, num_hidden_layers=4,
+                                  num_attention_heads=2, intermediate_size=32,
+                                  conv_dim=(8, 8), conv_kernel=(10, 3),
+                                  conv_stride=(5, 2),
+                                  num_conv_pos_embeddings=16,
+                                  num_conv_pos_embedding_groups=2)
+        else:
+            from transformers import AutoModel
+
+            bcfg, backbone_params = from_hf_torch(AutoModel.from_pretrained(path))
+        backbone = Wav2Vec2Encoder(bcfg)
+        feat_dim = bcfg.hidden_size
+    elif modality == "text":
+        from ..encoders.bert import BertConfig, BertEncoder, from_hf_torch
+
+        if "tiny" in name:
+            bcfg = BertConfig(vocab_size=64, hidden_size=16,
+                              num_hidden_layers=4, num_attention_heads=2,
+                              intermediate_size=32,
+                              max_position_embeddings=64)
+        else:
+            from transformers import AutoModel
+
+            bcfg, backbone_params = from_hf_torch(AutoModel.from_pretrained(path))
+        backbone = BertEncoder(bcfg)
+        feat_dim = bcfg.hidden_size
+    else:
+        from ..encoders.vit_clip import (CLIPVisionConfig, CLIPVisionEncoder,
+                                         from_hf_torch)
+
+        if "tiny" in name:
+            bcfg = CLIPVisionConfig(hidden_size=16, num_hidden_layers=2,
+                                    num_attention_heads=2,
+                                    intermediate_size=32, image_size=32,
+                                    patch_size=16, projection_dim=12)
+        else:
+            from transformers import CLIPVisionModelWithProjection
+
+            bcfg, backbone_params = from_hf_torch(
+                CLIPVisionModelWithProjection.from_pretrained(path))
+        backbone = _CLIPEmbedWrapper(CLIPVisionEncoder(bcfg))
+        feat_dim = bcfg.projection_dim
+
+    cfg = E2EConfig(
+        modality=modality, feat_dim=feat_dim,
+        hidden_dim=args.get("hidden_dim") or 128,
+        dropout=args.get("dropout") if args.get("dropout") is not None else 0.3,
+        output_dim1=args.get("output_dim1") or 6,
+        output_dim2=args.get("output_dim2")
+        if args.get("output_dim2") is not None else 1)
+    return E2EModel(cfg, backbone), backbone_params
+
+
+class _CLIPEmbedWrapper(nn.Module):
+    inner: Any
+
+    @nn.compact
+    def __call__(self, pixels):
+        return self.inner(pixels)["image_embeds"]
+
+
+class _E2EFactory:
+    """Registry shim: get_model(args) -> configured E2EModel."""
+
+    @classmethod
+    def from_args(cls, args):
+        model, backbone_params = build_e2e_model(args)
+        # pretrained backbone params are merged by the trainer after init
+        # (train/loop.py e2e branch); stash them on args for pickup
+        args["_e2e_backbone_params"] = backbone_params
+        return model
+
+
+from ..core.registry import registry  # noqa: E402
+
+registry.register_model("e2e_model")(_E2EFactory)

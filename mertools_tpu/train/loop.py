@@ -185,6 +185,13 @@ def run_cv(args: Args, train_set: FeatureDataset,
         state = create_state(model, sample_batch, init_key,
                              lr=args.lr, l2=args.l2 if args.l2 is not None else 1e-5,
                              grad_clip=args.grad_clip if args.grad_clip is not None else -1.0)
+        if args.get("_e2e_backbone_params") is not None:
+            # e2e fine-tuning: overlay the pretrained backbone weights
+            # (load_e2e_pretrain_model semantics, e2e_model.py:30)
+            bp = args["_e2e_backbone_params"]
+            params = dict(state.params)
+            params["backbone"] = jax.tree_util.tree_map(jnp.asarray, bp)
+            state = state.replace(params=params)
 
         eval_plan = epoch_plan(eval_idx, batch_size)
         epoch_stores, epoch_metrics = [], []

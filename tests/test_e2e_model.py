@@ -96,3 +96,43 @@ def test_patchify_shapes(rng):
     # first patch = first tubelet, top-left corner
     ref = v[0, 0:2, 0:8, 0:8].transpose(0, 1, 2, 3).reshape(-1)
     np.testing.assert_allclose(np.asarray(p)[0, 0], ref, atol=1e-6)
+
+
+def test_e2e_cli_end_to_end(tmp_path, rng):
+    """Raw-audio e2e fine-tuning through the full CV driver (tiny backbone)."""
+    import struct
+
+    from mertools_tpu.core.globals_mer import EMOS_MER
+    from mertools_tpu.data import labels
+
+    def write_wav(path, wav, sr=16000):
+        pcm = (np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes()
+        with open(path, "wb") as f:
+            f.write(b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE")
+            f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2,
+                                          2, 16))
+            f.write(b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+    audio = tmp_path / "audio"
+    audio.mkdir()
+    corpus = {}
+    t = np.arange(8000) / 16000.0
+    for i in range(20):
+        e = i % 2  # two separable classes by tone frequency
+        name = f"c{i:02d}"
+        freq = 200.0 if e == 0 else 500.0
+        write_wav(str(audio / f"{name}.wav"),
+                  0.4 * np.sin(2 * np.pi * freq * t))
+        corpus[name] = {"emo": EMOS_MER[e], "val": 0.0}
+    labels.write_label_archive(str(tmp_path / "labels.npz"),
+                               {"train": corpus})
+
+    from mertools_tpu.cli.main_release import main
+    result = main([
+        "--dataset=MER2025", "--model=e2e_model", "--e2e_name=tiny-audio",
+        f"--raw_audio_root={audio}", "--lr=1e-3", "--batch_size=8",
+        "--epochs=4", "--seed=0", "--e2e_nseg=2", "--e2e_seglen=2000",
+        f"--save_root={tmp_path / 'saved'}",
+        f"--features_root={tmp_path}", f"--label_path={tmp_path / 'labels.npz'}",
+    ])
+    assert result.cv["emofscore"] > 0.6  # tones are trivially separable
