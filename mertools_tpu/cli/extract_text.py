@@ -35,14 +35,28 @@ def main(argv=None):
     p.add_argument("--gpu", type=int, default=0, help="ignored (TPU)")
     args = p.parse_args(argv)
 
-    from transformers import AutoModel, AutoTokenizer
+    from transformers import AutoConfig, AutoModel, AutoTokenizer
 
     path = (os.path.join(args.pretrain_dir, args.model_name)
             if args.pretrain_dir else args.model_name)
     tokenizer = AutoTokenizer.from_pretrained(path)
-    cfg, params = from_hf_torch(AutoModel.from_pretrained(path))
     layer_ids = tuple(int(x) for x in args.layer_ids.split(","))
-    ex = TextExtractor(cfg, params, layer_ids=layer_ids)
+    hf_cfg = AutoConfig.from_pretrained(path)
+    if hf_cfg.model_type in ("llama", "qwen2", "mistral", "baichuan"):
+        # decoder-only LLM branch (reference LLM path, .half())
+        from transformers import AutoModelForCausalLM
+
+        from ..features.text import CausalLMTextExtractor
+        from ..mllm.llm import LLMConfig, convert_torch_state
+
+        hf = AutoModelForCausalLM.from_pretrained(path)
+        cfg = LLMConfig.from_hf(hf.config)
+        params = convert_torch_state(cfg, hf.state_dict())
+        del hf
+        ex = CausalLMTextExtractor(cfg, params, layer_ids=layer_ids)
+    else:
+        cfg, params = from_hf_torch(AutoModel.from_pretrained(path))
+        ex = TextExtractor(cfg, params, layer_ids=layer_ids)
     span = find_token_span(tokenizer)
 
     level = "UTT" if args.feature_level == "UTTERANCE" else "FRA"

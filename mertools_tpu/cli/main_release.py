@@ -73,6 +73,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pretrain_dir", type=str, default=None)
     p.add_argument("--e2e_nseg", type=int, default=None)
     p.add_argument("--e2e_seglen", type=int, default=None)
+    p.add_argument("--mae_mask_ratio", type=float, default=None)
+    p.add_argument("--mae_image_size", type=int, default=None)
     # model
     p.add_argument("--n_classes", type=int, default=None)
     p.add_argument("--hyper_path", type=str, default=None)
@@ -108,8 +110,8 @@ def resolve_paths(args: Args) -> None:
     assert args.label_path, "need --label_path or a registry entry"
     for mod, feat in (("audio", args.audio_feature), ("text", args.text_feature),
                       ("video", args.video_feature)):
-        if args.fusion_topn or args.model == "e2e_model":
-            # top-N picks features from the rank lists; e2e reads raw inputs
+        if args.fusion_topn or args.model in ("e2e_model", "videomae_pretrain"):
+            # top-N picks from the rank lists; e2e/mae read raw inputs
             args[f"{mod}_root"] = None
             continue
         assert feat, f"--{mod}_feature is required"
@@ -133,7 +135,8 @@ def main(argv=None):
     elif args.feat_scale is None:
         args.feat_scale = 6 if args.feat_type == "frm_align" else 12
     if args.feat_type in ("frm_align", "frm_unalign") and not (
-            args.fusion_topn or args.model == "e2e_model"):
+            args.fusion_topn or args.model in ("e2e_model",
+                                               "videomae_pretrain")):
         for f in (args.audio_feature, args.text_feature, args.video_feature):
             assert f.endswith("FRA"), f"{args.feat_type} needs -FRA features, got {f}"
 

@@ -76,6 +76,13 @@ class BaseLoader:
 
     def _build(self, names, emos, vals, snr: str | None = None):
         a = self.args
+        if a.model == "videomae_pretrain":  # masked video pretraining
+            from .e2e_dataset import E2EDataset
+
+            return E2EDataset.build_video(
+                names, emos, vals, a.face_npy_root,
+                n_frms=a.get("e2e_nseg") or 16,
+                image_size=a.get("mae_image_size") or 224)
         if a.model == "e2e_model":  # raw-input fine-tuning (e2e_data.py)
             from ..models.e2e_model import e2e_modality
             from .e2e_dataset import E2EDataset

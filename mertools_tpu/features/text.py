@@ -103,3 +103,42 @@ class TextExtractor:
                              else emb)
         # empty transcripts -> zeros (reference :236-249)
         return out
+
+
+@dataclass
+class CausalLMTextExtractor:
+    """Decoder-only LM text features (the reference's LLM branch —
+    extract_text_huggingface.py runs Baichuan/LLaMA-class models with
+    .half() and sums the last 4 hidden states; token span has no trailing
+    special token, so span=(start, 0))."""
+
+    cfg: object            # mllm.llm.LLMConfig
+    params: dict
+    layer_ids: tuple = (-4, -3, -2, -1)
+    buckets: tuple = DEFAULT_TOKEN_BUCKETS
+    batch_size: int = 16
+    compute_dtype: str | None = "bf16"   # reference uses fp16 for LLMs
+
+    def __post_init__(self):
+        from ..mllm.llm import LLM
+
+        model = LLM(self.cfg)
+        cast = ((lambda x: x.astype(jnp.bfloat16))
+                if self.compute_dtype == "bf16" else (lambda x: x))
+
+        @jax.jit
+        def fwd(params, ids, mask):
+            embeds = cast(params["embed_tokens"]["embedding"])[ids]
+            _, hs = model.apply({"params": params}, embeds, mask,
+                                output_hidden_states=True)
+            return sum(hs[i] for i in self.layer_ids).astype(jnp.float32)
+
+        self._fwd = fwd
+        params = self.params
+        if self.compute_dtype == "bf16":
+            params = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.bfloat16), params)
+        self._params = jax.device_put(params)
+
+    _bucket = TextExtractor._bucket
+    extract = TextExtractor.extract

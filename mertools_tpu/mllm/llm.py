@@ -168,9 +168,13 @@ class LLM(nn.Module):
     def embed(self, input_ids):
         return self.embed_tokens(input_ids)
 
-    def __call__(self, inputs_embeds, attention_mask=None, positions=None):
+    def __call__(self, inputs_embeds, attention_mask=None, positions=None,
+                 output_hidden_states: bool = False):
         """inputs_embeds: (B, S, H); attention_mask: (B, S) 1=valid.
-        Returns logits (B, S, V)."""
+        Returns logits (B, S, V); with output_hidden_states, (logits, hs)
+        where hs matches HF layout (embeddings + each layer's output) for
+        the last-4-sum text-feature path
+        (extract_text_huggingface.py LLM branch)."""
         B, S, _ = inputs_embeds.shape
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(S), (B, S))
@@ -181,9 +185,14 @@ class LLM(nn.Module):
             pad = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e30)
             bias = bias + pad
         x = inputs_embeds
+        hidden_states = [x]
         for layer in self.layers:
             x = layer(x, positions, bias)
+            hidden_states.append(x)
         x = self.norm(x)
+        hidden_states[-1] = x  # HF returns the final-norm output last
+        if output_hidden_states:
+            return self.lm_head(x), tuple(hidden_states)
         return self.lm_head(x)
 
 

@@ -108,6 +108,8 @@ class VideoMAEPretrain(nn.Module):
     decoder_layers: int = 2
     decoder_heads: int = 4
     mask_ratio: float = 0.9
+    output_dim1: int = 0     # optional joint heads so the CV driver's
+    output_dim2: int = 0     # metric machinery stays live during pretraining
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -156,8 +158,12 @@ class VideoMAEPretrain(nn.Module):
         loss = (err * mask).sum() / jnp.maximum(mask.sum(), 1)
 
         feats = tokens.mean(axis=1)
-        zero = jnp.zeros((B, 1))
-        return feats, zero, zero, loss
+        from .modules import SimpleClassifierHeads
+
+        emos, vals = SimpleClassifierHeads(self.output_dim1,
+                                           self.output_dim2,
+                                           name="heads")(feats)
+        return feats, emos, vals, loss
 
 
 def _patchify(videos, vc):
@@ -278,3 +284,39 @@ class _E2EFactory:
 from ..core.registry import registry  # noqa: E402
 
 registry.register_model("e2e_model")(_E2EFactory)
+
+
+class _VideoMAEPretrainFactory:
+    """Registry shim for model='videomae_pretrain' (videomae_pretrain.py):
+    masked-video pretraining driven by the same CV loop."""
+
+    @classmethod
+    def from_args(cls, args):
+        from ..encoders.vit import ViTEncoder, videomae_config
+
+        name = args.e2e_name or ""
+        pretrain = args.get("pretrain_dir")
+        if "tiny" in name or not name:
+            vcfg = videomae_config(hidden_size=24, num_layers=1, num_heads=2,
+                                   intermediate_size=48, image_size=32,
+                                   patch_size=16, num_frames=4,
+                                   tubelet_size=2)
+            args["_e2e_backbone_params"] = None
+        else:
+            import os
+
+            from transformers import VideoMAEModel
+
+            from ..encoders.vit import from_hf_videomae
+
+            path = os.path.join(pretrain, name) if pretrain else name
+            vcfg, bp = from_hf_videomae(VideoMAEModel.from_pretrained(path))
+            args["_e2e_backbone_params"] = bp
+        return VideoMAEPretrain(
+            ViTEncoder(vcfg),
+            mask_ratio=float(args.get("mae_mask_ratio") or 0.9),
+            output_dim1=args.get("output_dim1") or 0,
+            output_dim2=args.get("output_dim2") or 0)
+
+
+registry.register_model("videomae_pretrain")(_VideoMAEPretrainFactory)

@@ -136,3 +136,32 @@ def test_e2e_cli_end_to_end(tmp_path, rng):
         f"--features_root={tmp_path}", f"--label_path={tmp_path / 'labels.npz'}",
     ])
     assert result.cv["emofscore"] > 0.6  # tones are trivially separable
+
+
+def test_videomae_pretrain_cli(tmp_path, rng):
+    """Masked-video pretraining through the CV driver on face npy stores."""
+    from mertools_tpu.core.globals_mer import EMOS_MER
+    from mertools_tpu.data import labels
+
+    faces = tmp_path / "faces"
+    faces.mkdir()
+    corpus = {}
+    for i in range(10):
+        name = f"f{i:02d}"
+        np.save(faces / f"{name}.npy",
+                rng.integers(0, 255, size=(6, 32, 32, 3), dtype=np.uint8))
+        corpus[name] = {"emo": EMOS_MER[i % 2], "val": 0.0}
+    labels.write_label_archive(str(tmp_path / "labels.npz"),
+                               {"train": corpus})
+
+    from mertools_tpu.cli.main_release import main
+    result = main([
+        "--dataset=MER2025", "--model=videomae_pretrain", "--e2e_name=tiny",
+        f"--face_npy_root={faces}", "--e2e_nseg=4", "--lr=1e-3",
+        "--batch_size=4", "--epochs=2", "--seed=0", "--mae_mask_ratio=0.5",
+        "--mae_image_size=32",
+        f"--save_root={tmp_path / 'saved'}",
+        f"--features_root={tmp_path}",
+        f"--label_path={tmp_path / 'labels.npz'}",
+    ])
+    assert result.cv is not None

@@ -97,3 +97,31 @@ def test_resample_frames_uniform():
     idx = resample_frames_uniform(100, 10)
     assert len(idx) == 10 and idx[0] == 0 and idx[-1] <= 99
     assert (np.diff(idx) > 0).all()
+
+
+def test_causal_lm_text_extractor(rng):
+    """Decoder-LM text features: last-4-sum hidden states, UTT mean."""
+    import jax
+
+    from mertools_tpu.features.text import CausalLMTextExtractor
+    from mertools_tpu.mllm.llm import LLM, LLMConfig
+
+    cfg = LLMConfig(vocab_size=64, hidden_size=32, num_layers=4,
+                    num_heads=4, num_kv_heads=2, intermediate_size=64)
+    model = LLM(cfg)
+
+    def both(mdl, embeds, ids):
+        mdl.embed(ids)
+        return mdl(embeds)
+
+    params = model.init(jax.random.PRNGKey(0),
+                        np.zeros((1, 4, cfg.hidden_size), np.float32),
+                        np.zeros((1, 1), np.int32), method=both)["params"]
+    ex = CausalLMTextExtractor(cfg, params, compute_dtype=None,
+                               batch_size=2)
+    tokens = {"a": [5, 6, 7, 8], "b": [9, 10], "c": [11, 12, 13]}
+    fra = ex.extract(tokens, span=(0, 0), level="FRA")
+    utt = ex.extract(tokens, span=(0, 0), level="UTT")
+    assert fra["a"].shape == (4, cfg.hidden_size)
+    np.testing.assert_allclose(utt["b"], fra["b"].mean(0), rtol=1e-5,
+                               atol=1e-6)
