@@ -124,7 +124,16 @@ class Runner:
                       f"loss {float(np.mean([float(l) for l in losses[-log_every:]])):.4f}")
         stats = {"epoch": epoch, "train_loss": float(np.mean([float(l) for l in losses]))}
         self._history.append(stats)
+        self._log_stats(stats)
         return stats
+
+    def _log_stats(self, stats: dict) -> None:
+        """Append jsonl stats to output_dir/log.txt (runner_base.py:685-697)."""
+        import json
+
+        os.makedirs(self.cfg.output_dir, exist_ok=True)
+        with open(os.path.join(self.cfg.output_dir, "log.txt"), "a") as f:
+            f.write(json.dumps(stats) + "\n")
 
     def evaluate(self, batches: list[dict]) -> float:
         losses = [float(self._eval_step(self.state, self.place(b))) for b in batches]

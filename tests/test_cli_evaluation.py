@@ -25,3 +25,28 @@ def test_submission_and_score(tmp_path):
     waf, acc = main(["score", f"--label_csv={gt}",
                      f"--submission_csv={sub}"])
     assert abs(acc - 5 / 6) < 1e-9
+
+
+def test_parity_check_cli(tmp_path):
+    import pytest
+
+    from mertools_tpu.cli.parity_check import compare_stores, main
+
+    ref = tmp_path / "ref"
+    ours = tmp_path / "ours"
+    ref.mkdir()
+    ours.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        x = rng.normal(size=(7,)).astype(np.float32)
+        np.save(ref / f"c{i}.npy", x)
+        np.save(ours / f"c{i}.npy", x + (1e-5 if i < 3 else 0.0))
+    s = main([f"--reference_store={ref}", f"--our_store={ours}",
+              "--tol=1e-3"])
+    assert s["n_compared"] == 4 and s["max_abs"] < 1e-3
+
+    # over-tolerance clip -> exit 1
+    np.save(ours / "c0.npy", np.load(ref / "c0.npy") + 0.5)
+    with pytest.raises(SystemExit):
+        main([f"--reference_store={ref}", f"--our_store={ours}",
+              "--tol=1e-3"])
