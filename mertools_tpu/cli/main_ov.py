@@ -23,8 +23,8 @@ import os
 
 import numpy as np
 
-from ..ops.ov_metrics import (mer2024_ov_metric, string_to_list,
-                              wheel_metric_calculation)
+from ..ops.ov_metrics import (load_wheels, mer2024_ov_metric,
+                              string_to_list, wheel_metric_calculation)
 
 
 def _read_csv_map(path, key_col, val_col):
@@ -66,11 +66,15 @@ def cmd_mer2024(args):
 def cmd_wheel(args):
     name2gt = _read_csv_map(args.gt_csv, "name", "openset")
     name2pred = _load_pred(args.pred_csv, args.pred_npz)
-    with open(args.wheel_json, encoding="utf-8") as f:
-        spec = json.load(f)
-    wheels = spec["wheels"]
-    format_mapping = spec.get("format_mapping", {})
-    raw_mapping = spec.get("raw_mapping", {})
+    format_mapping, raw_mapping = {}, {}
+    if args.wheel_root:  # reference layout: wheel*.{csv,xlsx} dir
+        wheels = load_wheels(args.wheel_root)
+    else:
+        with open(args.wheel_json, encoding="utf-8") as f:
+            spec = json.load(f)
+        wheels = spec["wheels"]
+        format_mapping = spec.get("format_mapping", {})
+        raw_mapping = spec.get("raw_mapping", {})
     names = [n for n in name2gt if n in name2pred]
     out = {}
     for level in ("level1", "level2"):
@@ -100,7 +104,9 @@ def main(argv=None):
     w.add_argument("--gt_csv", required=True)
     w.add_argument("--pred_csv", default=None)
     w.add_argument("--pred_npz", default=None)
-    w.add_argument("--wheel_json", required=True)
+    w.add_argument("--wheel_json", default=None)
+    w.add_argument("--wheel_root", default=None,
+                   help="dir of wheel*.{csv,xlsx} (reference layout)")
     w.set_defaults(fn=cmd_wheel)
 
     args = p.parse_args(argv)

@@ -201,3 +201,57 @@ def mer2024_ov_metric(name2gt: Mapping, name2pred: Mapping,
             recall.append(len(gt & pred) / len(gt))
     acc, rec = float(np.mean(accuracy)), float(np.mean(recall))
     return {"accuracy": acc, "recall": rec, "avg_score": float(np.mean([acc, rec]))}
+
+
+def read_wheel_table(path: str) -> dict:
+    """Read one emotion-wheel file into {level1: {level2: [level3...]}}.
+
+    Mirrors ``wheel.py read_wheel_to_map``: columns level1/level2/level3 with
+    blank cells forward-filled from the row above. Accepts .csv always and
+    .xlsx when openpyxl is available.
+    """
+    rows = []
+    if path.endswith(".xlsx"):
+        import pandas as pd
+
+        df = pd.read_excel(path)
+        rows = df.to_dict("records")
+    else:
+        import csv
+
+        with open(path, newline="", encoding="utf-8") as f:
+            rows = list(csv.DictReader(f))
+
+    def blank(v):
+        return v is None or (isinstance(v, float) and np.isnan(v)) or \
+            str(v).strip() == ""
+
+    store: dict = {}
+    l1 = l2 = l3 = ""
+    for r in rows:
+        if not blank(r.get("level1")):
+            l1 = str(r["level1"])
+        if not blank(r.get("level2")):
+            l2 = str(r["level2"])
+        if not blank(r.get("level3")):
+            l3 = str(r["level3"])
+        l1k, l2k, l3k = (x.lower().strip() for x in (l1, l2, l3))
+        store.setdefault(l1k, {}).setdefault(l2k, [])
+        if l3k and l3k not in store[l1k][l2k]:
+            store[l1k][l2k].append(l3k)
+    return store
+
+
+def load_wheels(wheel_root: str) -> dict:
+    """All wheel*.{csv,xlsx} files under a directory -> {name: wheel_map}
+    (wheel.py:49-55)."""
+    import glob as _glob
+    import os as _os
+
+    wheels = {}
+    for path in sorted(_glob.glob(_os.path.join(wheel_root, "wheel*"))):
+        if not (path.endswith(".csv") or path.endswith(".xlsx")):
+            continue
+        name = _os.path.splitext(_os.path.basename(path))[0]
+        wheels[name] = read_wheel_table(path)
+    return wheels

@@ -83,3 +83,22 @@ def test_mer2024_ov_metric_golden():
     np.testing.assert_allclose(res["accuracy"], 0.75)
     np.testing.assert_allclose(res["recall"], 0.75)
     np.testing.assert_allclose(res["avg_score"], 0.75)
+
+
+def test_read_wheel_table_forward_fill(tmp_path):
+    from mertools_tpu.ops.ov_metrics import load_wheels, read_wheel_table
+
+    csv_path = tmp_path / "wheel1.csv"
+    csv_path.write_text(
+        "level1,level2,level3\n"
+        "Joy,Serenity,calm\n"
+        ",,peaceful\n"
+        ",Ecstasy,excited\n"
+        "Sadness,Grief,mournful\n", encoding="utf-8")
+    w = read_wheel_table(str(csv_path))
+    assert w["joy"]["serenity"] == ["calm", "peaceful"]
+    assert w["joy"]["ecstasy"] == ["excited"]
+    assert "sadness" in w
+
+    wheels = load_wheels(str(tmp_path))
+    assert list(wheels) == ["wheel1"]
