@@ -38,6 +38,11 @@ class LLMConfig:
     lora_r: int = 0          # 0 = no LoRA
     lora_alpha: float = 16.0
     attention_bias: bool = False  # True for Qwen2-style q/k/v biases
+    # Pallas flash attention (jax.experimental.pallas.ops.tpu) for the
+    # training forward: O(S) memory, fused softmax. Requires TPU and
+    # sequence lengths divisible by the kernel block size; padding is
+    # carried via segment_ids. Off by default (XLA attention elsewhere).
+    use_flash_attention: bool = False
 
     @classmethod
     def tiny(cls, vocab=128, lora_r=0):
@@ -129,12 +134,26 @@ class _LLMLayer(nn.Module):
             rep = nh // nkv
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
-        logits = jnp.einsum("bqnd,bknd->bnqk", q, k,
-                            precision=self.precision) / np.sqrt(hd)
-        logits = logits + attn_bias
-        w = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-        attn = jnp.einsum("bnqk,bknd->bqnd", w, v, precision=self.precision)
-        attn = attn.reshape(*x.shape[:2], H)
+        if c.use_flash_attention:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds, flash_attention)
+
+            # in flash mode the bias slot carries SegmentIds (see LLM.__call__)
+            seg = attn_bias
+            qh = q.transpose(0, 2, 1, 3)     # (B, nh, S, hd)
+            kh = k.transpose(0, 2, 1, 3)
+            vh = v.transpose(0, 2, 1, 3)
+            attn = flash_attention(qh, kh, vh, causal=True,
+                                   sm_scale=1.0 / float(np.sqrt(hd)),
+                                   segment_ids=seg)
+            attn = attn.transpose(0, 2, 1, 3).reshape(*x.shape[:2], H)
+        else:
+            logits = jnp.einsum("bqnd,bknd->bnqk", q, k,
+                                precision=self.precision) / np.sqrt(hd)
+            logits = logits + attn_bias
+            w = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+            attn = jnp.einsum("bnqk,bknd->bqnd", w, v, precision=self.precision)
+            attn = attn.reshape(*x.shape[:2], H)
         x = x + LoRADense(H, c.lora_r, c.lora_alpha, False, self.precision,
                           name="o_proj")(attn)
 
@@ -178,12 +197,20 @@ class LLM(nn.Module):
         B, S, _ = inputs_embeds.shape
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(S), (B, S))
-        causal = jnp.where(jnp.arange(S)[:, None] >= jnp.arange(S)[None, :],
-                           0.0, -1e30)
-        bias = causal[None, None]
-        if attention_mask is not None:
-            pad = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e30)
-            bias = bias + pad
+        if self.cfg.use_flash_attention:
+            from jax.experimental.pallas.ops.tpu.flash_attention import SegmentIds
+
+            ids = (attention_mask.astype(jnp.int32)
+                   if attention_mask is not None
+                   else jnp.ones((B, S), jnp.int32))
+            bias = SegmentIds(q=ids, kv=ids)  # pads get segment 0 != 1
+        else:
+            causal = jnp.where(jnp.arange(S)[:, None] >= jnp.arange(S)[None, :],
+                               0.0, -1e30)
+            bias = causal[None, None]
+            if attention_mask is not None:
+                pad = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e30)
+                bias = bias + pad
         x = inputs_embeds
         hidden_states = [x]
         for layer in self.layers:
