@@ -92,3 +92,45 @@ def test_affectgpt_dp_tp_train_step():
     before = np.asarray(params["video_proj"]["kernel"])
     after = np.asarray(new_params["video_proj"]["kernel"])
     assert np.abs(after - before).max() > 0
+
+
+def test_generate_under_tensor_parallel_mesh():
+    """KV-cached generation with TP-sharded params on the 8-device mesh must
+    reproduce single-device greedy outputs (serving-path mesh readiness)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mertools_tpu.core.mesh import make_mesh
+    from mertools_tpu.mllm.generate import generate
+    from mertools_tpu.mllm.llm import LLM, LLMConfig
+    from mertools_tpu.parallel.tp import llm_param_specs
+
+    cfg = LLMConfig(vocab_size=96, hidden_size=32, num_layers=2, num_heads=4,
+                    num_kv_heads=4, intermediate_size=64)
+    model = LLM(cfg)
+
+    def both(mdl, embeds, ids):
+        mdl.embed(ids)
+        return mdl(embeds)
+
+    rng_l = np.random.default_rng(3)
+    emb = rng_l.normal(size=(2, 6, 32)).astype(np.float32) * 0.1
+    mask = np.ones((2, 6), np.int32)
+    params = model.init(jax.random.PRNGKey(1), emb,
+                        np.zeros((1, 1), np.int32), method=both)["params"]
+
+    ref = np.asarray(generate(cfg, params, jnp.asarray(emb),
+                              jnp.asarray(mask), max_new_tokens=6,
+                              eos_token_id=95))
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    specs = llm_param_specs(params)
+    sharded = jax.tree_util.tree_map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs)
+    with mesh:
+        got = np.asarray(generate(cfg, sharded, jnp.asarray(emb),
+                                  jnp.asarray(mask), max_new_tokens=6,
+                                  eos_token_id=95))
+    np.testing.assert_array_equal(ref, got)
