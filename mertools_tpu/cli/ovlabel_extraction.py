@@ -69,6 +69,10 @@ def main(argv=None):
     p.add_argument("--temperature", type=float, default=0.7)
     p.add_argument("--top_p", type=float, default=0.8)
     p.add_argument("--repetition_penalty", type=float, default=1.05)
+    p.add_argument("--engine", type=str, default="static",
+                   choices=["static", "continuous"],
+                   help="continuous: slot-based continuous batching "
+                        "(greedy; ignores temperature/top_p)")
     args = p.parse_args(argv)
 
     import jax
@@ -88,6 +92,23 @@ def main(argv=None):
     name2reason = load_name2reason(args.reason_npz, args.reason_root)
     names = list(name2reason)
     print(f"extracting OV labels for {len(names)} clips")
+
+    if args.engine == "continuous":
+        from ..mllm.serve import ContinuousBatcher
+
+        eng = ContinuousBatcher(cfg, params, n_slots=args.batch,
+                                max_len=1024, eos_token_id=int(tok.eos_token_id),
+                                max_new_tokens=args.max_new_tokens)
+        rids = []
+        for n in names:
+            ids = tok.encode(EXTRACT_PROMPT.format(
+                reason=str(name2reason[n])[:2000]))
+            rids.append(eng.submit(emb_table[ids]))
+        results = eng.run()
+        responses = [postprocess_openset(
+            tok.decode(results[r], skip_special_tokens=True)) for r in rids]
+        _store(args, names, responses)
+        return
 
     responses = []
     for i in range(0, len(names), args.batch):
@@ -116,6 +137,10 @@ def main(argv=None):
             responses.append(postprocess_openset(text))
         print(f"  {len(responses)}/{len(names)}")
 
+    _store(args, names, responses)
+
+
+def _store(args, names, responses):
     if args.store_root:
         os.makedirs(args.store_root, exist_ok=True)
         for n, r in zip(names, responses):
