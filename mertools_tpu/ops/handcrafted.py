@@ -20,7 +20,7 @@ This module re-implements the whole pipeline as batched, jittable JAX ops:
 Numerical values are *not* bit-identical to openSMILE (different windowing /
 smoothing choices); the feature-set *structure* is: dimensionalities match
 the canonical openSMILE counts that downstream models were built against
-(frame/utt: eGeMAPS 23/88, IS09 32/384, IS10 76/1582, IS13 108/6373 — cf.
+(frame/utt: eGeMAPS 23/88, IS09 32/384, IS10 76/1582, IS13 120/6373 — cf.
 the reference's own docstring ``handcrafted_feature_func.py:14-21``), and the
 librosa mel/MFCC parameter contract (n_mels=128 -> 128-dim, n_mfcc=40 with
 double deltas -> 120-dim, ``:145-202``) is followed exactly.
@@ -372,6 +372,19 @@ def extract_lld_bank(wav: jnp.ndarray, lengths: jnp.ndarray, sr: int = 16000):
         S, freqs, 0, 250)
     out["slope500-1500"] = _band_energy(S, freqs, 1000, 1500) - _band_energy(
         S, freqs, 500, 1000)
+    # extra ComParE-style band/statistic LLDs (IS13 reaches 60 base LLDs)
+    out["band250-650"] = _band_energy(S, freqs, 250, 650)
+    out["band1000-4000"] = _band_energy(S, freqs, 1000, 4000)
+    pn = S / (jnp.sum(S, axis=-1, keepdims=True) + 1e-10)
+    fc = jnp.asarray(freqs)
+    mu = jnp.sum(pn * fc, -1)
+    sig = jnp.sqrt(jnp.sum(pn * (fc - mu[..., None]) ** 2, -1) + 1e-10)
+    out["spectral_variance"] = sig ** 2
+    out["spectral_skewness"] = jnp.sum(pn * (fc - mu[..., None]) ** 3, -1) / (
+        sig ** 3 + 1e-10)
+    out["spectral_kurtosis"] = jnp.sum(pn * (fc - mu[..., None]) ** 4, -1) / (
+        sig ** 4 + 1e-10)
+    out["psySharpness"] = out["spectral_centroid"] / 1000.0
 
     # -- log mel bands (8) + MFCC 0-14 (melfb matmul + DCT matmul: MXU)
     fb26 = jnp.asarray(mel_filter_bank_librosa(sr, n_fft, 26, fmin=20.0,
@@ -547,6 +560,10 @@ FUNCTIONALS_21 = ("maxPos", "minPos", "amean", "linregc1", "linregc2",
 
 FUNCTIONALS_19 = FUNCTIONALS_21[2:]  # pitch-group grid (IS10: 19)
 
+FUNCTIONALS_EXTRA11 = ("upleveltime25", "upleveltime50", "risetime",
+                       "falltime", "meanAbsDelta", "peakMean", "peakRate",
+                       "peakMeanRel", "rqmean", "absMean", "tCentroid")
+
 FUNCTIONALS_42 = tuple(dict.fromkeys(
     FUNCTIONALS_21 + FUNCTIONALS_IS09 +
     ("quadregc1", "quadregerrQ", "percentile20", "percentile80",
@@ -571,7 +588,9 @@ LLD_IS13 = (LLD_IS10 + LLD_IS10_PITCH +
              "spectral_flatness", "spectral_flux", "spectral_slope",
              "spectral_rolloff25", "spectral_rolloff50", "spectral_rolloff75",
              "spectral_rolloff90", "alphaRatio", "hammarbergIndex",
-             "pcm_LogEnergy"))                             # 54
+             "pcm_LogEnergy", "band250-650", "band1000-4000",
+             "spectral_variance", "spectral_skewness", "spectral_kurtosis",
+             "psySharpness"))                              # 60
 LLD_EGEMAPS = ("loudness", "alphaRatio", "hammarbergIndex", "slope0-500",
                "slope500-1500", "spectral_flux", "mfcc1", "mfcc2", "mfcc3",
                "mfcc4", "F0final", "jitterLocal", "shimmerLocal", "logHNR",
@@ -579,7 +598,7 @@ LLD_EGEMAPS = ("loudness", "alphaRatio", "hammarbergIndex", "slope0-500",
                "F1bandwidth", "F1amplitude", "F2frequency", "F2amplitude",
                "F3frequency", "F3amplitude")               # 23 (eGeMAPS LLDs)
 
-FRAME_DIMS = {"IS09": 32, "IS10": 76, "IS13": 108, "eGeMAPS": 23}
+FRAME_DIMS = {"IS09": 32, "IS10": 76, "IS13": 120, "eGeMAPS": 23}
 UTT_DIMS = {"IS09": 384, "IS10": 1582, "IS13": 6373, "eGeMAPS": 88}
 
 
@@ -626,18 +645,31 @@ def handcrafted_utt(wav, lengths, sr: int = 16000, feature_set: str = "IS09"):
         return jnp.concatenate([fa, fb, onsets[:, None], dur[:, None]], -1)  # 1582
     if feature_set == "IS13":
         base = _stack(llds, LLD_IS13)
-        x = _with_deltas(base)                            # (B,F,108)
-        f1 = apply_functional_grid(x, mask, FUNCTIONALS_42)            # 4536
-        d2 = delta_sg(delta_sg(base, axis=1), axis=1)
-        f2 = apply_functional_grid(d2, mask, FUNCTIONALS_IS09)         # 648
-        f3 = apply_functional_grid(x, mask, ("quartile1", "quartile2",
-                                             "quartile3", "percentile1",
-                                             "percentile99", "iqr1-3",
-                                             "meanAbsDelta", "peakRate",
-                                             "upleveltime25", "risetime",
-                                             "falltime"))              # 1188
+        x = _with_deltas(base)                            # (B,F,120)
+        f1 = apply_functional_grid(x, mask, FUNCTIONALS_42)            # 5040
+        f2 = apply_functional_grid(x, mask, FUNCTIONALS_EXTRA11)       # 1320
+        # 12 temporal/voicing scalars + duration = 13 (ComParE-style extras)
+        f0 = llds["F0final"]
+        voiced = (f0 > 0) & mask
+        n = jnp.maximum(jnp.sum(mask.astype(jnp.float32), 1), 1.0)
+        nv = jnp.sum(voiced.astype(jnp.float32), 1)
+        onsets = jnp.sum((voiced[:, 1:] & ~voiced[:, :-1])
+                         .astype(jnp.float32), 1)
+        loud = llds["loudness"]
+        lm = jnp.sum(loud * mask, 1) / n
+        scalars = jnp.stack([
+            nv / n, onsets, onsets / n, nv * 0.010,
+            jnp.sum(llds["voicingFinalUnclipped"] * mask, 1) / n,
+            jnp.sum(llds["jitterLocal"] * voiced, 1) / jnp.maximum(nv, 1.0),
+            jnp.sum(llds["shimmerLocal"] * mask, 1) / n,
+            jnp.sum(llds["logHNR"] * voiced, 1) / jnp.maximum(nv, 1.0),
+            lm, jnp.max(jnp.where(mask, loud, -jnp.inf), 1),
+            jnp.sum(f0 * voiced, 1) / jnp.maximum(nv, 1.0),
+            jnp.max(jnp.where(voiced, f0, -jnp.inf), 1),
+        ], -1)
+        scalars = jnp.nan_to_num(scalars, posinf=0.0, neginf=0.0)
         dur = jnp.sum(mask.astype(jnp.float32), 1) * 0.010
-        return jnp.concatenate([f1, f2, f3, dur[:, None]], -1)         # 6373
+        return jnp.concatenate([f1, f2, scalars, dur[:, None]], -1)    # 6373
     if feature_set == "eGeMAPS":
         return _egemaps_88(llds, mask)
     raise ValueError(feature_set)
