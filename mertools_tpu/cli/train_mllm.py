@@ -76,15 +76,19 @@ def build_model(mcfg: dict):
         tokenizer = AutoTokenizer.from_pretrained(mcfg["llm_checkpoint"])
         del hf
 
+    multi = mcfg.get("multi_queries")
     cfg = AffectGPTConfig(
         llm=llm_cfg,
         video_qformer=QFormerConfig(
             num_queries=int(mcfg.get("video_queries", 32))),
         audio_qformer=QFormerConfig(
             num_queries=int(mcfg.get("audio_queries", 8))),
+        multi_qformer=(QFormerConfig(num_queries=int(multi))
+                       if multi else None),
         video_dim=int(mcfg.get("video_dim", 768)),
         audio_dim=int(mcfg.get("audio_dim", 1024)),
-        max_video_frames=int(mcfg.get("max_video_frames", 64)))
+        max_video_frames=int(mcfg.get("max_video_frames", 64)),
+        fusion=mcfg.get("fusion", "qformer"))
     return AffectGPT(cfg), llm_params, tokenizer
 
 
