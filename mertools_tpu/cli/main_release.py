@@ -126,8 +126,21 @@ def modality_tag(features: list[str]) -> str:
 def main(argv=None):
     from ..core.cache import enable_persistent_cache
     enable_persistent_cache()
-    ns = build_parser().parse_args(argv)
+    ns, unknown = build_parser().parse_known_args(argv)
     args = Args(vars(ns))
+    # model-specific hyperparameters (hidden_dim, dropout, rank, ...) arrive
+    # as free --key=value flags and override the random search, mirroring the
+    # reference's merge_args_config overlay (functions.py:144-150)
+    import ast
+
+    for tok in unknown:
+        assert tok.startswith("--") and "=" in tok, f"unknown arg {tok!r}"
+        k, v = tok[2:].split("=", 1)
+        try:
+            v = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            pass
+        args[k] = v
 
     # feat_scale from feat_type (main-release.py:130-142)
     if args.feat_type == "utt":
@@ -174,6 +187,7 @@ def main(argv=None):
     print("====== Training and Evaluation =======")
     result = run_cv(args, train_set, test_sets, seed=seed, folds=folds,
                     calc_fn=loader.calc_results)
+    result.chosen_hp = chosen  # sweep driver re-runs the winning config
 
     feature_name = "+".join(sorted(set(f for f in whole_features if f)))
     model_name = f"{args.model}+{args.feat_type}+{args.e2e_name}"

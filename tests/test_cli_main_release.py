@@ -121,3 +121,19 @@ def test_iemocap_session_folds():
     for k, (tr, ev) in enumerate(folds):
         assert len(ev) == 4 and len(tr) == 16
         assert all(int(names[i][4]) - 1 == k for i in ev)
+
+
+def test_sweep_driver(synth_store):
+    """MERBench protocol driver: search runs then best-config repeats."""
+    from mertools_tpu.cli.sweep import main as sweep_main
+
+    sweep_main([
+        "--n_search=2", "--n_repeat=2", "--",
+        "--dataset=MER2023",
+        "--audio_feature=audio-UTT", "--text_feature=text-UTT",
+        "--video_feature=video-UTT", "--feat_type=utt",
+        "--model=attention", "--batch_size=16", "--epochs=3",
+        f"--save_root={synth_store / 'saved'}",
+        f"--features_root={synth_store / 'features'}",
+        f"--label_path={synth_store / 'label-6way.npz'}",
+    ])
