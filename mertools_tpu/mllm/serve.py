@@ -147,8 +147,9 @@ class ContinuousBatcher:
             slot = free.pop(0)
             rid, emb = self.queue.pop(0)
             S = min(len(emb), self.max_len - self.max_new)
-            emb = emb[:S]
             pad = self._bucket(S)
+            S = min(S, pad)  # prompts beyond the largest bucket truncate
+            emb = emb[:S]
             e = np.zeros((1, pad, emb.shape[-1]), np.float32)
             m = np.zeros((1, pad), np.int32)
             e[0, :S] = emb

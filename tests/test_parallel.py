@@ -134,3 +134,54 @@ def test_generate_under_tensor_parallel_mesh():
                                   jnp.asarray(mask), max_new_tokens=6,
                                   eos_token_id=95))
     np.testing.assert_array_equal(ref, got)
+
+
+def test_audio_extraction_data_parallel_mesh():
+    """Data-parallel extraction semantics on a 2-device mesh.
+
+    Full sharded conv-encoder compiles are pathologically slow on the
+    virtual CPU backend, so this checks the two load-bearing pieces
+    directly: (a) the extractor's jitted pooled forward produces identical
+    results for sharded vs single-device inputs, (b) extract() rounds batch
+    sizes to multiples of the data-axis size.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mertools_tpu.core.mesh import make_mesh
+    from mertools_tpu.encoders.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+    from mertools_tpu.features.audio import AudioExtractor
+
+    cfg = Wav2Vec2Config(hidden_size=16, num_hidden_layers=4,
+                         num_attention_heads=2, intermediate_size=32,
+                         conv_dim=(8,), conv_kernel=(10,), conv_stride=(5,),
+                         num_conv_pos_embeddings=16,
+                         num_conv_pos_embedding_groups=2)
+    enc = Wav2Vec2Encoder(cfg)
+    params = enc.init(jax.random.PRNGKey(0),
+                      np.zeros((1, 400), np.float32))["params"]
+    mesh = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
+    ex = AudioExtractor(cfg, params, buckets=(400,), sample_budget=800,
+                        mesh=mesh)
+    assert ex._n_data == 2
+
+    rng_l = np.random.default_rng(0)
+    batch = rng_l.normal(size=(2, 400)).astype(np.float32)
+    lens = np.array([400, 300], np.int32)
+    ref = np.asarray(AudioExtractor(cfg, params, buckets=(400,),
+                                    sample_budget=800)._fwd_pooled(
+        jax.device_put(params), jnp.asarray(batch), jnp.asarray(lens))[0])
+    with mesh:
+        got = np.asarray(ex._fwd_pooled(
+            ex._params, jax.device_put(batch, ex._data_sharding(2)),
+            jax.device_put(lens, ex._data_sharding(1)))[0])
+    np.testing.assert_allclose(ref, got, rtol=2e-4, atol=2e-4)
+
+    # batch-size rounding: sample_budget 800 / bucket 400 = 2 -> multiple of 2
+    wavs = {f"c{i}": rng_l.normal(size=350).astype(np.float32)
+            for i in range(3)}
+    with mesh:
+        out = ex.extract(wavs, level="UTT")
+    assert len(out) == 3 and all(v.shape == (16,) for v in out.values())
