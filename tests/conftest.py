@@ -16,12 +16,13 @@ import jax  # noqa: E402
 # mesh is available.
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compilation cache: repeat suite runs skip recompiles. Separate
-# directory from the TPU-process cache (different machine-feature targets).
-from mertools_tpu.core.cache import enable_persistent_cache  # noqa: E402
-
-enable_persistent_cache(os.path.join(os.path.dirname(__file__), "..",
-                                     ".jax_cache_cpu"))
+# NOTE: the persistent compilation cache is deliberately NOT enabled here.
+# XLA:CPU AOT entries written under a different detected machine-feature set
+# (e.g. +prefer-no-scatter from the TPU-process CPU fallback) abort the
+# process on deserialization ("Fatal Python error: Aborted" inside
+# compilation_cache.get_executable_and_time). The TPU entry points keep the
+# cache (core/cache.py); the test suite trades repeat-run speed for
+# stability.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
