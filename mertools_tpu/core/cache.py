@@ -24,12 +24,20 @@ _enabled = False
 
 
 def enable_persistent_cache(cache_dir: str | None = None) -> str:
-    """Point JAX at an on-disk compilation cache (idempotent)."""
+    """Point JAX at an on-disk compilation cache (idempotent).
+
+    No-op on the CPU backend: XLA:CPU AOT entries written under a different
+    detected machine-feature set (e.g. by a TPU process's CPU fallback)
+    SEGFAULT/abort on deserialization. Set MERTPU_CPU_CACHE=1 to force.
+    """
     global _enabled
     import jax
 
     path = cache_dir or _DEFAULT_DIR
     if _enabled:
+        return path
+    if (jax.default_backend() == "cpu"
+            and not os.environ.get("MERTPU_CPU_CACHE")):
         return path
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
