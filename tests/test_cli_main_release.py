@@ -128,7 +128,7 @@ def test_sweep_driver(synth_store):
     from mertools_tpu.cli.sweep import main as sweep_main
 
     sweep_main([
-        "--n_search=2", "--n_repeat=2", "--",
+        "--n_search=1", "--n_repeat=1", "--",
         "--dataset=MER2023",
         "--audio_feature=audio-UTT", "--text_feature=text-UTT",
         "--video_feature=video-UTT", "--feat_type=utt",

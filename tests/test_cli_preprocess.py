@@ -30,20 +30,34 @@ def test_make_labels_roundtrip(tmp_path):
 
 @pytest.mark.skipif(not vio.available(), reason="libmervideo.so not built")
 def test_split_audio(tmp_path):
-    from mertools_tpu.cli.preprocess import main
-    from mertools_tpu.io.wav import read_wav
+    # child process: libav + jaxlib in one pytest process has produced
+    # late-suite XLA:CPU segfaults (see test_native_video.py)
+    import subprocess
+    import sys
+    import textwrap
 
-    vid = tmp_path / "video"
-    vid.mkdir()
-    frames = np.zeros((10, 32, 32, 3), np.uint8)
-    t = np.arange(8000) / 16000.0
-    tone = (0.4 * np.sin(2 * np.pi * 250 * t)).astype(np.float32)
-    vio.encode_video(str(vid / "x.mp4"), frames, fps=20.0, audio=tone,
-                     audio_sr=16000)
-    out = tmp_path / "audio"
-    main(["split-audio", f"--video_root={vid}", f"--save_root={out}"])
-    wav, sr = read_wav(str(out / "x.wav"))
-    assert sr == 16000 and len(wav) > 4000
+    code = textwrap.dedent("""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import numpy as np
+        from mertools_tpu.io import video as vio
+        from mertools_tpu.cli.preprocess import main
+        from mertools_tpu.io.wav import read_wav
+        import os
+        os.makedirs("video")
+        frames = np.zeros((10, 32, 32, 3), np.uint8)
+        t = np.arange(8000) / 16000.0
+        tone = (0.4 * np.sin(2 * np.pi * 250 * t)).astype(np.float32)
+        vio.encode_video("video/x.mp4", frames, fps=20.0, audio=tone,
+                         audio_sr=16000)
+        main(["split-audio", "--video_root=video", "--save_root=audio"])
+        wav, sr = read_wav("audio/x.wav")
+        assert sr == 16000 and len(wav) > 4000
+        print("OK")
+    """)
+    res = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, cwd=str(tmp_path), timeout=240)
+    assert res.returncode == 0, res.stderr + res.stdout
 
 
 def test_compress_faces_from_frame_dirs(tmp_path):
