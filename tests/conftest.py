@@ -31,3 +31,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables + tracing caches between test modules.
+
+    With ~200 tests compiling hundreds of XLA:CPU executables in one
+    process, the suite reproducibly segfaulted inside
+    backend_compile_and_load around test ~183 (regardless of which tests
+    ran; position-dependent, passes in isolation). Dropping caches at module
+    boundaries keeps the per-process compiler state bounded. Modules don't
+    share jit signatures, so this costs almost nothing.
+    """
+    yield
+    jax.clear_caches()
