@@ -32,6 +32,8 @@ def main(argv=None):
     p.add_argument("--language", type=str, default="chinese")
     p.add_argument("--pretrain_dir", type=str, default=None)
     p.add_argument("--layer_ids", type=str, default="-4,-3,-2,-1")
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   choices=[None, "bf16"])
     p.add_argument("--gpu", type=int, default=0, help="ignored (TPU)")
     args = p.parse_args(argv)
 
@@ -56,7 +58,8 @@ def main(argv=None):
         ex = CausalLMTextExtractor(cfg, params, layer_ids=layer_ids)
     else:
         cfg, params = from_hf_torch(AutoModel.from_pretrained(path))
-        ex = TextExtractor(cfg, params, layer_ids=layer_ids)
+        ex = TextExtractor(cfg, params, layer_ids=layer_ids,
+                           compute_dtype=args.compute_dtype)
     span = find_token_span(tokenizer)
 
     level = "UTT" if args.feature_level == "UTTERANCE" else "FRA"

@@ -52,17 +52,24 @@ class TextExtractor:
     buckets: tuple = DEFAULT_TOKEN_BUCKETS
     batch_size: int = 64
     precision: object = jax.lax.Precision.HIGHEST
+    compute_dtype: str | None = None   # "bf16": production mode (see audio)
 
     def __post_init__(self):
-        enc = BertEncoder(self.cfg, precision=self.precision)
+        precision = (jax.lax.Precision.DEFAULT
+                     if self.compute_dtype == "bf16" else self.precision)
+        enc = BertEncoder(self.cfg, precision=precision)
 
         @jax.jit
         def fwd(params, ids, mask):
             hs = enc.apply({"params": params}, ids, mask)
-            return sum(hs[i] for i in self.layer_ids)
+            return sum(hs[i] for i in self.layer_ids).astype(jnp.float32)
 
         self._fwd = fwd
-        self._params = jax.device_put(self.params)
+        params = self.params
+        if self.compute_dtype == "bf16":
+            params = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.bfloat16), params)
+        self._params = jax.device_put(params)
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
