@@ -83,7 +83,8 @@ def build_extractor(args):
     from ..encoders.vit_clip import from_hf_torch
     from ..features.vision import VisionExtractor
     cfg, params = from_hf_torch(CLIPVisionModelWithProjection.from_pretrained(path))
-    return VisionExtractor(cfg, params, max_frames=args.max_frames)
+    return VisionExtractor(cfg, params, max_frames=args.max_frames,
+                           compute_dtype=args.compute_dtype)
 
 
 def main(argv=None):
@@ -98,6 +99,9 @@ def main(argv=None):
                    choices=["UTTERANCE", "FRAME"])
     p.add_argument("--pretrain_dir", type=str, default=None)
     p.add_argument("--max_frames", type=int, default=64)
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   choices=[None, "bf16"],
+                   help="bf16 production mode (CLIP path)")
     p.add_argument("--gpu", type=int, default=0, help="ignored (TPU)")
     args = p.parse_args(argv)
 

@@ -52,17 +52,27 @@ class VisionExtractor:
     batch_size: int = 64
     max_frames: int = 64
     precision: object = jax.lax.Precision.HIGHEST
+    compute_dtype: str | None = None   # "bf16": production mode (see audio)
 
     def __post_init__(self):
-        enc = CLIPVisionEncoder(self.cfg, precision=self.precision)
+        precision = (jax.lax.Precision.DEFAULT
+                     if self.compute_dtype == "bf16" else self.precision)
+        enc = CLIPVisionEncoder(self.cfg, precision=precision)
+        cast = ((lambda x: x.astype(jnp.bfloat16))
+                if self.compute_dtype == "bf16" else (lambda x: x))
 
         @jax.jit
         def fwd(params, frames):
             pix = preprocess_faces_device(frames, self.cfg.image_size)
-            return enc.apply({"params": params}, pix)["image_embeds"]
+            out = enc.apply({"params": params}, cast(pix))["image_embeds"]
+            return out.astype(jnp.float32)
 
         self._fwd = fwd
-        self._params = jax.device_put(self.params)
+        params = self.params
+        if self.compute_dtype == "bf16":
+            params = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.bfloat16), params)
+        self._params = jax.device_put(params)
 
     def extract(self, faces: dict[str, np.ndarray], level: str = "FRA",
                 ) -> dict[str, np.ndarray]:
