@@ -95,10 +95,14 @@ def main():
     seq_wavs = [rng.normal(size=MAX_SEGMENT).astype(np.float32)
                 for _ in range(seq_clips)]
     np.asarray(fwd_one(params, jnp.asarray(normalize_wav(seq_wavs[0]))[None]))
-    t0 = time.perf_counter()
-    for wav in seq_wavs:
-        np.asarray(fwd_one(params, jnp.asarray(normalize_wav(wav))[None]))
-    ref = seq_clips / (time.perf_counter() - t0)
+
+    def measure_seq():
+        t0 = time.perf_counter()
+        for wav in seq_wavs:
+            np.asarray(fwd_one(params, jnp.asarray(normalize_wav(wav))[None]))
+        return seq_clips / (time.perf_counter() - t0)
+
+    ref = max(measure_seq(), measure_seq())  # same best-of-two fairness
 
     # on this tunnel-bound dev platform the fp32-HIGHEST pipeline is the
     # better END-TO-END number (uploads dominate; bf16 halves compute, not
