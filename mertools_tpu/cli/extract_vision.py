@@ -53,6 +53,23 @@ def build_extractor(args):
         from ..features.vision_zoo import vit_token_sum_extractor
         cfg, params = from_hf_beit(Data2VecVisionModel.from_pretrained(path))
         return vit_token_sum_extractor(cfg, params)
+    if "emonet" in name:
+        import torch
+
+        from ..encoders.emonet import EmoNet, convert_torch_emonet
+        from ..features.vision_zoo import FrameStreamExtractor, PreprocessSpec
+        ckpt = torch.load(os.path.join(path, "emonet_8.pth"),
+                          map_location="cpu", weights_only=False)
+        params = convert_torch_emonet(dict(ckpt))
+        enc = EmoNet()
+
+        def forward(p_, pix):
+            return enc.apply({"params": p_}, pix)
+
+        # ToTensor only, 256x256 (extract_emonet_embedding.py transform)
+        return FrameStreamExtractor(forward, params,
+                                    PreprocessSpec(image_size=256),
+                                    batch_size=16)
     if "manet" in name:
         import torch
 
