@@ -104,6 +104,49 @@ def cmd_compress_faces(args):
     print(f"compressed {done}/{len(clips)} clips -> {args.save_root}")
 
 
+def cmd_detect_faces(args):
+    """Video/frame-npy -> detected+aligned (T, size, size, 3) BGR uint8 face
+    stores: the full OpenFace replacement path (detector weights from
+    --detector_params, an orbax/npz param tree for ops/face_detect)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..io import video as vio
+    from ..ops.face_align import align_faces, crop_resize
+    from ..ops.face_detect import INPUT_SIZE, FaceDetector, N_LANDMARKS
+
+    params = dict(np.load(args.detector_params, allow_pickle=True))
+    if "params" in params:
+        params = params["params"].item()
+    det = FaceDetector(params, width=args.detector_width)
+
+    os.makedirs(args.save_root, exist_ok=True)
+    clips = sorted(os.listdir(args.video_root))
+    for clip in clips:
+        name = os.path.splitext(clip)[0]
+        out = os.path.join(args.save_root, name + ".npy")
+        if os.path.exists(out):
+            continue
+        src = os.path.join(args.video_root, clip)
+        frames = (np.load(src) if clip.endswith(".npy")
+                  else vio.decode_frames(src))            # (T, H, W, 3) RGB
+        T, H, W = frames.shape[:3]
+        small = np.asarray(jax.image.resize(
+            jnp.asarray(frames, jnp.float32) / 255.0,
+            (T, INPUT_SIZE, INPUT_SIZE, 3), method="bilinear"))
+        dets, probs = det.detect(small)
+        lms = dets[:, 4: 4 + 2 * N_LANDMARKS].reshape(T, N_LANDMARKS, 2)
+        lms = lms * np.asarray([W, H], np.float32)        # to pixel coords
+        aligned = np.asarray(align_faces(
+            jnp.asarray(frames, jnp.float32), jnp.asarray(lms),
+            out_size=args.size))
+        keep = probs >= args.score_thresh
+        aligned = aligned[keep] if keep.any() else aligned[:1] * 0
+        np.save(out, np.clip(aligned[..., ::-1], 0, 255).astype(np.uint8))
+        print(f"  {name}: {int(keep.sum())}/{T} frames with faces")
+    print("done")
+
+
 def cmd_check_features(args):
     """Completeness scan: every labeled clip has a feature file with finite
     values and a consistent trailing dim."""
@@ -148,6 +191,16 @@ def main(argv=None):
     c.add_argument("--save_root", required=True)
     c.add_argument("--size", type=int, default=112)
     c.set_defaults(fn=cmd_compress_faces)
+
+    d = sub.add_parser("detect-faces")
+    d.add_argument("--video_root", required=True)
+    d.add_argument("--save_root", required=True)
+    d.add_argument("--detector_params", required=True,
+                   help="npz param tree for ops/face_detect.BlazeFace")
+    d.add_argument("--detector_width", type=int, default=32)
+    d.add_argument("--size", type=int, default=112)
+    d.add_argument("--score_thresh", type=float, default=0.5)
+    d.set_defaults(fn=cmd_detect_faces)
 
     k = sub.add_parser("check-features")
     k.add_argument("--feature_root", required=True)

@@ -73,3 +73,31 @@ def test_detector_trains_and_localizes(rng):
     # majority localized (tiny net, 60 steps): proves the full train->detect
     # machinery; real-face quality comes from converted public checkpoints
     assert (ious > 0.5).mean() >= 0.6, ious
+
+
+def test_detect_faces_cli(tmp_path, rng):
+    """detect-faces preprocess subcommand: frame npy + random detector
+    params -> aligned (T', 112, 112, 3) BGR uint8 stores (plumbing check;
+    localization quality is the detector-weight test above)."""
+    from flax.traverse_util import flatten_dict
+
+    from mertools_tpu.cli.preprocess import main
+
+    model = FD.BlazeFace(width=16)
+    imgs = rng.normal(size=(1, 128, 128, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(imgs))["params"]
+    pfile = tmp_path / "det.npz"
+    np.savez(pfile, params=np.array(
+        jax.tree_util.tree_map(np.asarray, params), dtype=object))
+
+    vids = tmp_path / "frames"
+    vids.mkdir()
+    np.save(vids / "clipA.npy",
+            rng.integers(0, 255, size=(4, 96, 96, 3), dtype=np.uint8))
+    out = tmp_path / "faces"
+    main(["detect-faces", f"--video_root={vids}", f"--save_root={out}",
+          f"--detector_params={pfile}", "--detector_width=16",
+          "--score_thresh=0.0"])
+    arr = np.load(out / "clipA.npy")
+    assert arr.dtype == np.uint8 and arr.shape[1:] == (112, 112, 3)
+    assert 1 <= arr.shape[0] <= 4
