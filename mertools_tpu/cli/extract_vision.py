@@ -53,6 +53,14 @@ def build_extractor(args):
         from ..features.vision_zoo import vit_token_sum_extractor
         cfg, params = from_hf_beit(Data2VecVisionModel.from_pretrained(path))
         return vit_token_sum_extractor(cfg, params)
+    if "siglip" in name:
+        from transformers import SiglipVisionModel
+
+        from ..encoders.siglip import from_hf_torch as siglip_from_hf
+        from ..features.vision_zoo import siglip_token_mean_extractor
+        cfg, params = siglip_from_hf(SiglipVisionModel.from_pretrained(path))
+        return siglip_token_mean_extractor(cfg, params,
+                                           max_frames=args.max_frames)
     if "emonet" in name:
         import torch
 

@@ -143,6 +143,21 @@ def vit_token_sum_extractor(cfg: ViTConfig, params, spec=None,
     return FrameStreamExtractor(forward, params, spec, batch_size, max_frames)
 
 
+def siglip_token_mean_extractor(cfg, params, batch_size=32, max_frames=64):
+    """SigLIP_SO: per-frame last-hidden-state **mean over tokens**
+    (MER2025_Track23 my_affectgpt/models/encoder.py:269-281; the HF
+    SiglipImageProcessor resizes to (S, S) and normalizes with 0.5/0.5)."""
+    from ..encoders.siglip import SiglipVisionEncoder
+    spec = PreprocessSpec(image_size=cfg.image_size,
+                          mean=IMAGENET_STANDARD[0], std=IMAGENET_STANDARD[1])
+    enc = SiglipVisionEncoder(cfg)
+
+    def forward(p, pix):
+        return enc.apply({"params": p}, pix)["last_hidden"].mean(axis=1)
+
+    return FrameStreamExtractor(forward, params, spec, batch_size, max_frames)
+
+
 def resnet_embed_extractor(cfg: ResNetConfig, params, spec: PreprocessSpec,
                            batch_size=64):
     enc = ResNet(cfg)

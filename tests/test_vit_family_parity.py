@@ -103,3 +103,53 @@ def test_eva02_structural(rng):
     xp = jax.numpy.asarray(_img(rng, 2, 28)[:, ::-1])
     out2 = np.asarray(enc.apply({"params": params}, xp))
     assert not np.allclose(out, out2)
+
+
+def test_siglip_parity(rng):
+    import torch
+    from transformers import SiglipVisionConfig, SiglipVisionModel
+
+    from mertools_tpu.encoders import siglip as S
+
+    hf_cfg = SiglipVisionConfig(hidden_size=32, num_hidden_layers=2,
+                                num_attention_heads=4, intermediate_size=48,
+                                image_size=28, patch_size=14)
+    torch.manual_seed(0)
+    model = SiglipVisionModel(hf_cfg).eval()
+    cfg, params = S.from_hf_torch(model)
+    x = _img(rng, 2, 28)
+    with torch.no_grad():
+        ref = model(pixel_values=torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                    output_hidden_states=True)
+    out = jax.tree_util.tree_map(
+        np.asarray,
+        S.SiglipVisionEncoder(cfg).apply({"params": params},
+                                         jax.numpy.asarray(x)))
+    # hidden_states[-1] is what the reference mean-pools (encoder.py:277-278)
+    np.testing.assert_allclose(out["last_hidden"],
+                               ref.hidden_states[-1].numpy(), atol=ATOL)
+    np.testing.assert_allclose(out["post_ln"],
+                               ref.last_hidden_state.numpy(), atol=ATOL)
+    np.testing.assert_allclose(out["pooled"],
+                               ref.pooler_output.numpy(), atol=ATOL)
+
+
+def test_siglip_extractor_shapes(rng):
+    from mertools_tpu.encoders.siglip import (SiglipVisionConfig,
+                                              SiglipVisionEncoder)
+    from mertools_tpu.features.vision_zoo import siglip_token_mean_extractor
+
+    cfg = SiglipVisionConfig(hidden_size=32, num_layers=1, num_heads=4,
+                             intermediate_size=48, image_size=28,
+                             patch_size=14, use_head=False)
+    enc = SiglipVisionEncoder(cfg)
+    params = enc.init(jax.random.PRNGKey(0),
+                      jax.numpy.zeros((1, 28, 28, 3)))["params"]
+    ex = siglip_token_mean_extractor(cfg, params, batch_size=4, max_frames=3)
+    faces = {"a": (rng.random((5, 112, 112, 3)) * 255).astype(np.uint8),
+             "b": (rng.random((2, 112, 112, 3)) * 255).astype(np.uint8)}
+    fra = ex.extract(faces, level="FRA")
+    assert fra["a"].shape == (3, 32) and fra["b"].shape == (2, 32)
+    utt = ex.extract(faces, level="UTT")
+    assert utt["a"].shape == (32,)
+    np.testing.assert_allclose(utt["a"], fra["a"].mean(0), rtol=1e-5)
