@@ -107,6 +107,28 @@ def main(argv=None):
         cfg, params = load_whisper(args.model_name, args.pretrain_dir,
                                    args.random_init)
         ex = WhisperAudioExtractor(cfg, params)
+    elif "imagebind" in args.model_name.lower():
+        import jax
+
+        from ..encoders.imagebind import (ImageBindAudioConfig,
+                                          ImageBindAudioEncoder,
+                                          from_imagebind_checkpoint)
+        from ..features.audio import ImageBindAudioExtractor
+        if args.random_init:
+            cfg = ImageBindAudioConfig(embed_dim=32, num_blocks=2,
+                                       num_heads=4, out_embed_dim=48)
+            model = ImageBindAudioEncoder(cfg)
+            params = model.init(jax.random.PRNGKey(0),
+                                np.zeros((1, 128, 204), np.float32))["params"]
+        else:
+            import torch
+            path = (os.path.join(args.pretrain_dir, args.model_name)
+                    if args.pretrain_dir else args.model_name)
+            if not path.endswith(".pth"):
+                path = path + ".pth"
+            sd = torch.load(path, map_location="cpu", weights_only=True)
+            cfg, params = from_imagebind_checkpoint(dict(sd))
+        ex = ImageBindAudioExtractor(cfg, params)
     else:
         cfg, params = load_encoder(args.model_name, args.pretrain_dir,
                                    args.random_init, args.encoder_size)

@@ -270,3 +270,56 @@ class WhisperAudioExtractor:
                 out[n] = (feat.mean(0) if level.upper().startswith("UTT")
                           else feat)
         return out
+
+
+class ImageBindAudioExtractor:
+    """ImageBind audio path (MER2025_Track23 my_affectgpt/models/
+    ImageBind/data.py + encoder.py:285-311): wav -> 8 uniformly spaced 2 s
+    clips -> kaldi fbank (128, 204) mel "images" normalized with the AudioSet
+    stats -> audio trunk -> per-clip 1024-d normalized embeddings.
+    FRA level = (8, 1024) per clip; UTT = clip mean (the ImageBind
+    ``reduce_list`` mean, imagebind_model.py:470-474)."""
+
+    def __init__(self, cfg, params, batch_clips: int = 4,
+                 clips_per_video: int = 8):
+        import jax
+
+        from ..encoders.imagebind import ImageBindAudioEncoder
+        from ..ops.fbank import imagebind_melspec, sample_audio_clips
+
+        self.cfg = cfg
+        self.clips_per_video = clips_per_video
+        self.batch_clips = batch_clips          # videos per device batch
+        self._sample = sample_audio_clips
+        self._params = jax.device_put(params)
+        model = ImageBindAudioEncoder(cfg)
+
+        @jax.jit
+        def fwd(p, clips):                      # (B, n_clip, 32000)
+            B, S = clips.shape[:2]
+            mels = imagebind_melspec(clips.reshape(B * S, -1),
+                                     cfg.num_mel_bins, cfg.target_len)
+            emb = model.apply({"params": p}, mels)["embed"]
+            return emb.reshape(B, S, -1)
+
+        self._fwd = fwd
+
+    def extract(self, wavs: dict[str, np.ndarray], level: str = "FRA"
+                ) -> dict[str, np.ndarray]:
+        import jax.numpy as jnp
+
+        names = list(wavs)
+        S = self.clips_per_video
+        out = {}
+        B = self.batch_clips
+        for i in range(0, len(names), B):
+            group = names[i: i + B]
+            batch = np.zeros((B, S, 2 * 16000), np.float32)
+            for r, n in enumerate(group):
+                batch[r] = self._sample(wavs[n], clips_per_video=S)
+            emb = np.asarray(self._fwd(self._params, jnp.asarray(batch)))
+            for r, n in enumerate(group):
+                feat = emb[r]                   # (S, 1024)
+                out[n] = (feat.mean(0) if level.upper().startswith("UTT")
+                          else feat)
+        return out
