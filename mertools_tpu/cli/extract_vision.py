@@ -53,6 +53,16 @@ def build_extractor(args):
         from ..features.vision_zoo import vit_token_sum_extractor
         cfg, params = from_hf_beit(Data2VecVisionModel.from_pretrained(path))
         return vit_token_sum_extractor(cfg, params)
+    if "eva-clip-g" in name or "eva_clip_g" in name:
+        import torch
+
+        from ..encoders.vit import from_eva_clip_g_checkpoint
+        from ..features.vision_zoo import eva_clip_g_token_mean_extractor
+        ckpt = path if path.endswith(".pth") else path + ".pth"
+        sd = torch.load(ckpt, map_location="cpu", weights_only=True)
+        cfg, params = from_eva_clip_g_checkpoint(dict(sd))
+        return eva_clip_g_token_mean_extractor(cfg, params,
+                                               max_frames=args.max_frames)
     if "siglip" in name:
         from transformers import SiglipVisionModel
 

@@ -288,6 +288,22 @@ def videomae_config(hf_cfg=None, **kw) -> ViTConfig:
                      final_layernorm=False, **kw)
 
 
+def eva_clip_g_config(**kw) -> ViTConfig:
+    """BLIP-2 / Video-LLaMA EVA-ViT-g (the reference AffectGPT's EVA_CLIP_G
+    frozen encoder, ``my_affectgpt/models/eva_vit.py:389-402``): patch 14,
+    1408 hidden x 39 layers x 16 heads, mlp 6144 (ratio 4.3637), q/v-only
+    bias (k bias frozen at zero, eva_vit.py:76-122), learned abs pos embed
+    with CLS, **no final layernorm** (forward_features returns raw block
+    output; AffectGPT applies its own ``ln_vision``)."""
+    kw.setdefault("hidden_size", 1408)
+    kw.setdefault("num_layers", 39)
+    kw.setdefault("num_heads", 16)
+    kw.setdefault("intermediate_size", int(kw["hidden_size"] * 4.3637))
+    kw.setdefault("patch_size", 14)
+    return ViTConfig(arch="eva_clip_g", qv_bias_only=True,
+                     final_layernorm=False, layer_norm_eps=1e-6, **kw)
+
+
 def eva02_config(**kw) -> ViTConfig:
     """EVA-02 structure (timm ``eva02_*``): rotary + SwiGLU, no torch oracle
     in this environment — structural implementation, reference
@@ -302,7 +318,7 @@ def eva02_config(**kw) -> ViTConfig:
 
 
 def _t(x):
-    return np.asarray(x.detach().cpu().numpy())
+    return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
 
 
 def _conv_hwio(w):  # torch OIHW -> flax HWIO
@@ -442,3 +458,50 @@ def from_hf_videomae(model) -> tuple[ViTConfig, dict]:
             blk["v"]["bias"] = _t(vb)
         params[f"block_{i}"] = blk
     return cfg, params
+
+
+def from_eva_clip_g_checkpoint(sd: dict, cfg: ViTConfig | None = None
+                               ) -> tuple[ViTConfig, dict]:
+    """Convert a BLIP-2 ``eva_vit_g.pth`` state dict (timm-style naming:
+    ``patch_embed.proj / cls_token / pos_embed / blocks.N.{norm1,norm2,attn.
+    {qkv,q_bias,v_bias,proj},mlp.{fc1,fc2}}``; packed bias-free qkv with
+    separate q/v bias params, eva_vit.py:76-124)."""
+    if cfg is None:
+        n_layers = 1 + max(int(k.split(".")[1]) for k in sd
+                           if k.startswith("blocks."))
+        H = _t(sd["cls_token"]).shape[-1]
+        inter = _t(sd["blocks.0.mlp.fc1.weight"]).shape[0]
+        n_pos = _t(sd["pos_embed"]).shape[1]
+        patch = _t(sd["patch_embed.proj.weight"]).shape[-1]
+        grid = int(np.sqrt(n_pos - 1))
+        cfg = eva_clip_g_config(hidden_size=H, num_layers=n_layers,
+                                intermediate_size=inter,
+                                image_size=grid * patch, patch_size=patch)
+    H = cfg.hidden_size
+    params = {
+        "patch_embed": {"kernel": _conv_hwio(sd["patch_embed.proj.weight"]),
+                        "bias": _t(sd["patch_embed.proj.bias"])},
+        "cls_token": _t(sd["cls_token"]).reshape(-1),
+        "pos_embed": _t(sd["pos_embed"])[0],
+    }
+    for i in range(cfg.num_layers):
+        pre = f"blocks.{i}"
+        qkv = _t(sd[f"{pre}.attn.qkv.weight"])
+        blk = {
+            "norm1": {"scale": _t(sd[f"{pre}.norm1.weight"]),
+                      "bias": _t(sd[f"{pre}.norm1.bias"])},
+            "norm2": {"scale": _t(sd[f"{pre}.norm2.weight"]),
+                      "bias": _t(sd[f"{pre}.norm2.bias"])},
+            "q": {"kernel": qkv[:H].T, "bias": _t(sd[f"{pre}.attn.q_bias"])},
+            "k": {"kernel": qkv[H:2 * H].T},
+            "v": {"kernel": qkv[2 * H:].T,
+                  "bias": _t(sd[f"{pre}.attn.v_bias"])},
+            "proj": {"kernel": _dense(sd[f"{pre}.attn.proj.weight"]),
+                     "bias": _t(sd[f"{pre}.attn.proj.bias"])},
+            "fc1": {"kernel": _dense(sd[f"{pre}.mlp.fc1.weight"]),
+                    "bias": _t(sd[f"{pre}.mlp.fc1.bias"])},
+            "fc2": {"kernel": _dense(sd[f"{pre}.mlp.fc2.weight"]),
+                    "bias": _t(sd[f"{pre}.mlp.fc2.bias"])},
+        }
+        params[f"block_{i}"] = blk
+    return cfg, jax.tree_util.tree_map(jnp.asarray, params)

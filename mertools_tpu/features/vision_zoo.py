@@ -143,6 +143,31 @@ def vit_token_sum_extractor(cfg: ViTConfig, params, spec=None,
     return FrameStreamExtractor(forward, params, spec, batch_size, max_frames)
 
 
+def eva_clip_g_token_mean_extractor(cfg: ViTConfig, params, ln_vision=None,
+                                    batch_size=16, max_frames=64):
+    """EVA_CLIP_G_NO_QFORMER: ``ln_vision(visual_encoder(image)).mean(tokens)``
+    (MER2025_Track23 my_affectgpt/models/encoder.py:160-174). ``ln_vision``
+    is a plain LayerNorm over 1408 features — identity affine unless a BLIP-2
+    Q-Former checkpoint provides weights (pass ``{"scale", "bias"}``).
+    BLIP-2 preprocessing = OpenAI-CLIP normalization stats."""
+    clip_stats = ((0.48145466, 0.4578275, 0.40821073),
+                  (0.26862954, 0.26130258, 0.27577711))
+    spec = PreprocessSpec(image_size=cfg.image_size, mean=clip_stats[0],
+                          std=clip_stats[1])
+    enc = ViTEncoder(cfg)
+
+    def forward(p, pix):
+        tokens = enc.apply({"params": p}, pix)
+        mu = tokens.mean(-1, keepdims=True)
+        var = jnp.square(tokens - mu).mean(-1, keepdims=True)
+        normed = (tokens - mu) / jnp.sqrt(var + 1e-5)
+        if ln_vision is not None:
+            normed = normed * ln_vision["scale"] + ln_vision["bias"]
+        return normed.mean(axis=1)
+
+    return FrameStreamExtractor(forward, params, spec, batch_size, max_frames)
+
+
 def siglip_token_mean_extractor(cfg, params, batch_size=32, max_frames=64):
     """SigLIP_SO: per-frame last-hidden-state **mean over tokens**
     (MER2025_Track23 my_affectgpt/models/encoder.py:269-281; the HF

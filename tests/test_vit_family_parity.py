@@ -153,3 +153,64 @@ def test_siglip_extractor_shapes(rng):
     utt = ex.extract(faces, level="UTT")
     assert utt["a"].shape == (32,)
     np.testing.assert_allclose(utt["a"], fra["a"].mean(0), rtol=1e-5)
+
+
+def test_eva_clip_g_converter(rng):
+    from mertools_tpu.encoders.vit import (ViTEncoder, eva_clip_g_config,
+                                           from_eva_clip_g_checkpoint)
+
+    r = lambda *s: rng.normal(size=s).astype(np.float32) * 0.05
+    H, inter, patch, grid, L = 16, 40, 14, 2, 2
+    sd = {"patch_embed.proj.weight": r(H, 3, patch, patch),
+          "patch_embed.proj.bias": r(H),
+          "cls_token": r(1, 1, H),
+          "pos_embed": r(1, grid * grid + 1, H)}
+    for i in range(L):
+        sd.update({
+            f"blocks.{i}.norm1.weight": 1 + r(H), f"blocks.{i}.norm1.bias": r(H),
+            f"blocks.{i}.norm2.weight": 1 + r(H), f"blocks.{i}.norm2.bias": r(H),
+            f"blocks.{i}.attn.qkv.weight": r(3 * H, H),
+            f"blocks.{i}.attn.q_bias": r(H), f"blocks.{i}.attn.v_bias": r(H),
+            f"blocks.{i}.attn.proj.weight": r(H, H),
+            f"blocks.{i}.attn.proj.bias": r(H),
+            f"blocks.{i}.mlp.fc1.weight": r(inter, H),
+            f"blocks.{i}.mlp.fc1.bias": r(inter),
+            f"blocks.{i}.mlp.fc2.weight": r(H, inter),
+            f"blocks.{i}.mlp.fc2.bias": r(H),
+        })
+    cfg, params = from_eva_clip_g_checkpoint(sd)
+    assert (cfg.hidden_size, cfg.num_layers, cfg.intermediate_size,
+            cfg.image_size) == (H, L, inter, grid * patch)
+    assert not cfg.final_layernorm and cfg.qv_bias_only
+    enc = ViTEncoder(cfg)
+    ref = enc.init(jax.random.PRNGKey(0),
+                   jax.numpy.zeros((1, 28, 28, 3)))["params"]
+    assert (jax.tree_util.tree_map(lambda a: a.shape, ref)
+            == jax.tree_util.tree_map(lambda a: a.shape, params))
+    out = np.asarray(enc.apply({"params": params},
+                               jax.numpy.asarray(_img(rng, 2, 28))))
+    assert out.shape == (2, cfg.seq_len, H) and np.isfinite(out).all()
+
+
+def test_eva_clip_g_extractor_ln_vision(rng):
+    from mertools_tpu.encoders.vit import ViTEncoder, eva_clip_g_config
+    from mertools_tpu.features.vision_zoo import \
+        eva_clip_g_token_mean_extractor
+
+    cfg = eva_clip_g_config(hidden_size=16, num_layers=1, num_heads=4,
+                            intermediate_size=40, image_size=28)
+    enc = ViTEncoder(cfg)
+    params = enc.init(jax.random.PRNGKey(0),
+                      jax.numpy.zeros((1, 28, 28, 3)))["params"]
+    faces = {"a": (rng.random((3, 112, 112, 3)) * 255).astype(np.uint8)}
+    ex = eva_clip_g_token_mean_extractor(cfg, params, batch_size=4)
+    utt = ex.extract(faces, level="UTT")["a"]
+    assert utt.shape == (16,) and np.isfinite(utt).all()
+    # token-mean of a layernormed representation: near-zero mean feature
+    assert abs(utt.mean()) < 1.0
+    # identity-affine ln_vision == explicit identity weights
+    ident = {"scale": jax.numpy.ones(16), "bias": jax.numpy.zeros(16)}
+    ex2 = eva_clip_g_token_mean_extractor(cfg, params, ln_vision=ident,
+                                          batch_size=4)
+    np.testing.assert_allclose(ex2.extract(faces, level="UTT")["a"], utt,
+                               rtol=1e-6)
