@@ -207,15 +207,14 @@ def read_wheel_table(path: str) -> dict:
     """Read one emotion-wheel file into {level1: {level2: [level3...]}}.
 
     Mirrors ``wheel.py read_wheel_to_map``: columns level1/level2/level3 with
-    blank cells forward-filled from the row above. Accepts .csv always and
-    .xlsx when openpyxl is available.
+    blank cells forward-filled from the row above. Accepts .csv and .xlsx
+    (dependency-free reader, io/xlsx.py).
     """
     rows = []
     if path.endswith(".xlsx"):
-        import pandas as pd
+        from ..io.xlsx import read_xlsx_records
 
-        df = pd.read_excel(path)
-        rows = df.to_dict("records")
+        rows = read_xlsx_records(path)
     else:
         import csv
 
