@@ -38,8 +38,21 @@ def main(argv=None):
 
     p = argparse.ArgumentParser("inference_mllm")
     p.add_argument("--ckpt", required=True, help="orbax checkpoint dir")
-    p.add_argument("--video_feat_dir", required=True)
-    p.add_argument("--audio_feat_dir", required=True)
+    p.add_argument("--video_feat_dir", default=None,
+                   help="offline feature store (or use --face_dir + encoder)")
+    p.add_argument("--audio_feat_dir", default=None)
+    # raw-input mode (reference inference_hybird.py:214-254 online encoding)
+    p.add_argument("--face_dir", default=None,
+                   help="per-clip face npy dir; encoded online")
+    p.add_argument("--audio_dir", default=None,
+                   help="per-clip 16 kHz wav dir; encoded online")
+    p.add_argument("--visual_encoder", default="CLIP_VIT_LARGE",
+                   help="registry name (encoder.py registry equivalents)")
+    p.add_argument("--acoustic_encoder", default="HUBERT_LARGE")
+    p.add_argument("--visual_pretrain", default=None)
+    p.add_argument("--acoustic_pretrain", default=None)
+    p.add_argument("--random_init_encoders", action="store_true",
+                   help="tiny random encoders (smoke without checkpoints)")
     p.add_argument("--subtitle_csv", default=None)
     p.add_argument("--save_path", required=True)
     p.add_argument("--tokenizer", required=True)
@@ -61,8 +74,27 @@ def main(argv=None):
     chat = Chat(model, params, tok, max_new_tokens=args.max_new_tokens,
                 temperature=args.temperature)
 
+    raw_mode = args.face_dir is not None or args.audio_dir is not None
+    if raw_mode:
+        assert args.face_dir and args.audio_dir, \
+            "raw mode needs both --face_dir and --audio_dir"
+        from ..mllm.encoders import (build_acoustic_encoder,
+                                     build_visual_encoder)
+        venc, _ = build_visual_encoder(args.visual_encoder,
+                                       args.visual_pretrain,
+                                       args.random_init_encoders,
+                                       max_frames=args.max_video_frames)
+        aenc, _ = build_acoustic_encoder(args.acoustic_encoder,
+                                         args.acoustic_pretrain,
+                                         args.random_init_encoders)
+        list_dir = args.face_dir
+    else:
+        assert args.video_feat_dir and args.audio_feat_dir, \
+            "feature-store mode needs --video_feat_dir and --audio_feat_dir"
+        list_dir = args.video_feat_dir
+
     subtitles = read_subtitles(args.subtitle_csv)
-    files = sorted(glob.glob(os.path.join(args.video_feat_dir, "*.npy")))
+    files = sorted(glob.glob(os.path.join(list_dir, "*.npy")))
     names = [os.path.splitext(os.path.basename(f))[0] for f in files]
 
     name2reason = {}
@@ -82,15 +114,32 @@ def main(argv=None):
             x = x[idx]
         return x
 
+    from ..io import wav as wav_io
+
+    def raw_feats(group):
+        faces = {n: np.load(os.path.join(args.face_dir, n + ".npy"))
+                 for n in group}
+        wavs = {n: wav_io.read_wav_16k(
+            os.path.join(args.audio_dir, n + ".wav")) for n in group}
+        return venc(faces), aenc(wavs)
+
     for i in range(0, len(todo), args.batch):
         group = todo[i: i + args.batch]
-        samples = [{
-            "video_feats": load_feat(args.video_feat_dir, n,
-                                     args.max_video_frames),
-            "audio_feats": load_feat(args.audio_feat_dir, n,
-                                     args.max_audio_frames),
-            "subtitle": subtitles.get(n, ""),
-        } for n in group]
+        if raw_mode:
+            vfeats, afeats = raw_feats(group)
+            samples = [{
+                "video_feats": vfeats[n].astype(np.float32),
+                "audio_feats": afeats[n].astype(np.float32),
+                "subtitle": subtitles.get(n, ""),
+            } for n in group]
+        else:
+            samples = [{
+                "video_feats": load_feat(args.video_feat_dir, n,
+                                         args.max_video_frames),
+                "audio_feats": load_feat(args.audio_feat_dir, n,
+                                         args.max_audio_frames),
+                "subtitle": subtitles.get(n, ""),
+            } for n in group]
         answers = chat.answer_batch(samples)
         for n, a in zip(group, answers):
             name2reason[n] = a
