@@ -80,30 +80,6 @@ class PipelinedLLM:
             x = self._layer.apply({"params": p_li}, x, positions, bias)
         return x
 
-    def _schedule(self, stage_params, micro_x, positions, bias):
-        """Inside shard_map over 'pipe' (and optionally 'data').
-
-        micro_x: (n_micro, mb, S, H) replicated over 'pipe'; returns the
-        last stage's outputs broadcast to every stage.
-        """
-        n, m = self.n_stages, self.n_micro
-        stage = jax.lax.axis_index("pipe")
-        stage_params = jax.tree_util.tree_map(lambda a: a[0], stage_params)
-        mb, S, H = micro_x.shape[1:]
-        buf = jnp.zeros((mb, S, H), micro_x.dtype)
-        fwd_perm = [(i, (i + 1) % n) for i in range(n)]
-        outs = []
-        for t in range(m + n - 1):
-            feed = micro_x[min(t, m - 1)]
-            inp = jnp.where(stage == 0, feed, buf)
-            h = self._stage_fn(stage_params, inp, positions, bias)
-            outs.append(h)
-            buf = jax.lax.ppermute(h, "pipe", fwd_perm)
-        # microbatch k leaves the last stage at tick n-1+k
-        out = jnp.stack(outs[n - 1:])                      # (m, mb, S, H)
-        out = jnp.where(stage == n - 1, out, jnp.zeros_like(out))
-        return jax.lax.psum(out, "pipe")                   # broadcast
-
     # ------------------------------------------------------------- forward
     def __call__(self, stacked, shared, inputs_embeds, attention_mask=None):
         """inputs_embeds: (B, S, H) with B % n_micro == 0 -> logits (B, S, V)."""
