@@ -11,8 +11,10 @@ Per modality (reference semantics):
 
 Everything is precomputed into static-shape arrays so the jitted CV trainer
 consumes it exactly like the feature datasets (arrays() pytree protocol).
-Video arrays are memory-heavy — intended for the reference's e2e
-fine-tuning scale (thousands of clips), not feature extraction.
+Video defaults to the compact layout: source-resolution uint8 frames
+(``videos_u8``) with resize/normalize fused into the jitted model forward —
+~600 KB/clip instead of ~9.6 MB/clip precomputed float, so reference-scale
+e2e corpora fit device memory.
 """
 
 from __future__ import annotations
@@ -98,7 +100,22 @@ class E2EDataset:
     def build_video(cls, names, emos, vals, face_root, n_frms: int = 16,
                     image_size: int = 224,
                     mean=(0.48145466, 0.4578275, 0.40821073),
-                    std=(0.26862954, 0.26130258, 0.27577711)) -> "E2EDataset":
+                    std=(0.26862954, 0.26130258, 0.27577711),
+                    compact: bool = True) -> "E2EDataset":
+        """``compact=True`` (default) keeps frames as source-resolution uint8
+        BGR under ``videos_u8``; the model preprocesses on device inside jit
+        (models/e2e_model.preprocess_video_u8) — 16-32x less memory than
+        precomputed float frames, so reference-scale corpora fit in HBM.
+        ``compact=False`` reproduces the old precomputed-float layout."""
+        if compact:
+            vids = []
+            for n in names:
+                arr = np.load(os.path.join(face_root, f"{n}.npy"))
+                idx = np.linspace(0, len(arr) - 1, n_frms).astype(int)
+                vids.append(np.ascontiguousarray(arr[idx]))
+            return cls(list(names), np.asarray(emos, np.int32),
+                       np.asarray(vals, np.float32), "video",
+                       {"videos_u8": np.stack(vids).astype(np.uint8)})
         import jax
         import jax.numpy as jnp
 

@@ -35,11 +35,36 @@ class E2EConfig:
     dropout: float = 0.3
     output_dim1: int = 6
     output_dim2: int = 1
+    # on-device preprocessing for compact uint8 video batches (videos_u8):
+    image_size: int = 224
+    pixel_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
+    pixel_std: tuple = (0.26862954, 0.26130258, 0.27577711)
+
+
+def preprocess_video_u8(v, image_size: int, mean, std):
+    """(B, T, h, w, 3) uint8 BGR -> (B, T, S, S, 3) normalized float32, fully
+    inside jit. Keeping video batches uint8 at source resolution cuts HBM by
+    16-32x vs precomputed float frames (the memory gap of the precompute
+    design); XLA fuses this into the encoder's first conv pipeline."""
+    B, T = v.shape[0], v.shape[1]
+    x = v.astype(jnp.float32)[..., ::-1] / 255.0         # BGR -> RGB
+    x = x.reshape((B * T,) + x.shape[2:])
+    x = jax.image.resize(x, (B * T, image_size, image_size, 3),
+                         method="bicubic")
+    x = (x - jnp.asarray(mean)) / jnp.asarray(std)
+    return x.reshape(B, T, image_size, image_size, 3)
 
 
 class E2EModel(nn.Module):
     cfg: E2EConfig
     backbone: Any            # Flax encoder module (see pooling contract)
+
+    def _video_batch(self, batch):
+        c = self.cfg
+        if "videos_u8" in batch:
+            return preprocess_video_u8(batch["videos_u8"], c.image_size,
+                                       c.pixel_mean, c.pixel_std)
+        return batch["videos"]
 
     def _pool(self, batch):
         c = self.cfg
@@ -56,13 +81,13 @@ class E2EModel(nn.Module):
             x = sum(hs[-4:]).mean(axis=1)                 # (B*seg, D)
             return x.reshape(B, seg, -1).mean(axis=1)
         if c.modality == "video_clip":
-            v = batch["videos"]                           # (B, T, H, W, 3)
+            v = self._video_batch(batch)                  # (B, T, H, W, 3)
             B, T = v.shape[0], v.shape[1]
             out = self.backbone(v.reshape((B * T,) + v.shape[2:]))
             emb = out["image_embeds"] if isinstance(out, dict) else out
             return emb.reshape(B, T, -1).mean(axis=1)
         if c.modality == "video_mae":
-            tokens = self.backbone(batch["videos"])       # (B, seg*patch, D)
+            tokens = self.backbone(self._video_batch(batch))
             vc = self.backbone.cfg
             n_seg = vc.num_frames // vc.tubelet_size
             patches = vc.grid * vc.grid
@@ -116,7 +141,11 @@ class VideoMAEPretrain(nn.Module):
         from ..encoders.vit import ViTConfig, _Block
 
         vc = self.backbone.cfg
-        videos = batch["videos"]                         # (B, T, H, W, 3)
+        if "videos_u8" in batch:                         # compact uint8 path
+            videos = preprocess_video_u8(batch["videos_u8"], vc.image_size,
+                                         (0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+        else:
+            videos = batch["videos"]                     # (B, T, H, W, 3)
         B = videos.shape[0]
         tokens = self.backbone(videos)                   # (B, N, D)
         N = tokens.shape[1]
@@ -257,7 +286,8 @@ def build_e2e_model(args):
         dropout=args.get("dropout") if args.get("dropout") is not None else 0.3,
         output_dim1=args.get("output_dim1") or 6,
         output_dim2=args.get("output_dim2")
-        if args.get("output_dim2") is not None else 1)
+        if args.get("output_dim2") is not None else 1,
+        image_size=getattr(bcfg, "image_size", 224))
     return E2EModel(cfg, backbone), backbone_params
 
 

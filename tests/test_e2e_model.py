@@ -165,3 +165,57 @@ def test_videomae_pretrain_cli(tmp_path, rng):
         f"--label_path={tmp_path / 'labels.npz'}",
     ])
     assert result.cv is not None
+
+
+def test_compact_u8_video_matches_precomputed(rng, tmp_path):
+    """videos_u8 + on-device preprocessing == precomputed float frames."""
+    import os
+
+    from mertools_tpu.data.e2e_dataset import E2EDataset
+    from mertools_tpu.encoders.vit_clip import (CLIPVisionConfig,
+                                                CLIPVisionEncoder)
+    from mertools_tpu.models.e2e_model import _CLIPEmbedWrapper
+
+    face_root = str(tmp_path)
+    names = ["a", "b"]
+    for n in names:
+        np.save(os.path.join(face_root, f"{n}.npy"),
+                (rng.random((5, 48, 48, 3)) * 255).astype(np.uint8))
+    emos, vals = [0, 1], [0.1, -0.2]
+
+    S = 32
+    ds_u8 = E2EDataset.build_video(names, emos, vals, face_root, n_frms=4,
+                                   image_size=S, compact=True)
+    ds_f = E2EDataset.build_video(names, emos, vals, face_root, n_frms=4,
+                                  image_size=S, compact=False)
+    assert ds_u8.arrays()["videos_u8"].dtype == np.uint8
+    assert ds_u8.arrays()["videos_u8"].shape == (2, 4, 48, 48, 3)
+
+    bcfg = CLIPVisionConfig(hidden_size=16, num_hidden_layers=1,
+                            num_attention_heads=2, intermediate_size=32,
+                            image_size=S, patch_size=16, projection_dim=12)
+    backbone = _CLIPEmbedWrapper(CLIPVisionEncoder(bcfg))
+    model = E2EModel(E2EConfig("video_clip", feat_dim=12, hidden_dim=8,
+                               image_size=S), backbone)
+    b_u8 = {"videos_u8": ds_u8.arrays()["videos_u8"]}
+    b_f = {"videos": ds_f.arrays()["videos"].astype(np.float32)}
+    params = model.init(jax.random.PRNGKey(0), b_u8)["params"]
+    f1, e1, v1, _ = model.apply({"params": params}, b_u8)
+    f2, e2, v2, _ = model.apply({"params": params}, b_f)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-5)
+
+
+def test_videomae_pretrain_u8_path(rng):
+    from mertools_tpu.encoders.vit import ViTEncoder, videomae_config
+
+    vcfg = videomae_config(hidden_size=24, num_layers=1, num_heads=2,
+                           intermediate_size=48, image_size=32,
+                           patch_size=16, num_frames=4, tubelet_size=2)
+    model = VideoMAEPretrain(ViTEncoder(vcfg), mask_ratio=0.5)
+    batch = {"videos_u8": (rng.random((2, 4, 48, 48, 3)) * 255
+                           ).astype(np.uint8)}
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+    feats, _, _, loss = model.apply({"params": params}, batch)
+    assert feats.shape == (2, 24)
+    assert np.isfinite(float(loss)) and float(loss) > 0
