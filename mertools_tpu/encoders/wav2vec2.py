@@ -54,6 +54,11 @@ class Wav2Vec2Config:
     # (modeling_data2vec_audio.py:93-124) instead of one weight-normed conv
     pos_conv_depth: int = 0
     conv_pos_kernel_size: int = 19
+    # Pallas flash attention (TPU): O(T) memory, fused softmax — avoids
+    # materializing the (B, nh, T, T) logits in HBM. Inference-path numerics
+    # differ at the ~1e-3 level from XLA attention; the extractor enables it
+    # automatically in bf16 production mode only (standard attn, TPU).
+    use_flash_attention: bool = False
 
     @classmethod
     def base(cls):
@@ -150,6 +155,28 @@ class _Attention(nn.Module):
         q = proj("q_proj", x).reshape(*x.shape[:2], nh, hd) * (hd ** -0.5)
         k = proj("k_proj", x).reshape(*x.shape[:2], nh, hd)
         v = proj("v_proj", x).reshape(*x.shape[:2], nh, hd)
+        if c.use_flash_attention:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds, flash_attention)
+
+            B, T = x.shape[0], x.shape[1]
+            Tp = -(-T // 512) * 512            # kernel-friendly padding
+            padlen = Tp - T
+            # valid frames recovered from the additive pad bias; pads get
+            # their own segment (2) so masked rows stay finite (zeros attend
+            # zeros) instead of NaN-ing a fully-masked softmax row.
+            valid = (bias[:, 0, 0, :] > -1e29) if bias is not None \
+                else jnp.ones((B, T), bool)
+            seg = jnp.where(valid, 1, 2).astype(jnp.int32)
+            seg = jnp.pad(seg, ((0, 0), (0, padlen)), constant_values=2)
+            pad4 = ((0, 0), (0, padlen), (0, 0), (0, 0))
+            qh = jnp.pad(q, pad4).transpose(0, 2, 1, 3)
+            kh = jnp.pad(k, pad4).transpose(0, 2, 1, 3)
+            vh = jnp.pad(v, pad4).transpose(0, 2, 1, 3)
+            out = flash_attention(qh, kh, vh, causal=False, sm_scale=1.0,
+                                  segment_ids=SegmentIds(q=seg, kv=seg))
+            out = out.transpose(0, 2, 1, 3)[:, :T].reshape(B, T, H)
+            return proj("out_proj", out)
         logits = jnp.einsum("bqnd,bknd->bnqk", q, k, precision=self.precision)
         if bias is not None:
             logits = logits + bias

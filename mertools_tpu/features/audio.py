@@ -72,14 +72,29 @@ class AudioExtractor:
     # matmuls (~2.2x on the MXU, ~0.8% rel err — comparable to the A100
     # reference's torch TF32 defaults). None/"f32": parity mode.
     compute_dtype: str | None = None
+    # Pallas flash attention in the encoder (standard attention, TPU only).
+    # MEASURED SLOWER for this workload: 0.64x vs XLA attention at T~500
+    # frames, B=32, bf16 (v5e) — the 10 s-chunked sequences are short enough
+    # that XLA's fused attention wins; the pallas kernel only pays off at
+    # several-thousand-frame sequences. Off by default; kept for long-context
+    # variants. 0.14% rel err vs XLA when enabled.
+    flash: object = False
     # optional jax.sharding.Mesh: params replicate, batches shard over the
     # 'data' axis — multi-chip extraction with XLA-inserted collectives.
     mesh: object = None
 
     def __post_init__(self):
+        import dataclasses as _dc
+
         precision = (jax.lax.Precision.DEFAULT
                      if self.compute_dtype == "bf16" else self.precision)
-        enc = Wav2Vec2Encoder(self.cfg, precision=precision)
+        use_flash = (self.flash is True
+                     and self.cfg.attn_type == "standard"
+                     and jax.devices()[0].platform == "tpu")
+        cfg = (_dc.replace(self.cfg, use_flash_attention=True)
+               if use_flash and not self.cfg.use_flash_attention else self.cfg)
+        self.cfg = cfg
+        enc = Wav2Vec2Encoder(cfg, precision=precision)
         cast = (lambda x: x.astype(jnp.bfloat16)) \
             if self.compute_dtype == "bf16" else (lambda x: x)
 

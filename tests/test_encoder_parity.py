@@ -157,3 +157,35 @@ def test_data2vec_audio_parity():
     out = Wav2Vec2Encoder(cfg).apply({"params": params}, wav)
     for o, r in zip(out, ref):
         np.testing.assert_allclose(np.asarray(o), r.numpy(), atol=3e-4)
+
+
+def test_wav2vec2_flash_attention_parity(rng):
+    """Pallas flash path in the encoder (TPU only; off by default — measured
+    slower than XLA attention at the 10 s-chunk lengths, kept for
+    long-context variants)."""
+    import dataclasses
+
+    import jax
+    import pytest
+
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("pallas flash attention requires TPU")
+    from mertools_tpu.encoders.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+
+    cfg = Wav2Vec2Config(hidden_size=256, num_hidden_layers=2,
+                         num_attention_heads=2, intermediate_size=256,
+                         conv_dim=(64, 64), conv_kernel=(10, 3),
+                         conv_stride=(5, 2), num_conv_pos_embeddings=16,
+                         num_conv_pos_embedding_groups=2)
+    enc = Wav2Vec2Encoder(cfg)
+    wav = rng.normal(size=(2, 16000)).astype(np.float32)
+    lens = np.array([16000, 9000], np.int32)
+    params = enc.init(jax.random.PRNGKey(0), wav[:1])["params"]
+    ref = np.asarray(enc.apply({"params": params}, wav, lens)[-1])
+    fenc = Wav2Vec2Encoder(dataclasses.replace(cfg, use_flash_attention=True))
+    out = np.asarray(fenc.apply({"params": params}, wav, lens)[-1])
+    frames = cfg.feat_lengths(lens)
+    for b, F in enumerate(frames):
+        rel = (np.abs(out[b, :F] - ref[b, :F]).max()
+               / np.abs(ref[b, :F]).max())
+        assert rel < 0.01, rel
