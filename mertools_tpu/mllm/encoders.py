@@ -154,6 +154,80 @@ def _eva_clip_g_no_qformer(path, random_init, max_frames):
     return _fra(ex), cfg.hidden_size
 
 
+@registry.register(VISUAL_KIND, "EVA_CLIP_G")
+def _eva_clip_g(path, random_init, max_frames):
+    """EVA-ViT-g + ln_vision + frozen BLIP-2 Q-Former: each frame compressed
+    to 32 query tokens (encoder.py:43-120); output (T*32, 768) per clip.
+
+    ``path``: dict-like or ':'-joined pair 'eva_vit_g.pth:blip2_qformer.pth'
+    (the reference's PATH_TO_VISUAL EVA_CLIP_G + VIT_QFORMER files).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..encoders.vit import (ViTEncoder, eva_clip_g_config,
+                                from_eva_clip_g_checkpoint)
+    from ..features.vision_zoo import (FrameStreamExtractor, PreprocessSpec)
+    from .qformer import QFormer, QFormerConfig, from_blip2_qformer
+
+    ln_vision = None
+    if random_init:
+        cfg = eva_clip_g_config(hidden_size=32, num_layers=2, num_heads=4,
+                                intermediate_size=64, image_size=28)
+        params = ViTEncoder(cfg).init(
+            jax.random.PRNGKey(0), np.zeros((1, 28, 28, 3), np.float32)
+        )["params"]
+        qcfg = QFormerConfig.blip2(num_layers=2, num_queries=4,
+                                   hidden_size=16, num_heads=2,
+                                   intermediate_size=32)
+        qformer = QFormer(qcfg)
+        qparams = qformer.init(jax.random.PRNGKey(1),
+                               np.zeros((1, 5, 32), np.float32))["params"]
+    else:
+        import torch
+
+        vit_path, qf_path = path.split(":")
+        sd = torch.load(vit_path, map_location="cpu", weights_only=True)
+        cfg, params = from_eva_clip_g_checkpoint(dict(sd))
+        qsd = dict(torch.load(qf_path, map_location="cpu",
+                              weights_only=True))
+        qsd = qsd.get("model", qsd)
+        qcfg, qparams = from_blip2_qformer(qsd)
+        if "ln_vision.weight" in qsd:   # BLIP-2 ckpt carries ln_vision
+            ln_vision = {"scale": np.asarray(qsd["ln_vision.weight"]),
+                         "bias": np.asarray(qsd["ln_vision.bias"])}
+        qformer = QFormer(qcfg)
+    enc = ViTEncoder(cfg)
+    clip_stats = ((0.48145466, 0.4578275, 0.40821073),
+                  (0.26862954, 0.26130258, 0.27577711))
+    spec = PreprocessSpec(image_size=cfg.image_size, mean=clip_stats[0],
+                          std=clip_stats[1])
+    full = {"vit": params, "qformer": qparams}
+
+    def forward(p, pix):
+        tokens = enc.apply({"params": p["vit"]}, pix)    # (B, 1+N, D)
+        mu = tokens.mean(-1, keepdims=True)
+        var = jnp.square(tokens - mu).mean(-1, keepdims=True)
+        tokens = (tokens - mu) / jnp.sqrt(var + 1e-5)
+        if ln_vision is not None:
+            tokens = tokens * jnp.asarray(ln_vision["scale"]) \
+                + jnp.asarray(ln_vision["bias"])
+        q = qformer.apply({"params": p["qformer"]}, tokens)  # (B, nq, H)
+        return q.reshape(tokens.shape[0], -1)            # flat per frame
+
+    ex = FrameStreamExtractor(forward, full, spec, batch_size=8,
+                              max_frames=max_frames)
+    nq, qh = qformer.cfg.num_queries, qformer.cfg.hidden_size
+
+    def encode(faces: dict) -> dict:
+        out = ex.extract(faces, level="FRA")
+        # (T, nq*H) -> (T*nq, H): the reference flattens frame-major query
+        # tokens before the video Q-Former (affectgpt.py:357-406)
+        return {n: v.reshape(-1, qh) for n, v in out.items()}
+
+    return encode, qh
+
+
 # ---------------------------------------------------------------- acoustic
 
 

@@ -32,6 +32,19 @@ class QFormerConfig:
     intermediate_size: int = 3072
     cross_attention_freq: int = 1
     layer_norm_eps: float = 1e-12
+    # BLIP-2 checkpoint compatibility: cross-attn k/v consume the raw
+    # encoder width (no shared projection), and the query tokens pass
+    # through the BertEmbeddings LayerNorm first.
+    project_encoder: bool = True
+    query_layernorm: bool = False
+
+    @classmethod
+    def blip2(cls, num_layers=12, **kw):
+        """BLIP-2 pretrained Q-Former shape (LAVIS blip2_pretrained.pth /
+        HF Blip2QFormerModel): 12 layers, cross-attn every 2nd layer."""
+        kw.setdefault("cross_attention_freq", 2)
+        return cls(num_layers=num_layers, project_encoder=False,
+                   query_layernorm=True, **kw)
 
 
 class _MHA(nn.Module):
@@ -68,7 +81,9 @@ class QFormer(nn.Module):
         queries = self.param("query_tokens", nn.initializers.normal(0.02),
                              (c.num_queries, c.hidden_size))
         x = jnp.broadcast_to(queries, (B, c.num_queries, c.hidden_size))
-        if enc_feats.shape[-1] != c.hidden_size:
+        if c.query_layernorm:  # BLIP-2 BertEmbeddings LayerNorm on queries
+            x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="query_ln")(x)
+        if c.project_encoder and enc_feats.shape[-1] != c.hidden_size:
             enc_feats = nn.Dense(c.hidden_size, name="enc_proj",
                                  precision=self.precision)(enc_feats)
         cross_bias = None
@@ -91,3 +106,79 @@ class QFormer(nn.Module):
                          precision=self.precision)(h)
             x = ln(f"ffn_ln_{i}")(x + h)
         return x
+
+
+# ---------------------------------------------------------------------------
+# BLIP-2 checkpoint conversion (LAVIS Qformer.bert.* / HF Blip2QFormerModel)
+# ---------------------------------------------------------------------------
+
+
+def _t(x):
+    return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
+
+
+def from_blip2_qformer(sd: dict, prefix: str = "Qformer.bert.",
+                       attn_inner: str = "self", num_heads: int | None = None
+                       ) -> tuple[QFormerConfig, dict]:
+    """Convert a BLIP-2 Q-Former state dict (the reference loads LAVIS
+    ``blip2_pretrained.pth`` for the EVA_CLIP_G vision Q-Former,
+    encoder.py:76-85; its text branch — intermediate/output — is deleted, so
+    only the *_query MLP path is mapped).
+
+    ``prefix``/``attn_inner``: LAVIS uses ``Qformer.bert.`` + ``attention.
+    self.query``; HF ``Blip2QFormerModel`` uses ``""`` + ``attention.
+    attention.query`` (and ``layernorm`` instead of ``embeddings.LayerNorm``).
+    """
+    def get(k):
+        return _t(sd[k])
+
+    n_layers = 1 + max(int(k.removeprefix(f"{prefix}encoder.layer.")
+                           .split(".")[0])
+                       for k in sd if k.startswith(f"{prefix}encoder.layer."))
+    H = get(f"{prefix}encoder.layer.0.attention.{attn_inner}.query.weight"
+            ).shape[0]
+    inter = get(f"{prefix}encoder.layer.0.intermediate_query.dense.weight"
+                ).shape[0]
+    has_cross = [i for i in range(n_layers) if
+                 f"{prefix}encoder.layer.{i}.crossattention.{attn_inner}."
+                 f"query.weight" in sd]
+    freq = has_cross[1] - has_cross[0] if len(has_cross) > 1 else n_layers
+    qt_key = "query_tokens"
+    num_q = _t(sd[qt_key]).shape[1] if qt_key in sd else 32
+    n_heads = num_heads or 12            # BLIP-2 production value
+    cfg = QFormerConfig(num_queries=num_q, hidden_size=H,
+                        num_layers=n_layers, num_heads=n_heads,
+                        intermediate_size=inter, cross_attention_freq=freq,
+                        project_encoder=False, query_layernorm=True)
+
+    def dense(k):
+        return {"kernel": get(f"{k}.weight").T, "bias": get(f"{k}.bias")}
+
+    def ln(k):
+        return {"scale": get(f"{k}.weight"), "bias": get(f"{k}.bias")}
+
+    emb_ln = (f"{prefix}embeddings.LayerNorm"
+              if f"{prefix}embeddings.LayerNorm.weight" in sd
+              else f"{prefix.removesuffix('bert.')}layernorm")
+    params: dict = {"query_ln": ln(emb_ln)}
+    if qt_key in sd:
+        params["query_tokens"] = _t(sd[qt_key]).reshape(num_q, H)
+    for i in range(n_layers):
+        lp = f"{prefix}encoder.layer.{i}"
+        params[f"self_attn_{i}"] = {
+            "q": dense(f"{lp}.attention.{attn_inner}.query"),
+            "k": dense(f"{lp}.attention.{attn_inner}.key"),
+            "v": dense(f"{lp}.attention.{attn_inner}.value"),
+            "out": dense(f"{lp}.attention.output.dense")}
+        params[f"self_ln_{i}"] = ln(f"{lp}.attention.output.LayerNorm")
+        if i in has_cross:
+            params[f"cross_attn_{i}"] = {
+                "q": dense(f"{lp}.crossattention.{attn_inner}.query"),
+                "k": dense(f"{lp}.crossattention.{attn_inner}.key"),
+                "v": dense(f"{lp}.crossattention.{attn_inner}.value"),
+                "out": dense(f"{lp}.crossattention.output.dense")}
+            params[f"cross_ln_{i}"] = ln(f"{lp}.crossattention.output.LayerNorm")
+        params[f"ffn1_{i}"] = dense(f"{lp}.intermediate_query.dense")
+        params[f"ffn2_{i}"] = dense(f"{lp}.output_query.dense")
+        params[f"ffn_ln_{i}"] = ln(f"{lp}.output_query.LayerNorm")
+    return cfg, jax.tree_util.tree_map(jnp.asarray, params)
