@@ -147,6 +147,25 @@ def cmd_detect_faces(args):
     print("done")
 
 
+def cmd_normalize_dataset(args):
+    from ..data import normalize as N
+
+    ds = args.dataset
+    if ds in ("cmumosi", "cmumosei"):
+        assert args.label_pkl, f"{ds} needs --label_pkl"
+        out = N.normalize_cmu(args.label_pkl, args.save_root)
+    elif ds == "iemocap":
+        assert args.label_pkl, "iemocap needs --label_pkl"
+        out = N.normalize_iemocap(args.label_pkl, args.save_root,
+                                  data_root=args.data_root, ways=args.ways)
+    else:
+        assert args.data_root, f"{ds} needs --data_root"
+        out = N.NORMALIZERS[ds](args.data_root, args.save_root,
+                                copy_videos=args.copy_videos)
+    print(f"wrote {out}")
+    return out
+
+
 def cmd_check_features(args):
     """Completeness scan: every labeled clip has a feature file with finite
     values and a consistent trailing dim."""
@@ -201,6 +220,21 @@ def main(argv=None):
     d.add_argument("--size", type=int, default=112)
     d.add_argument("--score_thresh", type=float, default=0.5)
     d.set_defaults(fn=cmd_detect_faces)
+
+    n = sub.add_parser("normalize-dataset",
+                       help="raw dataset distribution -> normalized layout "
+                            "(toolkit/preprocess/* equivalents)")
+    n.add_argument("--dataset", required=True,
+                   choices=["mer2023", "meld", "sims", "simsv2", "cmumosi",
+                            "cmumosei", "iemocap"])
+    n.add_argument("--data_root", default=None,
+                   help="raw distribution root (CSV layouts)")
+    n.add_argument("--label_pkl", default=None,
+                   help="community label pkl (cmumosi/cmumosei/iemocap)")
+    n.add_argument("--save_root", required=True)
+    n.add_argument("--copy_videos", action="store_true")
+    n.add_argument("--ways", type=int, default=4, help="iemocap 4/6-way")
+    n.set_defaults(fn=cmd_normalize_dataset)
 
     k = sub.add_parser("check-features")
     k.add_argument("--feature_root", required=True)

@@ -1,0 +1,136 @@
+"""Per-dataset raw->normalized converters (data/normalize.py vs
+toolkit/preprocess/* semantics), driven via synthetic raw distributions."""
+
+import csv
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from mertools_tpu.cli.preprocess import main as preprocess_main
+
+
+def _wcsv(path, header, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(rows)
+
+
+def test_normalize_meld(tmp_path):
+    root = str(tmp_path / "raw")
+    for split, fname in (("train", "train_sent_emo.csv"),
+                         ("dev", "dev_sent_emo.csv"),
+                         ("test", "test_sent_emo.csv")):
+        _wcsv(os.path.join(root, fname),
+              ["Dialogue_ID", "Utterance_ID", "Emotion", "Utterance"],
+              [[0, 0, "joy", f"{split} hello"], [0, 1, "anger", "grr"]])
+    save = str(tmp_path / "out")
+    preprocess_main(["normalize-dataset", "--dataset=meld",
+                     f"--data_root={root}", f"--save_root={save}"])
+    lab = np.load(os.path.join(save, "label.npz"), allow_pickle=True)
+    train = lab["train_corpus"].item()
+    assert train["train_dia0_utt0"] == {"emo": 1, "val": -10}  # joy -> 1
+    assert train["train_dia0_utt1"]["emo"] == 0                # anger -> 0
+    with open(os.path.join(save, "transcription.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert rows[0]["name"] == "train_dia0_utt0"
+    assert rows[0]["english"] == "train hello"
+    assert len(rows) == 6
+
+
+def test_normalize_simsv2(tmp_path):
+    root = str(tmp_path / "raw")
+    _wcsv(os.path.join(root, "meta.csv"),
+          ["video_id", "clip_id", "text", "label", "mode"],
+          [["vidA", "0001", "ni hao", 0.6, "train"],
+           ["vidA", "0002", "zai jian", -0.2, "valid"],
+           ["vidB", "0001", "xie xie", 0.0, "test"]])
+    save = str(tmp_path / "out")
+    preprocess_main(["normalize-dataset", "--dataset=simsv2",
+                     f"--data_root={root}", f"--save_root={save}"])
+    lab = np.load(os.path.join(save, "label.npz"), allow_pickle=True)
+    assert lab["train_corpus"].item()["vidA_0001"] == {"emo": 0, "val": 0.6}
+    assert lab["val_corpus"].item()["vidA_0002"]["val"] == -0.2
+    assert "vidB_0001" in lab["test_corpus"].item()
+
+
+def test_normalize_sims(tmp_path):
+    root = str(tmp_path / "raw")
+    _wcsv(os.path.join(root, "metadata/sentiment/label_M.csv"),
+          ["video_id", "clip_id", "label"],
+          [["v1", "1", 0.4], ["v1", "2", -0.8], ["v2", "1", 0.0]])
+    for split, idx in (("train", [0]), ("val", [1]), ("test", [2])):
+        _wcsv(os.path.join(root, "metadata", f"{split}_index.csv"),
+              ["index"], [[i] for i in idx])
+    _wcsv(os.path.join(root, "metadata/Translation.csv"),
+          ["video_id", "clip_id", "Chinese", "English"],
+          [["v1", "1", "chi1", "eng1"], ["v1", "2", "chi2", "eng2"],
+           ["v2", "1", "chi3", "eng3"]])
+    save = str(tmp_path / "out")
+    preprocess_main(["normalize-dataset", "--dataset=sims",
+                     f"--data_root={root}", f"--save_root={save}"])
+    lab = np.load(os.path.join(save, "label.npz"), allow_pickle=True)
+    assert lab["train_corpus"].item() == {"v1_0001": {"emo": 0, "val": 0.4}}
+    assert lab["test_corpus"].item() == {"v2_0001": {"emo": 0, "val": 0.0}}
+    with open(os.path.join(save, "transcription.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert rows[0] == {"name": "v1_0001", "chinese": "chi1",
+                       "english": "eng1"}
+
+
+def test_normalize_cmu_and_iemocap(tmp_path):
+    # community 7-tuple pkl (cmumosi/cmumosei layout)
+    videoIDs = {"vidA": ["vidA_1", "vidA_2"], "vidB": ["vidB_1"]}
+    videoLabels = {"vidA": [0.5, -0.5], "vidB": [1.5]}
+    videoSentences = {"vidA": ["hi", "bye"], "vidB": ["ok"]}
+    pkl7 = str(tmp_path / "cmu.pkl")
+    with open(pkl7, "wb") as f:
+        pickle.dump((videoIDs, videoLabels, None, videoSentences,
+                     {"vidA"}, set(), {"vidB"}), f)
+    save = str(tmp_path / "cmu_out")
+    preprocess_main(["normalize-dataset", "--dataset=cmumosi",
+                     f"--label_pkl={pkl7}", f"--save_root={save}"])
+    lab = np.load(os.path.join(save, "label.npz"), allow_pickle=True)
+    assert lab["train_corpus"].item()["vidA_1"] == {"emo": 0, "val": 0.5}
+    assert lab["test_corpus"].item()["vidB_1"]["val"] == 1.5
+
+    # iemocap 6-tuple pkl + session transcript txt
+    pkl6 = str(tmp_path / "iemocap.pkl")
+    with open(pkl6, "wb") as f:
+        pickle.dump(({"d1": ["Ses01F_impro01_F000"]}, {"d1": [2]},
+                     None, None, {"d1"}, set()), f)
+    raw = tmp_path / "iemocap_raw" / "Session1" / "dialog" / "transcriptions"
+    raw.mkdir(parents=True)
+    (raw / "Ses01F_impro01.txt").write_text(
+        "Ses01F_impro01_F000 [006.2901-008.2357]: Excuse me.\n"
+        "BADLINE\n")
+    save2 = str(tmp_path / "iemo_out")
+    preprocess_main(["normalize-dataset", "--dataset=iemocap",
+                     f"--label_pkl={pkl6}",
+                     f"--data_root={tmp_path / 'iemocap_raw'}",
+                     f"--save_root={save2}", "--ways=4"])
+    lab = np.load(os.path.join(save2, "label-4way.npz"), allow_pickle=True)
+    assert lab["whole_corpus"].item()["Ses01F_impro01_F000"]["emo"] == 2
+    with open(os.path.join(save2, "transcription.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert rows == [{"name": "Ses01F_impro01_F000",
+                     "english": "Excuse me."}]
+
+
+def test_normalize_mer2023(tmp_path):
+    root = str(tmp_path / "raw")
+    for split in ("train", "test1", "test2", "test3"):
+        _wcsv(os.path.join(root, f"{split}-label.csv"),
+              ["name", "discrete", "valence"],
+              [[f"{split}_c1", "happy", 2.5], [f"{split}_c2", "sad", -1.0]])
+    save = str(tmp_path / "out")
+    preprocess_main(["normalize-dataset", "--dataset=mer2023",
+                     f"--data_root={root}", f"--save_root={save}"])
+    lab = np.load(os.path.join(save, "label-6way.npz"), allow_pickle=True)
+    assert lab["train_corpus"].item()["train_c1"] == {"emo": "happy",
+                                                      "val": 2.5}
+    # test3 has no valence in the reference -> -10
+    assert lab["test3_corpus"].item()["test3_c1"]["val"] == -10.0
