@@ -61,18 +61,30 @@ def main(argv=None):
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--max_video_frames", type=int, default=64)
     p.add_argument("--max_audio_frames", type=int, default=64)
+    # epoch sweep (inference_hybird.py:33-84): overlay trainable-only
+    # checkpoint_{N} dirs from a Runner output_dir onto the base model
+    p.add_argument("--run_dir", default=None,
+                   help="Runner output_dir with checkpoint_N subdirs")
+    p.add_argument("--test_epoch", default=None)
+    p.add_argument("--test_epochs", default=None, help="'a-b' range")
+    p.add_argument("--skip_epoch", type=int, default=1)
     args = p.parse_args(argv)
 
     import jax
     from transformers import AutoTokenizer
 
     from ..mllm.chat import Chat
-    from ..mllm.runner import restore_model
+    from ..mllm.runner import (epoch_checkpoints, overlay_trainable,
+                               restore_model)
 
     model, params = restore_model(args.ckpt)
     tok = AutoTokenizer.from_pretrained(args.tokenizer)
-    chat = Chat(model, params, tok, max_new_tokens=args.max_new_tokens,
-                temperature=args.temperature)
+
+    if args.run_dir:
+        sweep = epoch_checkpoints(args.run_dir, args.test_epoch,
+                                  args.test_epochs, args.skip_epoch)
+    else:
+        sweep = [(None, None)]
 
     raw_mode = args.face_dir is not None or args.audio_dir is not None
     if raw_mode:
@@ -97,14 +109,6 @@ def main(argv=None):
     files = sorted(glob.glob(os.path.join(list_dir, "*.npy")))
     names = [os.path.splitext(os.path.basename(f))[0] for f in files]
 
-    name2reason = {}
-    if os.path.exists(args.save_path):  # idempotent resume (reference :209)
-        old = np.load(args.save_path, allow_pickle=True)
-        name2reason = dict(old["name2reason"].item()) if "name2reason" in old \
-            else {}
-    todo = [n for n in names if n not in name2reason]
-    print(f"{len(todo)} clips to process ({len(name2reason)} cached)")
-
     def load_feat(d, name, cap):
         x = np.load(os.path.join(d, name + ".npy")).astype(np.float32)
         if x.ndim == 1:
@@ -123,29 +127,48 @@ def main(argv=None):
             os.path.join(args.audio_dir, n + ".wav")) for n in group}
         return venc(faces), aenc(wavs)
 
-    for i in range(0, len(todo), args.batch):
-        group = todo[i: i + args.batch]
-        if raw_mode:
-            vfeats, afeats = raw_feats(group)
-            samples = [{
-                "video_feats": vfeats[n].astype(np.float32),
-                "audio_feats": afeats[n].astype(np.float32),
-                "subtitle": subtitles.get(n, ""),
-            } for n in group]
+    for epoch, ckpt_path in sweep:
+        if ckpt_path is not None:
+            eparams, _ = overlay_trainable(params, ckpt_path)
+            base, ext = os.path.splitext(args.save_path)
+            save_path = f"{base}_epoch{epoch}{ext or '.npz'}"
+            print(f"== epoch {epoch} ({ckpt_path}) -> {save_path}")
         else:
-            samples = [{
-                "video_feats": load_feat(args.video_feat_dir, n,
-                                         args.max_video_frames),
-                "audio_feats": load_feat(args.audio_feat_dir, n,
-                                         args.max_audio_frames),
-                "subtitle": subtitles.get(n, ""),
-            } for n in group]
-        answers = chat.answer_batch(samples)
-        for n, a in zip(group, answers):
-            name2reason[n] = a
-        np.savez_compressed(args.save_path, name2reason=name2reason)
-        print(f"  {len(name2reason)}/{len(names)} done")
-    print(f"wrote {args.save_path}")
+            eparams, save_path = params, args.save_path
+        chat = Chat(model, eparams, tok, max_new_tokens=args.max_new_tokens,
+                    temperature=args.temperature)
+
+        name2reason = {}
+        if os.path.exists(save_path):  # idempotent resume (reference :209)
+            old = np.load(save_path, allow_pickle=True)
+            name2reason = dict(old["name2reason"].item()) \
+                if "name2reason" in old else {}
+        todo = [n for n in names if n not in name2reason]
+        print(f"{len(todo)} clips to process ({len(name2reason)} cached)")
+
+        for i in range(0, len(todo), args.batch):
+            group = todo[i: i + args.batch]
+            if raw_mode:
+                vfeats, afeats = raw_feats(group)
+                samples = [{
+                    "video_feats": vfeats[n].astype(np.float32),
+                    "audio_feats": afeats[n].astype(np.float32),
+                    "subtitle": subtitles.get(n, ""),
+                } for n in group]
+            else:
+                samples = [{
+                    "video_feats": load_feat(args.video_feat_dir, n,
+                                             args.max_video_frames),
+                    "audio_feats": load_feat(args.audio_feat_dir, n,
+                                             args.max_audio_frames),
+                    "subtitle": subtitles.get(n, ""),
+                } for n in group]
+            answers = chat.answer_batch(samples)
+            for n, a in zip(group, answers):
+                name2reason[n] = a
+            np.savez_compressed(save_path, name2reason=name2reason)
+            print(f"  {len(name2reason)}/{len(names)} done")
+        print(f"wrote {save_path}")
 
 
 if __name__ == "__main__":

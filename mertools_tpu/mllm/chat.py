@@ -60,8 +60,13 @@ class Chat:
         self.max_new_tokens = max_new_tokens
         self.temperature = temperature
         self.top_p = top_p
+        # tokenizers without an EOS (e.g. BERT wordpiece) fall back to
+        # SEP/PAD so generation still terminates deterministically
         self.eos = (eos_token_id if eos_token_id is not None
                     else tokenizer.eos_token_id)
+        if self.eos is None:
+            self.eos = (getattr(tokenizer, "sep_token_id", None)
+                        or getattr(tokenizer, "pad_token_id", None) or 0)
         self.repetition_penalty = repetition_penalty
         self.max_len = max_len
         self._embed_fn = jax.jit(

@@ -172,6 +172,52 @@ class Runner:
         return restored.get("epoch")
 
 
+def overlay_trainable(base_params: dict, ckpt_path: str) -> tuple[dict, int]:
+    """Overlay a trainable-only ``checkpoint_{epoch}`` (save_checkpoint
+    output) onto a full param tree — the reference's strict=False staged
+    checkpoint composition (runner_base.py:659-684). Returns (params, epoch).
+    """
+    import orbax.checkpoint as ocp
+
+    restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(ckpt_path))
+    loaded = restored["params"]
+
+    def merge(cur, new):
+        return cur if new is None else jnp.asarray(new)
+
+    params = jax.tree_util.tree_map(
+        merge, base_params, loaded,
+        is_leaf=lambda x: x is None or not isinstance(x, dict))
+    return params, restored.get("epoch")
+
+
+def epoch_checkpoints(run_dir: str, test_epoch: str | None = None,
+                      test_epochs: str | None = None,
+                      skip_epoch: int = 1) -> list[tuple[int, str]]:
+    """Reference epoch-sweep selection (inference_hybird.py:61-84):
+    ``test_epoch=N`` -> that one; ``test_epochs='a-b'`` (+skip) -> the range;
+    neither -> the last available epoch."""
+    import glob as _glob
+    import re
+
+    found = {}
+    for p in _glob.glob(os.path.join(run_dir, "checkpoint_*")):
+        m = re.fullmatch(r"checkpoint_(\d+)", os.path.basename(p))
+        if m:
+            found[int(m.group(1))] = p
+    if not found:
+        raise FileNotFoundError(f"no checkpoint_N dirs under {run_dir}")
+    if test_epoch is not None:
+        e = int(test_epoch)
+        return [(e, found[e])]
+    if test_epochs:
+        a, b = (int(x) for x in test_epochs.split("-"))
+        return [(e, found[e]) for e in sorted(found)
+                if a <= e <= b and e % max(1, skip_epoch) == 0]
+    last = max(found)
+    return [(last, found[last])]
+
+
 # ---------------------------------------------------------------------------
 # standalone model persistence (inference entry points restore from here;
 # reference composes staged ckpt_1/2/3 with strict=False — runner_base.py:659)

@@ -51,3 +51,51 @@ run:
     from mertools_tpu.mllm.runner import restore_model
     model, params = restore_model(str(out / "model"))
     assert model.cfg.llm.vocab_size == 96
+
+
+def test_epoch_checkpoint_selection(tmp_path):
+    """inference_hybird.py:61-84 epoch-sweep semantics."""
+    import os
+
+    import pytest
+
+    from mertools_tpu.mllm.runner import epoch_checkpoints
+
+    run = str(tmp_path)
+    for e in (0, 1, 2, 3, 5):
+        os.makedirs(os.path.join(run, f"checkpoint_{e}"))
+    os.makedirs(os.path.join(run, "checkpoint_best"))  # ignored by the sweep
+
+    # default: last epoch only
+    assert epoch_checkpoints(run) == [(5, os.path.join(run, "checkpoint_5"))]
+    # explicit epoch
+    assert epoch_checkpoints(run, test_epoch="2") == \
+        [(2, os.path.join(run, "checkpoint_2"))]
+    # range with skip
+    got = epoch_checkpoints(run, test_epochs="0-3", skip_epoch=2)
+    assert [e for e, _ in got] == [0, 2]
+    with pytest.raises(FileNotFoundError):
+        epoch_checkpoints(str(tmp_path / "empty"))
+
+
+def test_overlay_trainable_roundtrip(tmp_path, rng):
+    """save_checkpoint (trainable-only) -> overlay onto a fresh base tree."""
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from mertools_tpu.mllm.runner import overlay_trainable
+
+    base = {"llm": {"frozen_w": np.zeros((2, 2), np.float32)},
+            "video_qformer": {"k": np.zeros(3, np.float32)}}
+    # save_checkpoint leaves None at FROZEN LEAF positions (runner.py)
+    trained = {"llm": {"frozen_w": None},
+               "video_qformer": {"k": np.ones(3, np.float32)}}
+    path = str(tmp_path / "checkpoint_7")
+    ocp.PyTreeCheckpointer().save(path, {"params": trained, "epoch": 7},
+                                  force=True)
+    merged, epoch = overlay_trainable(base, path)
+    assert epoch == 7
+    np.testing.assert_array_equal(np.asarray(merged["video_qformer"]["k"]),
+                                  np.ones(3))
+    np.testing.assert_array_equal(np.asarray(merged["llm"]["frozen_w"]),
+                                  np.zeros((2, 2)))
