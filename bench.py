@@ -67,22 +67,25 @@ def main():
         warm = {f"w{i}": rng.normal(size=b).astype(np.float32)
                 for i, b in enumerate(buckets)}
         ex.extract(warm, level="UTT")  # compile each bucket once
-        # tunnel latency is warm-up dependent: take the best of two passes
-        results[mode] = max(_measure(ex, wavs, n_clips),
-                            _measure(ex, wavs, n_clips))
+        # tunnel latency is warm-up dependent: take the best of three passes
+        results[mode] = max(_measure(ex, wavs, n_clips)
+                            for _ in range(3))
 
     # device-resident compute throughput (local-host capability): data
-    # pre-staged on device, batched bf16 forward only
+    # pre-staged on device, batched bf16 forward only. B=128 is the measured
+    # throughput sweet spot on v5e (1446/1615/1933/2101 audio-s/s at
+    # B=16/32/64/128; 192 regresses).
     ex16 = AudioExtractor(cfg, params, buckets=buckets, compute_dtype="bf16")
+    B_dev = 128
     batch = jax.device_put(
-        rng.normal(size=(32, MAX_SEGMENT)).astype(np.float32))
-    lens = jax.device_put(np.full(32, MAX_SEGMENT, np.int32))
+        rng.normal(size=(B_dev, MAX_SEGMENT)).astype(np.float32))
+    lens = jax.device_put(np.full(B_dev, MAX_SEGMENT, np.int32))
     np.asarray(ex16._fwd_pooled(ex16._params, batch, lens)[0])
     t0 = time.perf_counter()
-    n_rep = 5
+    n_rep = 3
     for _ in range(n_rep):
         np.asarray(ex16._fwd_pooled(ex16._params, batch, lens)[0])
-    device_rate = (n_rep * 32 * 10.0) / (time.perf_counter() - t0)
+    device_rate = (n_rep * B_dev * 10.0) / (time.perf_counter() - t0)
 
     # reference execution model: one clip per forward, sequential
     @jax.jit
@@ -102,7 +105,7 @@ def main():
             np.asarray(fwd_one(params, jnp.asarray(normalize_wav(wav))[None]))
         return seq_clips / (time.perf_counter() - t0)
 
-    ref = max(measure_seq(), measure_seq())  # same best-of-two fairness
+    ref = max(measure_seq() for _ in range(3))  # same best-of-three fairness
 
     # on this tunnel-bound dev platform the fp32-HIGHEST pipeline is the
     # better END-TO-END number (uploads dominate; bf16 halves compute, not
