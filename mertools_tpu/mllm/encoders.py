@@ -38,8 +38,8 @@ def build_visual_encoder(name: str, pretrain_path: str | None = None,
 
 
 def build_acoustic_encoder(name: str, pretrain_path: str | None = None,
-                           random_init: bool = False):
-    return registry.get(ACOUSTIC_KIND, name)(pretrain_path, random_init)
+                           random_init: bool = False, **kw):
+    return registry.get(ACOUSTIC_KIND, name)(pretrain_path, random_init, **kw)
 
 
 def _fra(extractor):
@@ -232,10 +232,11 @@ def _eva_clip_g(path, random_init, max_frames):
 
 
 def _clip_pooled_wav2vec2(cfg, params, do_normalize=True, batch_clips=2,
-                          clips_per_video=8):
+                          clips_per_video=8, clip_samples=CLIP_SAMPLES):
     """wavs -> 8 x 2 s clips -> encoder -> last-4 hidden MEAN -> frame mean
     -> (8, D) per utterance (encoder.py:336-352; note MEAN, not the MERBench
-    extractors' last-4 SUM)."""
+    extractors' last-4 SUM). ``clip_samples`` is the production 2 s window;
+    tests shrink it (XLA:CPU compiles of long-seq attention are minutes)."""
     import jax
     import jax.numpy as jnp
 
@@ -260,11 +261,12 @@ def _clip_pooled_wav2vec2(cfg, params, do_normalize=True, batch_clips=2,
         out = {}
         for i in range(0, len(names), batch_clips):
             group = names[i: i + batch_clips]
-            batch = np.zeros((batch_clips, clips_per_video, CLIP_SAMPLES),
+            batch = np.zeros((batch_clips, clips_per_video, clip_samples),
                              np.float32)
             for r, n in enumerate(group):
-                clips = sample_audio_clips(wavs[n],
-                                           clips_per_video=clips_per_video)
+                clips = sample_audio_clips(
+                    wavs[n], clip_duration=clip_samples / 16000.0,
+                    clips_per_video=clips_per_video)
                 if do_normalize:
                     clips = np.stack([normalize_wav(c) for c in clips])
                 batch[r] = clips
@@ -276,7 +278,8 @@ def _clip_pooled_wav2vec2(cfg, params, do_normalize=True, batch_clips=2,
     return encode
 
 
-def _wav2vec2_family(path, random_init, size="large", do_normalize=True):
+def _wav2vec2_family(path, random_init, size="large", do_normalize=True,
+                     clip_samples=CLIP_SAMPLES):
     import jax
 
     from ..encoders.wav2vec2 import (Wav2Vec2Config, Wav2Vec2Encoder,
@@ -295,27 +298,28 @@ def _wav2vec2_family(path, random_init, size="large", do_normalize=True):
         from transformers import AutoModel
 
         cfg, params = from_hf_torch(AutoModel.from_pretrained(path))
-    return (_clip_pooled_wav2vec2(cfg, params, do_normalize=do_normalize),
+    return (_clip_pooled_wav2vec2(cfg, params, do_normalize=do_normalize,
+                                  clip_samples=clip_samples),
             cfg.hidden_size)
 
 
 @registry.register(ACOUSTIC_KIND, "HUBERT_LARGE")
-def _hubert_large(path, random_init):
-    return _wav2vec2_family(path, random_init)
+def _hubert_large(path, random_init, **kw):
+    return _wav2vec2_family(path, random_init, **kw)
 
 
 @registry.register(ACOUSTIC_KIND, "WAVLM_LARGE")
-def _wavlm_large(path, random_init):
-    return _wav2vec2_family(path, random_init)
+def _wavlm_large(path, random_init, **kw):
+    return _wav2vec2_family(path, random_init, **kw)
 
 
 @registry.register(ACOUSTIC_KIND, "DATA2VEC_BASE")
-def _data2vec_base(path, random_init):
-    return _wav2vec2_family(path, random_init, size="base")
+def _data2vec_base(path, random_init, **kw):
+    return _wav2vec2_family(path, random_init, size="base", **kw)
 
 
 @registry.register(ACOUSTIC_KIND, "IMAGEBIND")
-def _imagebind(path, random_init):
+def _imagebind(path, random_init, **kw):
     """per-clip normalized 1024-d ImageBind embeddings (encoder.py:306-311)."""
     import jax
 

@@ -33,7 +33,10 @@ def test_visual_encoders_random_init(name, rng):
 @pytest.mark.parametrize("name", ["HUBERT_LARGE", "DATA2VEC_BASE",
                                   "IMAGEBIND"])
 def test_acoustic_encoders_random_init(name, rng):
-    enc, dim = build_acoustic_encoder(name, random_init=True)
+    # short clip windows: production is 2 s (32000); long-seq attention
+    # compiles on XLA:CPU take many minutes
+    kw = {} if name == "IMAGEBIND" else {"clip_samples": 2000}
+    enc, dim = build_acoustic_encoder(name, random_init=True, **kw)
     wavs = {"a": rng.normal(size=50000).astype(np.float32) * 0.1,
             "b": rng.normal(size=9000).astype(np.float32) * 0.1}
     out = enc(wavs)
@@ -62,12 +65,12 @@ def test_hubert_clip_pooling_semantics(rng):
     enc = Wav2Vec2Encoder(cfg)
     params = enc.init(jax.random.PRNGKey(0),
                       np.zeros((1, 4000), np.float32))["params"]
-    encode = _clip_pooled_wav2vec2(cfg, params)
+    encode = _clip_pooled_wav2vec2(cfg, params, clip_samples=2000)
     wav = rng.normal(size=40000).astype(np.float32) * 0.1
     out = encode({"x": wav})["x"]
 
     # oracle: clip 0 through the encoder directly
-    clip0 = normalize_wav(sample_audio_clips(wav)[0])
+    clip0 = normalize_wav(sample_audio_clips(wav, clip_duration=0.125)[0])
     hs = enc.apply({"params": params}, clip0[None])
     ref = (sum(np.asarray(hs[i]) for i in (-4, -3, -2, -1)) / 4.0)[0].mean(0)
     np.testing.assert_allclose(out[0], ref, rtol=2e-5, atol=2e-6)
