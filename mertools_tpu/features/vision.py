@@ -36,13 +36,13 @@ def resample_frames_uniform(n_frames: int, max_frames: int = 64) -> np.ndarray:
 
 
 def preprocess_faces_device(frames: jnp.ndarray, image_size: int) -> jnp.ndarray:
-    """(N, H, W, 3) BGR uint8 -> (N, S, S, 3) normalized RGB float32, on device."""
-    x = frames.astype(jnp.float32)[..., ::-1] / 255.0  # BGR -> RGB, rescale
-    x = jax.image.resize(x, (x.shape[0], image_size, image_size, 3),
-                         method="bicubic")
-    mean = jnp.asarray(CLIP_MEAN, jnp.float32)
-    std = jnp.asarray(CLIP_STD, jnp.float32)
-    return (x - mean) / std
+    """(N, H, W, 3) BGR uint8 -> (N, S, S, 3) normalized RGB float32, on
+    device: separable-matmul resize (MXU) with the affine normalization
+    folded around it — numerically identical to the jax.image.resize
+    pipeline (ops/image.py; exactness tested)."""
+    from ..ops.image import fused_face_preprocess
+
+    return fused_face_preprocess(frames, image_size, CLIP_MEAN, CLIP_STD)
 
 
 @dataclass

@@ -51,22 +51,16 @@ class PreprocessSpec:
 
 
 def preprocess_device(frames: jnp.ndarray, spec: PreprocessSpec) -> jnp.ndarray:
-    """(N, H, W, 3) uint8 -> (N, S, S, 3) float32, fully on device."""
-    x = frames.astype(jnp.float32)
-    if spec.bgr_to_rgb:
-        x = x[..., ::-1]
-    x = x * spec.scale
-    S = spec.image_size
-    if spec.resize_short:
-        R = spec.resize_short
-        x = jax.image.resize(x, (x.shape[0], R, R, 3), method=spec.method)
-        off = (R - S) // 2
-        x = x[:, off: off + S, off: off + S]
-    else:
-        x = jax.image.resize(x, (x.shape[0], S, S, 3), method=spec.method)
-    mean = jnp.asarray(spec.mean, jnp.float32)
-    std = jnp.asarray(spec.std, jnp.float32)
-    return (x - mean) / std
+    """(N, H, W, 3) uint8 -> (N, S, S, 3) float32, fully on device
+    (separable-matmul resize, affine folded; == the jax.image.resize
+    pipeline — ops/image.py exactness tests)."""
+    from ..ops.image import fused_face_preprocess
+
+    return fused_face_preprocess(frames, spec.image_size, spec.mean,
+                                 spec.std, scale=spec.scale,
+                                 bgr_to_rgb=spec.bgr_to_rgb,
+                                 resize_short=spec.resize_short,
+                                 method=spec.method)
 
 
 def resample_frames_uniform(n_frames: int, max_frames: int) -> np.ndarray:
