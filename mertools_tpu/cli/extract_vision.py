@@ -40,11 +40,15 @@ def build_extractor(args):
         cfg, params = from_hf_videomae(VideoMAEModel.from_pretrained(path))
         return VideoMAEExtractor(cfg, params)
     if "dinov2" in name or "dino2" in name:
+        import dataclasses
+
         from transformers import Dinov2Model
 
         from ..encoders.vit import from_hf_dinov2
         from ..features.vision_zoo import vit_token_sum_extractor
         cfg, params = from_hf_dinov2(Dinov2Model.from_pretrained(path))
+        if args.tome_r:   # ToMe production mode (arXiv:2210.09461)
+            cfg = dataclasses.replace(cfg, tome_r=args.tome_r)
         return vit_token_sum_extractor(cfg, params)
     if "data2vec" in name or "beit" in name:
         from transformers import Data2VecVisionModel
@@ -137,6 +141,9 @@ def main(argv=None):
     p.add_argument("--compute_dtype", type=str, default=None,
                    choices=[None, "bf16"],
                    help="bf16 production mode (CLIP path)")
+    p.add_argument("--tome_r", type=int, default=0,
+                   help="Token Merging r per layer (DINOv2 path; production "
+                        "accelerator, approximate features)")
     p.add_argument("--gpu", type=int, default=0, help="ignored (TPU)")
     args = p.parse_args(argv)
 

@@ -54,6 +54,12 @@ class ViTConfig:
     use_swiglu: bool = False            # EVA-02 SwiGLU MLP
     final_layernorm: bool = True
     layer_norm_eps: float = 1e-6
+    # Token Merging (ToMe, arXiv:2210.09461): merge r most-similar token
+    # pairs after every block's attention — static shapes (N shrinks by a
+    # fixed r per layer), so it jits cleanly. Production accelerator for the
+    # token-sum/mean extractors; incompatible with per-layer relative bias
+    # or rope (position-dependent attention).
+    tome_r: int = 0
     arch: str = "dinov2"
 
     @property
@@ -120,12 +126,49 @@ def _rotate_half(x):
     return jnp.concatenate([-x2, x1], axis=-1)
 
 
+def tome_merge(x, metric, sizes, r: int, n_protected: int):
+    """ToMe bipartite soft matching (arXiv:2210.09461 §3): split tokens
+    alternately into sets A/B, match each A token to its most similar B
+    token (cosine on the attention-key metric), merge the r best-scoring A
+    tokens into their matches by size-weighted mean. Fixed r -> static
+    output shape (B, N - r, D). The first ``n_protected`` tokens (CLS) are
+    never merged."""
+    prot_x = x[:, :n_protected]
+    xm = x[:, n_protected:]
+    m = metric[:, n_protected:]
+    sm = sizes[:, n_protected:]
+    m = m / (jnp.linalg.norm(m, axis=-1, keepdims=True) + 1e-6)
+    a, b = m[:, ::2], m[:, 1::2]
+    xa, xb = xm[:, ::2], xm[:, 1::2]
+    sa, sb = sm[:, ::2], sm[:, 1::2]
+
+    scores = jnp.einsum("bad,bkd->bak", a, b)
+    node_max = scores.max(axis=-1)                    # (B, Na)
+    node_idx = scores.argmax(axis=-1)                 # (B, Na) dst in B
+    order = jnp.argsort(-node_max, axis=-1)
+    merge_src = order[:, :r]
+    keep_src = order[:, r:]
+
+    def one(xa_, sa_, xb_, sb_, dsts, msrc, ksrc):
+        xa_m = xa_[msrc] * sa_[msrc, None]
+        num = (xb_ * sb_[:, None]).at[dsts[msrc]].add(xa_m)
+        den = sb_.at[dsts[msrc]].add(sa_[msrc])
+        return (xa_[ksrc], sa_[ksrc], num / den[:, None], den)
+
+    xa_k, sa_k, xb_n, sb_n = jax.vmap(one)(xa, sa, xb, sb, node_idx,
+                                           merge_src, keep_src)
+    out = jnp.concatenate([prot_x, xa_k, xb_n], axis=1)
+    out_sizes = jnp.concatenate(
+        [sizes[:, :n_protected], sa_k, sb_n], axis=1)
+    return out, out_sizes
+
+
 class _Block(nn.Module):
     cfg: ViTConfig
     precision: object = _PRECISION
 
     @nn.compact
-    def __call__(self, x, rel_bias=None, rope=None):
+    def __call__(self, x, rel_bias=None, rope=None, sizes=None):
         c = self.cfg
         H, nh = c.hidden_size, c.num_heads
         hd = H // nh
@@ -154,6 +197,8 @@ class _Block(nn.Module):
                             precision=self.precision)
         if rel_bias is not None:
             logits = logits + rel_bias[None]
+        if sizes is not None:     # ToMe proportional attention (§3)
+            logits = logits + jnp.log(sizes)[:, None, None, :]
         w = nn.softmax(logits, axis=-1)
         attn = jnp.einsum("bnqk,bknd->bqnd", w, v, precision=self.precision)
         out = dense(H, "proj")(attn.reshape(B, N, H))
@@ -161,6 +206,16 @@ class _Block(nn.Module):
             out = out * self.param("ls1", nn.initializers.constant(c.layerscale),
                                    (H,))
         x = residual + out
+
+        if c.tome_r > 0 and sizes is not None:
+            assert not (c.rel_pos_bias or c.use_rope), \
+                "ToMe is incompatible with per-layer positional attention"
+            ncls = 1 if c.use_cls_token else 0
+            # cap r so the bipartite sets stay non-empty (paper caps at N/2)
+            r_eff = min(c.tome_r, (N - ncls) // 2)
+            if r_eff > 0:
+                metric = k.mean(axis=2)      # attention keys, head-mean
+                x, sizes = tome_merge(x, metric, sizes, r_eff, ncls)
 
         residual = x
         xn = ln("norm2")(x)
@@ -174,7 +229,10 @@ class _Block(nn.Module):
         if c.layerscale > 0:
             out = out * self.param("ls2", nn.initializers.constant(c.layerscale),
                                    (H,))
-        return residual + out
+        x = residual + out
+        if c.tome_r > 0:
+            return x, sizes
+        return x
 
 
 class ViTEncoder(nn.Module):
@@ -219,17 +277,23 @@ class ViTEncoder(nn.Module):
             sin, cos = _rope_2d(c.grid, c.hidden_size // c.num_heads)
             rope = (jnp.asarray(sin), jnp.asarray(cos))
 
+        sizes = (jnp.ones(x.shape[:2], x.dtype) if c.tome_r > 0 else None)
         for i in range(c.num_layers):
             rel_bias = None
             if c.rel_pos_bias:
                 table = self.param(f"rel_bias_table_{i}", nn.initializers.zeros,
                                    ((2 * c.grid - 1) ** 2 + 3, c.num_heads))
                 rel_bias = table[jnp.asarray(rel_index)].transpose(2, 0, 1)
-            x = _Block(c, name=f"block_{i}",
-                       precision=self.precision)(x, rel_bias, rope)
+            out = _Block(c, name=f"block_{i}",
+                         precision=self.precision)(x, rel_bias, rope, sizes)
+            x, sizes = out if c.tome_r > 0 else (out, sizes)
 
         if c.final_layernorm:
             x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="final_norm")(x)
+        if c.tome_r > 0:
+            # merged tokens carry their size: size-weighted pooling
+            # reconstructs sums/means over the ORIGINAL token count
+            return x, sizes
         return x
 
 

@@ -122,7 +122,9 @@ class FrameStreamExtractor:
 def vit_token_sum_extractor(cfg: ViTConfig, params, spec=None,
                             batch_size=64, max_frames=None):
     """data2vec-vision / DINOv2 / EVA-02: token-summed last hidden state
-    per frame (extract_vision_huggingface.py:130-145)."""
+    per frame (extract_vision_huggingface.py:130-145). With ``cfg.tome_r``
+    (Token Merging production mode) the sum is size-weighted so it
+    approximates the original-token-count sum."""
     if spec is None:
         stats = IMAGENET_DEFAULT if cfg.arch == "dinov2" else IMAGENET_STANDARD
         spec = PreprocessSpec(image_size=cfg.image_size, mean=stats[0],
@@ -132,7 +134,11 @@ def vit_token_sum_extractor(cfg: ViTConfig, params, spec=None,
         max_frames = 64  # reference pre-samples 64 frames (:136)
 
     def forward(p, pix):
-        return enc.apply({"params": p}, pix).sum(axis=1)
+        out = enc.apply({"params": p}, pix)
+        if cfg.tome_r > 0:
+            tokens, sizes = out
+            return jnp.einsum("bnd,bn->bd", tokens, sizes)
+        return out.sum(axis=1)
 
     return FrameStreamExtractor(forward, params, spec, batch_size, max_frames)
 
