@@ -117,11 +117,15 @@ def build_extractor(args):
         return resnet_embed_extractor(cfg, convert_torch_resnet(cfg, sd),
                                       ferplus_spec(mean))
     # default: CLIP family
+    import dataclasses
+
     from transformers import CLIPVisionModelWithProjection
 
     from ..encoders.vit_clip import from_hf_torch
     from ..features.vision import VisionExtractor
     cfg, params = from_hf_torch(CLIPVisionModelWithProjection.from_pretrained(path))
+    if args.tome_r:   # ToMe production mode (CLS contract unchanged)
+        cfg = dataclasses.replace(cfg, tome_r=args.tome_r)
     return VisionExtractor(cfg, params, max_frames=args.max_frames,
                            compute_dtype=args.compute_dtype)
 

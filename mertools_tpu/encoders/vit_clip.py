@@ -37,6 +37,10 @@ class CLIPVisionConfig:
     patch_size: int = 14
     projection_dim: int = 768
     layer_norm_eps: float = 1e-5
+    # Token Merging (arXiv:2210.09461) production mode: r merges per layer.
+    # CLIP pools the protected CLS token, so the output contract is
+    # unchanged — only the attention context is approximated.
+    tome_r: int = 0
 
     @classmethod
     def from_hf(cls, hf_cfg, projection_dim=None) -> "CLIPVisionConfig":
@@ -54,7 +58,7 @@ class _CLIPLayer(nn.Module):
     precision: object = _PRECISION
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, sizes=None):
         c = self.cfg
         H, nh = c.hidden_size, c.num_attention_heads
         hd = H // nh
@@ -67,14 +71,26 @@ class _CLIPLayer(nn.Module):
         k = dense(H, "k_proj")(xn).reshape(*x.shape[:2], nh, hd)
         v = dense(H, "v_proj")(xn).reshape(*x.shape[:2], nh, hd)
         logits = jnp.einsum("bqnd,bknd->bnqk", q, k, precision=self.precision)
+        if sizes is not None:            # ToMe proportional attention
+            logits = logits + jnp.log(sizes)[:, None, None, :]
         w = nn.softmax(logits, axis=-1)
         attn = jnp.einsum("bnqk,bknd->bqnd", w, v, precision=self.precision)
         x = residual + dense(H, "out_proj")(attn.reshape(*x.shape[:2], H))
 
+        if c.tome_r > 0 and sizes is not None:
+            from .vit import tome_merge
+
+            r_eff = min(c.tome_r, (x.shape[1] - 1) // 2)
+            if r_eff > 0:
+                x, sizes = tome_merge(x, k.mean(axis=2), sizes, r_eff, 1)
+
         residual = x
         xn = ln("layer_norm2")(x)
         h = quick_gelu(dense(c.intermediate_size, "fc1")(xn))
-        return residual + dense(H, "fc2")(h)
+        x = residual + dense(H, "fc2")(h)
+        if c.tome_r > 0:
+            return x, sizes
+        return x
 
 
 class CLIPVisionEncoder(nn.Module):
@@ -99,8 +115,10 @@ class CLIPVisionEncoder(nn.Module):
         x = x + pos[None, : x.shape[1]]
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="pre_layernorm")(x)
 
+        sizes = (jnp.ones(x.shape[:2], x.dtype) if c.tome_r > 0 else None)
         for i in range(c.num_hidden_layers):
-            x = _CLIPLayer(c, self.precision, name=f"layer_{i}")(x)
+            out = _CLIPLayer(c, self.precision, name=f"layer_{i}")(x, sizes)
+            x, sizes = out if c.tome_r > 0 else (out, sizes)
 
         pooled = nn.LayerNorm(epsilon=c.layer_norm_eps, name="post_layernorm")(x[:, 0])
         image_embeds = nn.Dense(c.projection_dim, use_bias=False,

@@ -94,3 +94,28 @@ def test_tome_incompatible_with_rel_pos():
     enc = ViTEncoder(cfg)
     with pytest.raises(AssertionError):
         enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+
+
+def test_tome_clip_tower(rng):
+    import dataclasses
+
+    from mertools_tpu.encoders.vit_clip import (CLIPVisionConfig,
+                                                CLIPVisionEncoder)
+
+    cfg = CLIPVisionConfig(hidden_size=32, num_hidden_layers=3,
+                           num_attention_heads=4, intermediate_size=64,
+                           image_size=56, patch_size=14, projection_dim=24)
+    enc = CLIPVisionEncoder(cfg)
+    x = jnp.asarray(rng.normal(size=(2, 56, 56, 3)).astype(np.float32))
+    params = enc.init(jax.random.PRNGKey(0), x)["params"]
+    ref = enc.apply({"params": params}, x)
+
+    tcfg = dataclasses.replace(cfg, tome_r=3)
+    out = CLIPVisionEncoder(tcfg).apply({"params": params}, x)
+    # 16 patches + CLS -> minus 3/layer x 3 layers
+    assert out["last_hidden"].shape == (2, 17 - 9, 32)
+    assert out["image_embeds"].shape == (2, 24)
+    # CLS-pooled output is an approximation of the full tower's
+    rel = (np.abs(np.asarray(out["image_embeds"] - ref["image_embeds"])).max()
+           / np.abs(np.asarray(ref["image_embeds"])).max())
+    assert rel < 0.5 and np.isfinite(np.asarray(out["image_embeds"])).all()
