@@ -41,6 +41,9 @@ class SiglipVisionConfig:
     patch_size: int = 14
     layer_norm_eps: float = 1e-6
     use_head: bool = True
+    # Token Merging (arXiv:2210.09461); SigLIP has no CLS, so nothing is
+    # protected and the token-mean feature becomes size-weighted.
+    tome_r: int = 0
 
     @classmethod
     def from_hf(cls, hf_cfg, use_head: bool = True) -> "SiglipVisionConfig":
@@ -65,7 +68,7 @@ class _SiglipLayer(nn.Module):
     precision: object = _PRECISION
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, sizes=None):
         c = self.cfg
         H, nh = c.hidden_size, c.num_heads
         hd = H // nh
@@ -78,14 +81,26 @@ class _SiglipLayer(nn.Module):
         k = dense(H, "k_proj")(xn).reshape(*x.shape[:2], nh, hd)
         v = dense(H, "v_proj")(xn).reshape(*x.shape[:2], nh, hd)
         logits = jnp.einsum("bqnd,bknd->bnqk", q, k, precision=self.precision)
+        if sizes is not None:            # ToMe proportional attention
+            logits = logits + jnp.log(sizes)[:, None, None, :]
         w = nn.softmax(logits, axis=-1)
         attn = jnp.einsum("bnqk,bknd->bqnd", w, v, precision=self.precision)
         x = residual + dense(H, "out_proj")(attn.reshape(*x.shape[:2], H))
 
+        if c.tome_r > 0 and sizes is not None:
+            from .vit import tome_merge
+
+            r_eff = min(c.tome_r, x.shape[1] // 2)
+            if r_eff > 0:
+                x, sizes = tome_merge(x, k.mean(axis=2), sizes, r_eff, 0)
+
         residual = x
         xn = ln("layer_norm2")(x)
         h = _gelu_tanh(dense(c.intermediate_size, "fc1")(xn))
-        return residual + dense(H, "fc2")(h)
+        x = residual + dense(H, "fc2")(h)
+        if c.tome_r > 0:
+            return x, sizes
+        return x
 
 
 class _AttentionPoolHead(nn.Module):
@@ -147,13 +162,17 @@ class SiglipVisionEncoder(nn.Module):
                          (c.num_patches, c.hidden_size))
         x = x + pos[None, : x.shape[1]]
 
+        sizes = (jnp.ones(x.shape[:2], x.dtype) if c.tome_r > 0 else None)
         for i in range(c.num_layers):
-            x = _SiglipLayer(c, self.precision, name=f"layer_{i}")(x)
+            out = _SiglipLayer(c, self.precision, name=f"layer_{i}")(x, sizes)
+            x, sizes = out if c.tome_r > 0 else (out, sizes)
 
         last_hidden = x
         post_ln = nn.LayerNorm(epsilon=c.layer_norm_eps,
                                name="post_layernorm")(x)
         out = {"last_hidden": last_hidden, "post_ln": post_ln}
+        if c.tome_r > 0:
+            out["sizes"] = sizes
         if c.use_head:
             out["pooled"] = _AttentionPoolHead(c, self.precision,
                                                name="head")(post_ln)

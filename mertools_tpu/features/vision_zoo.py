@@ -73,14 +73,29 @@ def resample_frames_uniform(n_frames: int, max_frames: int) -> np.ndarray:
 
 class FrameStreamExtractor:
     """Generic per-frame backend: frames of many clips stream through one
-    jitted (preprocess -> encode) step in fixed-size batches."""
+    jitted (preprocess -> encode) step in fixed-size batches.
+
+    ``mesh``: optional jax.sharding.Mesh — params replicate, frame batches
+    shard over the 'data' axis (multi-chip extraction, XLA collectives)."""
 
     def __init__(self, forward, params, spec: PreprocessSpec,
-                 batch_size: int = 64, max_frames: int | None = None):
+                 batch_size: int = 64, max_frames: int | None = None,
+                 mesh=None):
         self.spec = spec
-        self.batch_size = batch_size
         self.max_frames = max_frames
-        self._params = jax.device_put(params)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_data = mesh.shape["data"]
+            batch_size = -(-batch_size // n_data) * n_data
+            self._params = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, P())), params)
+            self._batch_sharding = NamedSharding(mesh, P("data", None, None,
+                                                         None))
+        else:
+            self._params = jax.device_put(params)
+            self._batch_sharding = None
+        self.batch_size = batch_size
 
         @jax.jit
         def step(p, frames):
@@ -105,7 +120,10 @@ class FrameStreamExtractor:
             batch = np.zeros((bs, h, w, 3), np.uint8)
             for r, (_, _, frame) in enumerate(group):
                 batch[r] = frame
-            emb = np.asarray(self._step(self._params, jnp.asarray(batch)))
+            dev_batch = (jax.device_put(batch, self._batch_sharding)
+                         if self._batch_sharding is not None
+                         else jnp.asarray(batch))
+            emb = np.asarray(self._step(self._params, dev_batch))
             for r, (name, fi, _) in enumerate(group):
                 results[name][fi] = emb[r]
         out = {}
@@ -178,7 +196,11 @@ def siglip_token_mean_extractor(cfg, params, batch_size=32, max_frames=64):
     enc = SiglipVisionEncoder(cfg)
 
     def forward(p, pix):
-        return enc.apply({"params": p}, pix)["last_hidden"].mean(axis=1)
+        out = enc.apply({"params": p}, pix)
+        if cfg.tome_r > 0:   # size-weighted token mean under Token Merging
+            t, s = out["last_hidden"], out["sizes"]
+            return jnp.einsum("bnd,bn->bd", t, s) / s.sum(-1, keepdims=True)
+        return out["last_hidden"].mean(axis=1)
 
     return FrameStreamExtractor(forward, params, spec, batch_size, max_frames)
 

@@ -185,3 +185,39 @@ def test_audio_extraction_data_parallel_mesh():
     with mesh:
         out = ex.extract(wavs, level="UTT")
     assert len(out) == 3 and all(v.shape == (16,) for v in out.values())
+
+
+def test_vision_extraction_data_parallel_mesh(rng):
+    """FrameStreamExtractor over a data mesh == single-device extraction."""
+    import jax
+
+    from mertools_tpu.core.mesh import make_mesh
+    from mertools_tpu.encoders.vit import ViTEncoder, dinov2_config
+    from mertools_tpu.features.vision_zoo import vit_token_sum_extractor
+
+    cfg = dinov2_config(hidden_size=16, num_layers=1, num_heads=2,
+                        intermediate_size=32, image_size=28)
+    enc = ViTEncoder(cfg)
+    params = enc.init(jax.random.PRNGKey(0),
+                      np.zeros((1, 28, 28, 3), np.float32))["params"]
+    faces = {f"c{i}": (rng.random((3, 112, 112, 3)) * 255).astype(np.uint8)
+             for i in range(5)}
+    ref = vit_token_sum_extractor(cfg, params, batch_size=4,
+                                  max_frames=2).extract(faces, level="UTT")
+    mesh = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
+    from mertools_tpu.features.vision_zoo import (FrameStreamExtractor,
+                                                  IMAGENET_DEFAULT,
+                                                  PreprocessSpec)
+    spec = PreprocessSpec(image_size=28, mean=IMAGENET_DEFAULT[0],
+                          std=IMAGENET_DEFAULT[1])
+
+    def forward(p, pix):
+        return enc.apply({"params": p}, pix).sum(axis=1)
+
+    ex = FrameStreamExtractor(forward, params, spec, batch_size=4,
+                              max_frames=2, mesh=mesh)
+    assert ex.batch_size == 4    # rounded to a multiple of n_data
+    with mesh:
+        out = ex.extract(faces, level="UTT")
+    for n in faces:
+        np.testing.assert_allclose(out[n], ref[n], rtol=1e-5, atol=1e-6)

@@ -119,3 +119,30 @@ def test_tome_clip_tower(rng):
     rel = (np.abs(np.asarray(out["image_embeds"] - ref["image_embeds"])).max()
            / np.abs(np.asarray(ref["image_embeds"])).max())
     assert rel < 0.5 and np.isfinite(np.asarray(out["image_embeds"])).all()
+
+
+def test_tome_siglip_tower(rng):
+    import dataclasses
+
+    from mertools_tpu.encoders.siglip import (SiglipVisionConfig,
+                                              SiglipVisionEncoder)
+    from mertools_tpu.features.vision_zoo import siglip_token_mean_extractor
+
+    cfg = SiglipVisionConfig(hidden_size=32, num_layers=3, num_heads=4,
+                             intermediate_size=64, image_size=56,
+                             patch_size=14, use_head=False)
+    enc = SiglipVisionEncoder(cfg)
+    x = jnp.asarray(rng.normal(size=(2, 56, 56, 3)).astype(np.float32))
+    params = enc.init(jax.random.PRNGKey(0), x)["params"]
+    ref = enc.apply({"params": params}, x)["last_hidden"].mean(axis=1)
+
+    tcfg = dataclasses.replace(cfg, tome_r=3)
+    out = SiglipVisionEncoder(tcfg).apply({"params": params}, x)
+    assert out["last_hidden"].shape == (2, 16 - 9, 32)   # no CLS
+    np.testing.assert_allclose(np.asarray(out["sizes"]).sum(-1), 16,
+                               rtol=1e-5)
+    ex = siglip_token_mean_extractor(tcfg, params, batch_size=4, max_frames=2)
+    faces = {"a": (rng.random((3, 112, 112, 3)) * 255).astype(np.uint8)}
+    feat = ex.extract(faces, level="UTT")["a"]
+    assert feat.shape == (32,) and np.isfinite(feat).all()
+    assert np.isfinite(np.asarray(ref)).all()
