@@ -99,3 +99,67 @@ def test_overlay_trainable_roundtrip(tmp_path, rng):
                                   np.ones(3))
     np.testing.assert_array_equal(np.asarray(merged["llm"]["frozen_w"]),
                                   np.zeros((2, 2)))
+
+
+def test_runner_checkpoint_resume(tmp_path, rng):
+    """Reference resume semantics (runner_base.py:353-387): save a
+    trainable-only checkpoint mid-training, rebuild a fresh Runner, load,
+    and continue — trainable params restored, frozen params untouched."""
+    import numpy as np
+
+    import jax
+
+    from mertools_tpu.mllm import (AffectGPT, AffectGPTConfig, LLMConfig,
+                                   QFormerConfig)
+    from mertools_tpu.mllm.runner import Runner, RunnerConfig
+
+    cfg = AffectGPTConfig(
+        llm=LLMConfig(vocab_size=32, hidden_size=16, num_layers=1,
+                      num_heads=2, num_kv_heads=2, intermediate_size=32),
+        video_qformer=QFormerConfig(num_queries=2, hidden_size=8,
+                                    num_layers=1, num_heads=2,
+                                    intermediate_size=16),
+        audio_qformer=QFormerConfig(num_queries=2, hidden_size=8,
+                                    num_layers=1, num_heads=2,
+                                    intermediate_size=16),
+        video_dim=6, audio_dim=6, max_video_frames=4)
+    model = AffectGPT(cfg)
+
+    def batch():
+        labels = np.full((2, 10), -100, np.int64)
+        labels[:, -3:] = rng.integers(0, 32, size=(2, 3))
+        return {"video_feats": rng.normal(size=(2, 4, 6)).astype(np.float32),
+                "audio_feats": rng.normal(size=(2, 3, 6)).astype(np.float32),
+                "input_ids": rng.integers(0, 32, size=(2, 10)).astype(np.int32),
+                "splice_start": np.full(2, 1, np.int32),
+                "attention_mask": np.ones((2, 10), np.int32),
+                "labels": labels}
+
+    params = model.init(jax.random.PRNGKey(0), batch())["params"]
+    rcfg = RunnerConfig(max_epoch=1, iters_per_epoch=3, batch_size=2,
+                        warmup_steps=1, output_dir=str(tmp_path))
+    r1 = Runner(rcfg, model, params)
+    r1.train_epoch(0, iter([batch() for _ in range(3)]))
+    ckpt = r1.save_checkpoint(0)
+    trained = jax.tree_util.tree_map(np.asarray, r1.state.params)
+
+    r2 = Runner(rcfg, model, model.init(jax.random.PRNGKey(7),
+                                        batch())["params"])
+    epoch = r2.load_checkpoint(ckpt)
+    assert epoch == 0
+    # every trainable leaf equals the saved state
+    from mertools_tpu.mllm.affectgpt import trainable_labels
+    labels_tree = trainable_labels(trained)
+    flat_t = jax.tree_util.tree_leaves_with_path(trained)
+    flat_r = dict(jax.tree_util.tree_leaves_with_path(
+        jax.tree_util.tree_map(np.asarray, r2.state.params)))
+    flat_l = dict(jax.tree_util.tree_leaves_with_path(labels_tree))
+    checked = 0
+    for path, leaf in flat_t:
+        if flat_l[path] == "train":
+            np.testing.assert_array_equal(flat_r[path], leaf)
+            checked += 1
+    assert checked > 0
+    # training continues from the restored state
+    stats = r2.train_epoch(0, iter([batch() for _ in range(3)]))
+    assert np.isfinite(stats["train_loss"])
