@@ -58,6 +58,8 @@ def build_extractor(args):
         cfg, params = from_hf_beit(Data2VecVisionModel.from_pretrained(path))
         return vit_token_sum_extractor(cfg, params)
     if "eva-clip-g" in name or "eva_clip_g" in name:
+        import dataclasses
+
         import torch
 
         from ..encoders.vit import from_eva_clip_g_checkpoint
@@ -65,14 +67,20 @@ def build_extractor(args):
         ckpt = path if path.endswith(".pth") else path + ".pth"
         sd = torch.load(ckpt, map_location="cpu", weights_only=True)
         cfg, params = from_eva_clip_g_checkpoint(dict(sd))
+        if args.tome_r:
+            cfg = dataclasses.replace(cfg, tome_r=args.tome_r)
         return eva_clip_g_token_mean_extractor(cfg, params,
                                                max_frames=args.max_frames)
     if "siglip" in name:
+        import dataclasses
+
         from transformers import SiglipVisionModel
 
         from ..encoders.siglip import from_hf_torch as siglip_from_hf
         from ..features.vision_zoo import siglip_token_mean_extractor
         cfg, params = siglip_from_hf(SiglipVisionModel.from_pretrained(path))
+        if args.tome_r:
+            cfg = dataclasses.replace(cfg, tome_r=args.tome_r)
         return siglip_token_mean_extractor(cfg, params,
                                            max_frames=args.max_frames)
     if "emonet" in name:
@@ -146,8 +154,9 @@ def main(argv=None):
                    choices=[None, "bf16"],
                    help="bf16 production mode (CLIP path)")
     p.add_argument("--tome_r", type=int, default=0,
-                   help="Token Merging r per layer (DINOv2 path; production "
-                        "accelerator, approximate features)")
+                   help="Token Merging r per layer (CLIP/DINOv2/SigLIP/"
+                        "EVA-CLIP-G paths; production accelerator, "
+                        "approximate features)")
     p.add_argument("--gpu", type=int, default=0, help="ignored (TPU)")
     args = p.parse_args(argv)
 

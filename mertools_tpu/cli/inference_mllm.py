@@ -120,12 +120,22 @@ def main(argv=None):
 
     from ..io import wav as wav_io
 
+    # frozen encoders are epoch-independent: cache features across the sweep
+    _feat_cache: dict[str, tuple] = {}
+
     def raw_feats(group):
-        faces = {n: np.load(os.path.join(args.face_dir, n + ".npy"))
-                 for n in group}
-        wavs = {n: wav_io.read_wav_16k(
-            os.path.join(args.audio_dir, n + ".wav")) for n in group}
-        return venc(faces), aenc(wavs)
+        todo_names = [n for n in group if n not in _feat_cache]
+        if todo_names:
+            faces = {n: np.load(os.path.join(args.face_dir, n + ".npy"))
+                     for n in todo_names}
+            wavs = {n: wav_io.read_wav_16k(
+                os.path.join(args.audio_dir, n + ".wav"))
+                for n in todo_names}
+            vf, af = venc(faces), aenc(wavs)
+            for n in todo_names:
+                _feat_cache[n] = (vf[n], af[n])
+        return ({n: _feat_cache[n][0] for n in group},
+                {n: _feat_cache[n][1] for n in group})
 
     for epoch, ckpt_path in sweep:
         if ckpt_path is not None:

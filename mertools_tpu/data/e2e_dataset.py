@@ -108,6 +108,17 @@ class E2EDataset:
         precomputed float frames, so reference-scale corpora fit in HBM.
         ``compact=False`` reproduces the old precomputed-float layout."""
         if compact:
+            default_stats = ((0.48145466, 0.4578275, 0.40821073),
+                             (0.26862954, 0.26130258, 0.27577711))
+            if (tuple(mean), tuple(std)) != default_stats:
+                import warnings
+
+                warnings.warn(
+                    "build_video(compact=True) stores raw uint8 frames; the "
+                    "MODEL config (E2EConfig/VideoMAEPretrain pixel_mean/"
+                    "pixel_std) governs normalization — the mean/std passed "
+                    "here are ignored. Pass compact=False for precomputed "
+                    "float frames.", stacklevel=2)
             vids = []
             for n in names:
                 arr = np.load(os.path.join(face_root, f"{n}.npy"))

@@ -175,12 +175,16 @@ def eva_clip_g_token_mean_extractor(cfg: ViTConfig, params, ln_vision=None,
     enc = ViTEncoder(cfg)
 
     def forward(p, pix):
-        tokens = enc.apply({"params": p}, pix)
+        out = enc.apply({"params": p}, pix)
+        tokens, sizes = out if cfg.tome_r > 0 else (out, None)
         mu = tokens.mean(-1, keepdims=True)
         var = jnp.square(tokens - mu).mean(-1, keepdims=True)
         normed = (tokens - mu) / jnp.sqrt(var + 1e-5)
         if ln_vision is not None:
             normed = normed * ln_vision["scale"] + ln_vision["bias"]
+        if sizes is not None:   # ToMe: size-weighted token mean
+            return (jnp.einsum("bnd,bn->bd", normed, sizes)
+                    / sizes.sum(-1, keepdims=True))
         return normed.mean(axis=1)
 
     return FrameStreamExtractor(forward, params, spec, batch_size, max_frames)

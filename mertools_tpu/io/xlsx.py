@@ -73,8 +73,9 @@ def read_xlsx_rows(path: str, sheet: str | int = 0) -> list[list]:
             target = sheets[sheet][1]
         else:
             target = dict(sheets)[sheet]
+        target = target.lstrip("/")   # some writers emit absolute part names
         if not target.startswith("xl/"):
-            target = "xl/" + target.lstrip("/")
+            target = "xl/" + target
         shared = []
         if "xl/sharedStrings.xml" in z.namelist():
             sst = ET.fromstring(z.read("xl/sharedStrings.xml"))

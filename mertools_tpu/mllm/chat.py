@@ -64,9 +64,14 @@ class Chat:
         # SEP/PAD so generation still terminates deterministically
         self.eos = (eos_token_id if eos_token_id is not None
                     else tokenizer.eos_token_id)
-        if self.eos is None:
-            self.eos = (getattr(tokenizer, "sep_token_id", None)
-                        or getattr(tokenizer, "pad_token_id", None) or 0)
+        if self.eos is None:      # explicit None checks: id 0 is legitimate
+            for attr in ("sep_token_id", "pad_token_id"):
+                tid = getattr(tokenizer, attr, None)
+                if tid is not None:
+                    self.eos = tid
+                    break
+            else:
+                self.eos = 0
         self.repetition_penalty = repetition_penalty
         self.max_len = max_len
         self._embed_fn = jax.jit(

@@ -209,8 +209,15 @@ def epoch_checkpoints(run_dir: str, test_epoch: str | None = None,
         raise FileNotFoundError(f"no checkpoint_N dirs under {run_dir}")
     if test_epoch is not None:
         e = int(test_epoch)
+        if e not in found:
+            raise FileNotFoundError(
+                f"checkpoint_{e} not in {run_dir}; available epochs: "
+                f"{sorted(found)}")
         return [(e, found[e])]
     if test_epochs:
+        # NOTE: like the reference (inference_hybird.py:78-81) the skip
+        # filter is anchored at epoch 0 (``e % skip == 0``), not at the
+        # range start — '1-5' with skip 2 selects [2, 4].
         a, b = (int(x) for x in test_epochs.split("-"))
         return [(e, found[e]) for e in sorted(found)
                 if a <= e <= b and e % max(1, skip_epoch) == 0]

@@ -43,15 +43,14 @@ class E2EConfig:
 
 def preprocess_video_u8(v, image_size: int, mean, std):
     """(B, T, h, w, 3) uint8 BGR -> (B, T, S, S, 3) normalized float32, fully
-    inside jit. Keeping video batches uint8 at source resolution cuts HBM by
-    16-32x vs precomputed float frames (the memory gap of the precompute
-    design); XLA fuses this into the encoder's first conv pipeline."""
+    inside jit (separable-matmul resize, ops/image.py — identical numerics to
+    the jax.image.resize pipeline). Keeping video batches uint8 at source
+    resolution cuts HBM by 16-32x vs precomputed float frames."""
+    from ..ops.image import fused_face_preprocess
+
     B, T = v.shape[0], v.shape[1]
-    x = v.astype(jnp.float32)[..., ::-1] / 255.0         # BGR -> RGB
-    x = x.reshape((B * T,) + x.shape[2:])
-    x = jax.image.resize(x, (B * T, image_size, image_size, 3),
-                         method="bicubic")
-    x = (x - jnp.asarray(mean)) / jnp.asarray(std)
+    x = fused_face_preprocess(v.reshape((B * T,) + v.shape[2:]),
+                              image_size, mean, std)
     return x.reshape(B, T, image_size, image_size, 3)
 
 
@@ -135,6 +134,10 @@ class VideoMAEPretrain(nn.Module):
     mask_ratio: float = 0.9
     output_dim1: int = 0     # optional joint heads so the CV driver's
     output_dim2: int = 0     # metric machinery stays live during pretraining
+    # compact-u8 normalization: MUST match the float build_video default
+    # (CLIP stats) so compact and precomputed layouts train identically
+    pixel_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
+    pixel_std: tuple = (0.26862954, 0.26130258, 0.27577711)
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -143,7 +146,7 @@ class VideoMAEPretrain(nn.Module):
         vc = self.backbone.cfg
         if "videos_u8" in batch:                         # compact uint8 path
             videos = preprocess_video_u8(batch["videos_u8"], vc.image_size,
-                                         (0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+                                         self.pixel_mean, self.pixel_std)
         else:
             videos = batch["videos"]                     # (B, T, H, W, 3)
         B = videos.shape[0]

@@ -74,6 +74,11 @@ def test_epoch_checkpoint_selection(tmp_path):
     # range with skip
     got = epoch_checkpoints(run, test_epochs="0-3", skip_epoch=2)
     assert [e for e, _ in got] == [0, 2]
+    # skip is anchored at epoch 0 like the reference (inference_hybird:78-81)
+    got = epoch_checkpoints(run, test_epochs="1-5", skip_epoch=2)
+    assert [e for e, _ in got] == [2]   # 4 absent from the fixture
+    with pytest.raises(FileNotFoundError):
+        epoch_checkpoints(run, test_epoch="9")
     with pytest.raises(FileNotFoundError):
         epoch_checkpoints(str(tmp_path / "empty"))
 

@@ -146,3 +146,21 @@ def test_tome_siglip_tower(rng):
     feat = ex.extract(faces, level="UTT")["a"]
     assert feat.shape == (32,) and np.isfinite(feat).all()
     assert np.isfinite(np.asarray(ref)).all()
+
+
+def test_tome_eva_clip_g_extractor(rng):
+    from mertools_tpu.encoders.vit import ViTEncoder, eva_clip_g_config
+    from mertools_tpu.features.vision_zoo import \
+        eva_clip_g_token_mean_extractor
+
+    cfg = eva_clip_g_config(hidden_size=16, num_layers=2, num_heads=4,
+                            intermediate_size=40, image_size=28, tome_r=2)
+    import dataclasses
+    enc = ViTEncoder(dataclasses.replace(cfg, tome_r=0))
+    params = enc.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 28, 28, 3)))["params"]
+    ex = eva_clip_g_token_mean_extractor(cfg, params, batch_size=4,
+                                         max_frames=2)
+    faces = {"a": (rng.random((3, 112, 112, 3)) * 255).astype(np.uint8)}
+    out = ex.extract(faces, level="UTT")["a"]
+    assert out.shape == (16,) and np.isfinite(out).all()
