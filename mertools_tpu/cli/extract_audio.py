@@ -89,8 +89,9 @@ def main(argv=None):
     p.add_argument("--encoder_size", type=str, default="large",
                    choices=["tiny", "base", "large"])
     p.add_argument("--compute_dtype", type=str, default=None,
-                   choices=[None, "bf16"],
+                   choices=[None, "bf16", "int8"],
                    help="bf16: ~2.2x faster, ~0.8%% rel err (TF32-class); "
+                        "int8: dynamic w8a8 on the int8 MXU (~1-2%% err); "
                         "default fp32-HIGHEST for <1e-3 parity")
     p.add_argument("--batch_budget_sec", type=int, default=80,
                    help="audio seconds per device batch")

@@ -151,8 +151,8 @@ def main(argv=None):
     p.add_argument("--pretrain_dir", type=str, default=None)
     p.add_argument("--max_frames", type=int, default=64)
     p.add_argument("--compute_dtype", type=str, default=None,
-                   choices=[None, "bf16"],
-                   help="bf16 production mode (CLIP path)")
+                   choices=[None, "bf16", "int8"],
+                   help="bf16/int8 production modes (CLIP path)")
     p.add_argument("--tome_r", type=int, default=0,
                    help="Token Merging r per layer (CLIP/DINOv2/SigLIP/"
                         "EVA-CLIP-G paths; production accelerator, "

@@ -73,6 +73,10 @@ def main(argv=None):
                    choices=["static", "continuous"],
                    help="continuous: slot-based continuous batching "
                         "(greedy; ignores temperature/top_p)")
+    p.add_argument("--w8", action="store_true",
+                   help="weight-only int8 serving mode: halves the HBM "
+                        "weight traffic that bounds small-batch decode "
+                        "(ops/quant.py; ~per-channel-absmax accuracy)")
     args = p.parse_args(argv)
 
     import jax
@@ -88,6 +92,9 @@ def main(argv=None):
     del hf
     tok = AutoTokenizer.from_pretrained(args.model)
     emb_table = np.asarray(params["embed_tokens"]["embedding"])
+    if args.w8:
+        from ..mllm.generate import quantize_llm_params_w8
+        params = jax.jit(quantize_llm_params_w8)(params)
 
     name2reason = load_name2reason(args.reason_npz, args.reason_root)
     names = list(name2reason)

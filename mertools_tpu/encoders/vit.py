@@ -166,6 +166,7 @@ def tome_merge(x, metric, sizes, r: int, n_protected: int):
 class _Block(nn.Module):
     cfg: ViTConfig
     precision: object = _PRECISION
+    dot_general: object = None  # e.g. ops.quant.int8_dot_general
 
     @nn.compact
     def __call__(self, x, rel_bias=None, rope=None, sizes=None):
@@ -174,7 +175,8 @@ class _Block(nn.Module):
         hd = H // nh
         ln = lambda name: nn.LayerNorm(epsilon=c.layer_norm_eps, name=name)
         dense = lambda d, name, use_bias=True: nn.Dense(
-            d, name=name, use_bias=use_bias, precision=self.precision)
+            d, name=name, use_bias=use_bias, precision=self.precision,
+            dot_general=self.dot_general)
 
         residual = x
         xn = ln("norm1")(x)
@@ -241,6 +243,9 @@ class ViTEncoder(nn.Module):
 
     cfg: ViTConfig
     precision: object = _PRECISION
+    # quantized dot_general for the transformer-block Dense sites only (the
+    # patch embed stays at `precision`)
+    dot_general: object = None
 
     @nn.compact
     def __call__(self, pixels):
@@ -284,8 +289,8 @@ class ViTEncoder(nn.Module):
                 table = self.param(f"rel_bias_table_{i}", nn.initializers.zeros,
                                    ((2 * c.grid - 1) ** 2 + 3, c.num_heads))
                 rel_bias = table[jnp.asarray(rel_index)].transpose(2, 0, 1)
-            out = _Block(c, name=f"block_{i}",
-                         precision=self.precision)(x, rel_bias, rope, sizes)
+            out = _Block(c, name=f"block_{i}", precision=self.precision,
+                         dot_general=self.dot_general)(x, rel_bias, rope, sizes)
             x, sizes = out if c.tome_r > 0 else (out, sizes)
 
         if c.final_layernorm:

@@ -56,13 +56,15 @@ class CLIPVisionConfig:
 class _CLIPLayer(nn.Module):
     cfg: CLIPVisionConfig
     precision: object = _PRECISION
+    dot_general: object = None  # e.g. ops.quant.int8_dot_general
 
     @nn.compact
     def __call__(self, x, sizes=None):
         c = self.cfg
         H, nh = c.hidden_size, c.num_attention_heads
         hd = H // nh
-        dense = lambda d, name: nn.Dense(d, name=name, precision=self.precision)
+        dense = lambda d, name: nn.Dense(d, name=name, precision=self.precision,
+                                         dot_general=self.dot_general)
         ln = lambda name: nn.LayerNorm(epsilon=c.layer_norm_eps, name=name)
 
         residual = x
@@ -98,6 +100,9 @@ class CLIPVisionEncoder(nn.Module):
 
     cfg: CLIPVisionConfig
     precision: object = _PRECISION
+    # quantized dot_general for the transformer-layer Dense sites only (the
+    # patch embed and visual projection stay at `precision`)
+    dot_general: object = None
 
     @nn.compact
     def __call__(self, pixel_values: jnp.ndarray):
@@ -117,7 +122,8 @@ class CLIPVisionEncoder(nn.Module):
 
         sizes = (jnp.ones(x.shape[:2], x.dtype) if c.tome_r > 0 else None)
         for i in range(c.num_hidden_layers):
-            out = _CLIPLayer(c, self.precision, name=f"layer_{i}")(x, sizes)
+            out = _CLIPLayer(c, self.precision, self.dot_general,
+                             name=f"layer_{i}")(x, sizes)
             x, sizes = out if c.tome_r > 0 else (out, sizes)
 
         pooled = nn.LayerNorm(epsilon=c.layer_norm_eps, name="post_layernorm")(x[:, 0])

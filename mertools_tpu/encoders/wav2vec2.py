@@ -142,6 +142,7 @@ class MaskedChannelNorm(nn.Module):
 class _Attention(nn.Module):
     cfg: Wav2Vec2Config
     precision: object = _PRECISION
+    dot_general: object = None  # e.g. ops.quant.int8_dot_general
 
     @nn.compact
     def __call__(self, x, bias):
@@ -150,7 +151,8 @@ class _Attention(nn.Module):
         hd = H // nh
 
         def proj(name, y):
-            return nn.Dense(H, name=name, precision=self.precision)(y)
+            return nn.Dense(H, name=name, precision=self.precision,
+                            dot_general=self.dot_general)(y)
 
         q = proj("q_proj", x).reshape(*x.shape[:2], nh, hd) * (hd ** -0.5)
         k = proj("k_proj", x).reshape(*x.shape[:2], nh, hd)
@@ -208,6 +210,7 @@ class _WavLMAttention(nn.Module):
 
     cfg: Wav2Vec2Config
     precision: object = _PRECISION
+    dot_general: object = None
 
     @nn.compact
     def __call__(self, x, bias, pos_bias):
@@ -217,7 +220,8 @@ class _WavLMAttention(nn.Module):
         B, T = x.shape[0], x.shape[1]
 
         def proj(name, y):
-            return nn.Dense(H, name=name, precision=self.precision)(y)
+            return nn.Dense(H, name=name, precision=self.precision,
+                            dot_general=self.dot_general)(y)
 
         heads = x.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)   # (B,nh,T,hd)
         g = nn.Dense(8, name="gru_rel_pos_linear",
@@ -244,17 +248,21 @@ class _WavLMAttention(nn.Module):
 class _Layer(nn.Module):
     cfg: Wav2Vec2Config
     precision: object = _PRECISION
+    dot_general: object = None
 
     @nn.compact
     def __call__(self, x, bias, pos_bias=None):
         c = self.cfg
         ln = lambda name: nn.LayerNorm(epsilon=c.layer_norm_eps, name=name)
-        dense = lambda d, name: nn.Dense(d, name=name, precision=self.precision)
+        dense = lambda d, name: nn.Dense(d, name=name, precision=self.precision,
+                                         dot_general=self.dot_general)
         if c.attn_type == "wavlm":
-            wl = _WavLMAttention(c, self.precision, name="attention")
+            wl = _WavLMAttention(c, self.precision, self.dot_general,
+                                 name="attention")
             attn = lambda y, b: wl(y, b, pos_bias)
         else:
-            attn = _Attention(c, self.precision, name="attention")
+            attn = _Attention(c, self.precision, self.dot_general,
+                              name="attention")
         if c.do_stable_layer_norm:  # pre-LN
             x = x + attn(ln("layer_norm")(x), bias)
             h = ln("final_layer_norm")(x)
@@ -274,6 +282,9 @@ class Wav2Vec2Encoder(nn.Module):
 
     cfg: Wav2Vec2Config
     precision: object = _PRECISION
+    # quantized dot_general for the transformer-layer Dense sites only (the
+    # conv frontend and fp_projection stay at `precision`)
+    dot_general: object = None
 
     @nn.compact
     def __call__(self, wav: jnp.ndarray, wav_lengths: jnp.ndarray | None = None):
@@ -360,7 +371,8 @@ class Wav2Vec2Encoder(nn.Module):
             x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="encoder_layer_norm")(x)
         hidden_states.append(x)
         for i in range(c.num_hidden_layers):
-            x = _Layer(c, self.precision, name=f"layer_{i}")(x, bias, pos_bias)
+            x = _Layer(c, self.precision, self.dot_general,
+                       name=f"layer_{i}")(x, bias, pos_bias)
             hidden_states.append(x)
         if c.do_stable_layer_norm:
             x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="encoder_layer_norm")(x)

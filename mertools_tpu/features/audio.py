@@ -70,7 +70,9 @@ class AudioExtractor:
     precision: object = jax.lax.Precision.HIGHEST
     # "bf16": cast params + activations to bfloat16 with DEFAULT-precision
     # matmuls (~2.2x on the MXU, ~0.8% rel err — comparable to the A100
-    # reference's torch TF32 defaults). None/"f32": parity mode.
+    # reference's torch TF32 defaults). "int8": bf16 activations with dynamic
+    # w8a8 int8-MXU matmuls in the transformer-layer Dense sites
+    # (ops/quant.py; ~1-2% rel err class). None/"f32": parity mode.
     compute_dtype: str | None = None
     # Pallas flash attention in the encoder (standard attention, TPU only).
     # MEASURED SLOWER for this workload: 0.64x vs XLA attention at T~500
@@ -86,17 +88,21 @@ class AudioExtractor:
     def __post_init__(self):
         import dataclasses as _dc
 
-        precision = (jax.lax.Precision.DEFAULT
-                     if self.compute_dtype == "bf16" else self.precision)
+        fast = self.compute_dtype in ("bf16", "int8")
+        precision = jax.lax.Precision.DEFAULT if fast else self.precision
         use_flash = (self.flash is True
                      and self.cfg.attn_type == "standard"
                      and jax.devices()[0].platform == "tpu")
         cfg = (_dc.replace(self.cfg, use_flash_attention=True)
                if use_flash and not self.cfg.use_flash_attention else self.cfg)
         self.cfg = cfg
-        enc = Wav2Vec2Encoder(cfg, precision=precision)
-        cast = (lambda x: x.astype(jnp.bfloat16)) \
-            if self.compute_dtype == "bf16" else (lambda x: x)
+        dot_general = None
+        if self.compute_dtype == "int8":
+            from ..ops.quant import int8_dot_general
+            dot_general = int8_dot_general
+        enc = Wav2Vec2Encoder(cfg, precision=precision,
+                              dot_general=dot_general)
+        cast = (lambda x: x.astype(jnp.bfloat16)) if fast else (lambda x: x)
 
         @jax.jit
         def fwd(params, wav, lengths):
@@ -117,7 +123,7 @@ class AudioExtractor:
         self._fwd = fwd
         self._fwd_pooled = fwd_pooled
         params = self.params
-        if self.compute_dtype == "bf16":
+        if fast:
             params = jax.tree_util.tree_map(
                 lambda x: jnp.asarray(x, jnp.bfloat16), params)
         if self.mesh is not None:

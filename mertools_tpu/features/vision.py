@@ -52,14 +52,19 @@ class VisionExtractor:
     batch_size: int = 64
     max_frames: int = 64
     precision: object = jax.lax.Precision.HIGHEST
-    compute_dtype: str | None = None   # "bf16": production mode (see audio)
+    # "bf16" / "int8": production modes (see features/audio.py)
+    compute_dtype: str | None = None
 
     def __post_init__(self):
-        precision = (jax.lax.Precision.DEFAULT
-                     if self.compute_dtype == "bf16" else self.precision)
-        enc = CLIPVisionEncoder(self.cfg, precision=precision)
-        cast = ((lambda x: x.astype(jnp.bfloat16))
-                if self.compute_dtype == "bf16" else (lambda x: x))
+        fast = self.compute_dtype in ("bf16", "int8")
+        precision = jax.lax.Precision.DEFAULT if fast else self.precision
+        dot_general = None
+        if self.compute_dtype == "int8":
+            from ..ops.quant import int8_dot_general
+            dot_general = int8_dot_general
+        enc = CLIPVisionEncoder(self.cfg, precision=precision,
+                                dot_general=dot_general)
+        cast = (lambda x: x.astype(jnp.bfloat16)) if fast else (lambda x: x)
 
         @jax.jit
         def fwd(params, frames):
@@ -69,7 +74,7 @@ class VisionExtractor:
 
         self._fwd = fwd
         params = self.params
-        if self.compute_dtype == "bf16":
+        if fast:
             params = jax.tree_util.tree_map(
                 lambda x: jnp.asarray(x, jnp.bfloat16), params)
         self._params = jax.device_put(params)

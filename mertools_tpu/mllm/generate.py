@@ -24,7 +24,38 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.quant import quantize_weight_w8, w8_einsum
+
 _P = jax.lax.Precision.HIGHEST
+
+_W8_KERNELS = ("q_proj", "k_proj", "v_proj", "o_proj",
+               "gate_proj", "up_proj", "down_proj")
+
+
+def quantize_llm_params_w8(params: dict, lm_head: bool = True) -> dict:
+    """Pack the LLM's large kernels as weight-only int8 (serving mode).
+
+    Autoregressive decode at small batch is bound by streaming the weights
+    from HBM each step; int8 storage halves that traffic vs bf16. Norms,
+    biases, embeddings and LoRA deltas stay in full precision; every
+    function in this module transparently accepts the packed tree."""
+    out = {}
+    for name, sub in params.items():
+        if name.startswith("layer_"):
+            lp = {}
+            for pn, pp in sub.items():
+                if pn in _W8_KERNELS:
+                    q = dict(pp)
+                    q["kernel"] = quantize_weight_w8(pp["kernel"])
+                    lp[pn] = q
+                else:
+                    lp[pn] = pp
+            out[name] = lp
+        elif name == "lm_head" and lm_head:
+            out[name] = {**sub, "kernel": quantize_weight_w8(sub["kernel"])}
+        else:
+            out[name] = sub
+    return out
 
 
 def _rms(p, x, eps):
@@ -33,7 +64,7 @@ def _rms(p, x, eps):
 
 
 def _lora_dense(p, x):
-    y = jnp.einsum("...d,df->...f", x, p["kernel"], precision=_P)
+    y = w8_einsum("...d,df->...f", x, p["kernel"], precision=_P)
     if "bias" in p:
         y = y + p["bias"]
     if "lora_a" in p:
@@ -66,10 +97,10 @@ def _qkv(cfg, lp, xn):
 
 
 def _mlp(lp, x):
-    g = jnp.einsum("...d,df->...f", x, lp["gate_proj"]["kernel"], precision=_P)
-    u = jnp.einsum("...d,df->...f", x, lp["up_proj"]["kernel"], precision=_P)
-    return jnp.einsum("...f,fd->...d", jax.nn.silu(g) * u,
-                      lp["down_proj"]["kernel"], precision=_P)
+    g = w8_einsum("...d,df->...f", x, lp["gate_proj"]["kernel"], precision=_P)
+    u = w8_einsum("...d,df->...f", x, lp["up_proj"]["kernel"], precision=_P)
+    return w8_einsum("...f,fd->...d", jax.nn.silu(g) * u,
+                     lp["down_proj"]["kernel"], precision=_P)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "cache_len"))
@@ -115,8 +146,8 @@ def prefill(cfg, params, inputs_embeds, attention_mask, cache_len: int):
     x = _rms(params["norm"], x, cfg.rms_norm_eps)
     # logits at the LAST VALID position of each sample
     last = jnp.take_along_axis(x, (n_valid - 1)[:, None, None], axis=1)[:, 0]
-    logits = jnp.einsum("bd,dv->bv", last, params["lm_head"]["kernel"],
-                        precision=_P)
+    logits = w8_einsum("bd,dv->bv", last, params["lm_head"]["kernel"],
+                       precision=_P)
 
     pad = cache_len - S
     k_cache = jnp.pad(jnp.stack(ks), ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
@@ -154,8 +185,8 @@ def _step(cfg, params, tok, pos, slot, k_cache, v_cache, slot_mask):
         xn = _rms(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
         x = x + _mlp(lp, xn)
     x = _rms(params["norm"], x, cfg.rms_norm_eps)
-    logits = jnp.einsum("bd,dv->bv", x, params["lm_head"]["kernel"],
-                        precision=_P)
+    logits = w8_einsum("bd,dv->bv", x, params["lm_head"]["kernel"],
+                       precision=_P)
     return logits, k_cache, v_cache
 
 

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.quant import w8_einsum
 from .generate import _lora_dense, _mlp, _qkv, _rms, _rotary
 
 _P = jax.lax.Precision.HIGHEST
@@ -83,8 +84,8 @@ def _serve_step(cfg, params, toks, positions, write_idx, kv_mask,
         xn = _rms(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
         x = x + _mlp(lp, xn)
     x = _rms(params["norm"], x, cfg.rms_norm_eps)
-    logits = jnp.einsum("bd,dv->bv", x, params["lm_head"]["kernel"],
-                        precision=_P)
+    logits = w8_einsum("bd,dv->bv", x, params["lm_head"]["kernel"],
+                       precision=_P)
     # frozen slots must not corrupt caches: masked writes already landed, but
     # inactive rows wrote garbage at write_idx — mask them back out
     return logits, k_cache, v_cache
