@@ -73,3 +73,24 @@ def test_engine_staggered_admission(engine_llm, rng):
         eng.step()
     for rid, ref in refs.items():
         assert eng.finished[rid] == ref, (rid, eng.finished[rid], ref)
+
+
+def test_engine_w8_packed_params(engine_llm, rng):
+    """ContinuousBatcher over a w8-packed tree == generate() over the same
+    packed tree (packed math is identical in both paths)."""
+    from mertools_tpu.mllm.generate import quantize_llm_params_w8
+
+    cfg, params = engine_llm
+    eos = 88
+    packed = quantize_llm_params_w8(params)
+    prompts = [rng.normal(size=(n, 32)).astype(np.float32) * 0.1
+               for n in (5, 9)]
+    refs = [_ref(cfg, packed, p, 8, eos) for p in prompts]
+
+    eng = ContinuousBatcher(cfg, packed, n_slots=2, max_len=32,
+                            eos_token_id=eos, max_new_tokens=8,
+                            prefill_buckets=(16,))
+    rids = [eng.submit(p) for p in prompts]
+    out = eng.run()
+    for rid, ref in zip(rids, refs):
+        assert out[rid] == ref, (rid, out[rid], ref)
