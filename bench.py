@@ -6,10 +6,15 @@ strongest audio feature) over a realistic MER clip-length distribution
 (2-10 s at 16 kHz), UTT level (last-4-layer sum, temporal mean pooled
 ON DEVICE — only (B, D) crosses the host link).
 
-``value``      = clips/sec of the bucketed batched pipeline on this chip
-                 (best of fp32-HIGHEST parity mode and bf16 production mode;
-                 on this tunnel-bound dev platform the host link dominates so
-                 HIGHEST wins end-to-end; both reported in ``detail``).
+``value``      = clips/sec of the bucketed batched pipeline on this chip,
+                 best of three modes (all in ``detail``):
+                 fp32-HIGHEST (the <1e-3 parity contract), bf16 (production
+                 compute), and int16-wire + bf16 (production: PCM16 segments
+                 over the host link — exact for real 16 kHz PCM16 sources —
+                 with on-device normalization + bf16 compute). On this
+                 tunnel-bound dev platform the int16+bf16 mode is ~2.2x the
+                 f32 modes because transfer and compute bottlenecks both
+                 halve (measured 116 vs 52 clips/s).
 ``vs_baseline``= speedup over the reference's execution model (one clip per
                  forward, sequential, extract_audio_huggingface.py:72-110)
                  run on the SAME chip, generously also allowed device-side
@@ -53,22 +58,28 @@ def main():
 
     n_clips = 64
     lengths = rng.integers(2 * 16000, 10 * 16000, size=n_clips)
-    wavs = {f"clip{i}": rng.normal(size=int(L)).astype(np.float32)
-            for i, L in enumerate(lengths)}
+    # clips as real data arrives: 16-bit PCM (the int16 wire mode ships this
+    # exactly; the f32 modes get the identical soundfile-style i16/32768)
+    wavs16 = {f"clip{i}": (rng.normal(size=int(L)) * 3000).astype(np.int16)
+              for i, L in enumerate(lengths)}
+    wavs = {n: w.astype(np.float32) / 32768.0 for n, w in wavs16.items()}
     total_audio_sec = float(lengths.sum()) / 16000
 
     buckets = (64000, 112000, MAX_SEGMENT)
 
     results = {}
-    for mode, kw in (("highest", dict(sample_budget=16 * MAX_SEGMENT)),
-                     ("bf16", dict(compute_dtype="bf16",
-                                   sample_budget=16 * MAX_SEGMENT))):
+    for mode, kw, data in (
+            ("highest", dict(sample_budget=16 * MAX_SEGMENT), wavs),
+            ("bf16", dict(compute_dtype="bf16",
+                          sample_budget=16 * MAX_SEGMENT), wavs),
+            ("i16_bf16", dict(compute_dtype="bf16", transfer_dtype="int16",
+                              sample_budget=16 * MAX_SEGMENT), wavs16)):
         ex = AudioExtractor(cfg, params, buckets=buckets, **kw)
-        warm = {f"w{i}": rng.normal(size=b).astype(np.float32)
+        warm = {f"w{i}": np.zeros(b, data[next(iter(data))].dtype)
                 for i, b in enumerate(buckets)}
         ex.extract(warm, level="UTT")  # compile each bucket once
         # tunnel latency is warm-up dependent: take the best of three passes
-        results[mode] = max(_measure(ex, wavs, n_clips)
+        results[mode] = max(_measure(ex, data, n_clips)
                             for _ in range(3))
 
     # device-resident compute throughput (local-host capability): data
@@ -107,9 +118,6 @@ def main():
 
     ref = max(measure_seq() for _ in range(3))  # same best-of-three fairness
 
-    # on this tunnel-bound dev platform the fp32-HIGHEST pipeline is the
-    # better END-TO-END number (uploads dominate; bf16 halves compute, not
-    # transfer) and it is the parity-safe mode — use it as the headline.
     ours = max(results.values())
     print(json.dumps({
         "metric": "hubert_large_extraction_clips_per_sec",
@@ -117,6 +125,7 @@ def main():
         "unit": "clips/sec/chip",
         "vs_baseline": round(ours / ref, 2),
         "detail": {
+            "i16_bf16_clips_per_sec": round(results["i16_bf16"], 2),
             "bf16_clips_per_sec": round(results["bf16"], 2),
             "highest_parity_clips_per_sec": round(results["highest"], 2),
             "sequential_clips_per_sec": round(ref, 2),

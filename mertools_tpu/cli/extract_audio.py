@@ -93,6 +93,11 @@ def main(argv=None):
                    help="bf16: ~2.2x faster, ~0.8%% rel err (TF32-class); "
                         "int8: dynamic w8a8 on the int8 MXU (~1-2%% err); "
                         "default fp32-HIGHEST for <1e-3 parity")
+    p.add_argument("--transfer_dtype", type=str, default="f32",
+                   choices=["f32", "int16"],
+                   help="int16: ship PCM16 over the host link (half the "
+                        "bytes; exact for 16 kHz PCM16 sources) and "
+                        "normalize on device")
     p.add_argument("--batch_budget_sec", type=int, default=80,
                    help="audio seconds per device batch")
     p.add_argument("--gpu", type=int, default=0, help="ignored (TPU)")
@@ -135,7 +140,8 @@ def main(argv=None):
                                    args.random_init, args.encoder_size)
         ex = AudioExtractor(cfg, params,
                             sample_budget=args.batch_budget_sec * 16000,
-                            compute_dtype=args.compute_dtype)
+                            compute_dtype=args.compute_dtype,
+                            transfer_dtype=args.transfer_dtype)
 
     files = sorted(glob.glob(os.path.join(args.audio_dir, "*.wav")))
     print(f"extracting {len(files)} wavs -> {out_dir}")

@@ -53,6 +53,22 @@ def segmentize(wav: np.ndarray, max_segment: int = MAX_SEGMENT
             for i in range(n)]
 
 
+def segmentize_i16(wav: np.ndarray, max_segment: int = MAX_SEGMENT
+                   ) -> list[tuple[np.ndarray, int, int]]:
+    """Int16 wire-format segmenting: (segment_i16, valid_len, raw_len) where
+    raw_len counts REAL samples (the zero tail past raw_len must become 0.0
+    in normalized space on device, exactly like the reference's
+    normalize-then-pad order)."""
+    if len(wav) <= max_segment:
+        return [(wav, len(wav), len(wav))]
+    n = math.ceil(len(wav) / max_segment)
+    padded = np.zeros(n * max_segment, np.int16)
+    padded[: len(wav)] = wav
+    return [(padded[i * max_segment:(i + 1) * max_segment], max_segment,
+             min(max(len(wav) - i * max_segment, 0), max_segment))
+            for i in range(n)]
+
+
 DEFAULT_BUCKETS = (16000, 32000, 48000, 64000, 96000, 128000, MAX_SEGMENT)
 
 
@@ -84,6 +100,13 @@ class AudioExtractor:
     # optional jax.sharding.Mesh: params replicate, batches shard over the
     # 'data' axis — multi-chip extraction with XLA-inserted collectives.
     mesh: object = None
+    # "int16": ship segments over the host->device link in the wav file's
+    # native PCM16 width (HALF the bytes of f32 — the link is the end-to-end
+    # bottleneck off-chip) and apply the whole-clip normalization as a
+    # per-row affine ON DEVICE. Bit-exact for real PCM16 sources (soundfile
+    # f32 == i16/32768); f32 inputs are round-tripped through int16
+    # (~1e-4, the source-format noise floor). "f32" (default): unchanged.
+    transfer_dtype: str = "f32"
 
     def __post_init__(self):
         import dataclasses as _dc
@@ -120,8 +143,33 @@ class AudioExtractor:
             return jnp.einsum("btd,bt->bd", feat, m,
                               precision=jax.lax.Precision.HIGHEST), frames
 
+        def dequant(wav_i16, affine, raw_lens):
+            # per-row affine = whole-clip normalization folded with the
+            # int16->f32 conversion; zeros past raw_len reproduce the
+            # reference's normalize-THEN-pad order exactly
+            x = wav_i16.astype(jnp.float32) * affine[:, :1] + affine[:, 1:]
+            t_idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            return jnp.where(t_idx < raw_lens[:, None], x, 0.0)
+
+        @jax.jit
+        def fwd16(params, wav_i16, affine, raw_lens, lengths):
+            hs = enc.apply({"params": params},
+                           cast(dequant(wav_i16, affine, raw_lens)), lengths)
+            return sum(hs[i] for i in self.layer_ids).astype(jnp.float32)
+
+        @jax.jit
+        def fwd16_pooled(params, wav_i16, affine, raw_lens, lengths):
+            feat = fwd16(params, wav_i16, affine, raw_lens, lengths)
+            frames = self.cfg.feat_lengths(lengths)
+            t_idx = jax.lax.broadcasted_iota(jnp.int32, feat.shape[:2], 1)
+            m = (t_idx < frames[:, None]).astype(feat.dtype)
+            return jnp.einsum("btd,bt->bd", feat, m,
+                              precision=jax.lax.Precision.HIGHEST), frames
+
         self._fwd = fwd
         self._fwd_pooled = fwd_pooled
+        self._fwd16 = fwd16
+        self._fwd16_pooled = fwd16_pooled
         params = self.params
         if fast:
             params = jax.tree_util.tree_map(
@@ -150,14 +198,32 @@ class AudioExtractor:
                 ) -> dict[str, np.ndarray]:
         """wavs: clip name -> 16 kHz waveform. Returns name -> (T, D) FRA or
         (D,) UTT features, reference-parity."""
-        jobs = []  # (bucket, seg_len, clip, seg_idx, segment)
+        i16 = self.transfer_dtype == "int16"
+        jobs = []  # (bucket, seg_len, clip, seg_idx, segment[, raw_len, a, b])
         seg_counts: dict[str, int] = {}
         for name, wav in wavs.items():
-            w = normalize_wav(wav) if self.do_normalize else np.asarray(wav, np.float32)
-            segs = segmentize(w, self.max_segment)
-            seg_counts[name] = len(segs)
-            for si, (seg, sl) in enumerate(segs):
-                jobs.append((self._bucket_len(len(seg)), sl, name, si, seg))
+            if i16:
+                raw = (wav if wav.dtype == np.int16 else
+                       np.clip(np.round(np.asarray(wav, np.float32) * 32768.0),
+                               -32768, 32767).astype(np.int16))
+                f = raw.astype(np.float32) / 32768.0
+                if self.do_normalize:
+                    inv = 1.0 / np.sqrt(f.var() + 1e-7)
+                    a, b = inv / 32768.0, -float(f.mean()) * inv
+                else:
+                    a, b = 1.0 / 32768.0, 0.0
+                segs = segmentize_i16(raw, self.max_segment)
+                seg_counts[name] = len(segs)
+                for si, (seg, sl, rl) in enumerate(segs):
+                    jobs.append((self._bucket_len(len(seg)), sl, name, si,
+                                 seg, rl, a, b))
+            else:
+                w = (normalize_wav(wav) if self.do_normalize
+                     else np.asarray(wav, np.float32))
+                segs = segmentize(w, self.max_segment)
+                seg_counts[name] = len(segs)
+                for si, (seg, sl) in enumerate(segs):
+                    jobs.append((self._bucket_len(len(seg)), sl, name, si, seg))
 
         jobs.sort(key=lambda j: (j[0], -j[1]))
         utt = level.upper().startswith("UTT")
@@ -183,8 +249,27 @@ class AudioExtractor:
             # FIXED batch shape (bs, bucket): pad with empty rows so each
             # bucket compiles exactly once (padded rows have length 0 and are
             # dropped below)
-            batch = np.zeros((bs, bucket), np.float32)
+            batch = np.zeros((bs, bucket), np.int16 if i16 else np.float32)
             lens = np.zeros(bs, np.int32)
+            if i16:
+                affine = np.zeros((bs, 2), np.float32)
+                raw_lens = np.zeros(bs, np.int32)
+                for r, (_, sl, _, _, seg, rl, a, b) in enumerate(group):
+                    batch[r, : len(seg)] = seg
+                    lens[r] = sl
+                    raw_lens[r] = rl
+                    affine[r] = (a, b)
+                fwd = self._fwd16_pooled if utt else self._fwd16
+                if self._data_sharding is not None:
+                    args = (jax.device_put(batch, self._data_sharding(2)),
+                            jax.device_put(affine, self._data_sharding(2)),
+                            jax.device_put(raw_lens, self._data_sharding(1)),
+                            jax.device_put(lens, self._data_sharding(1)))
+                else:
+                    args = (jnp.asarray(batch), jnp.asarray(affine),
+                            jnp.asarray(raw_lens), jnp.asarray(lens))
+                pending.append((group, fwd(self._params, *args), lens))
+                continue
             for r, (_, sl, _, _, seg) in enumerate(group):
                 batch[r, : len(seg)] = seg
                 lens[r] = sl
@@ -200,13 +285,15 @@ class AudioExtractor:
         for group, res, lens in pending:
             if utt:
                 sums, frames = np.asarray(res[0]), np.asarray(res[1])
-                for r, (_, _, name, si, _) in enumerate(group):
+                for r, j in enumerate(group):
+                    name, si = j[2], j[3]
                     results[name][si] = sums[r]
                     counts[name][si] = int(frames[r])
             else:
                 feats = np.asarray(res)
                 frames = np.asarray(self.cfg.feat_lengths(lens))
-                for r, (_, _, name, si, _) in enumerate(group):
+                for r, j in enumerate(group):
+                    name, si = j[2], j[3]
                     results[name][si] = feats[r, : frames[r]]
 
         out = {}

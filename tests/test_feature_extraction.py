@@ -82,3 +82,38 @@ def test_segmentize_rules():
     assert len(segs) == 3
     assert all(s[1] == 8 for s in segs)  # padded tail counts as valid
     assert segs[2][0][4:].sum() == 0  # zero padding
+
+
+def test_int16_transfer_matches_f32_path():
+    """transfer_dtype='int16' (PCM16 wire format, on-device normalization)
+    matches the f32 path: bit-class-exact for int16 sources (the whole-clip
+    normalization is scale-invariant), multi-segment padding rules intact."""
+    from mertools_tpu.encoders import wav2vec2 as w2v
+
+    hf = tiny_hubert()
+    cfg, params = w2v.from_hf_torch(hf)
+    max_segment = 400
+
+    rng = np.random.default_rng(1)
+    # PCM16 sources, incl. a multi-segment clip (1333 > 400)
+    wavs16 = {f"c{i}": (rng.normal(size=int(L)) * 3000).astype(np.int16)
+              for i, L in enumerate([150, 400, 555, 1333])}
+    wavs_f = {n: w.astype(np.float32) / 32768.0 for n, w in wavs16.items()}
+
+    kw = dict(max_segment=max_segment, buckets=(128, 256, 400),
+              sample_budget=1600)
+    ref = fa.AudioExtractor(cfg, params, **kw).extract(wavs_f, level="FRA")
+    got = fa.AudioExtractor(cfg, params, transfer_dtype="int16",
+                            **kw).extract(wavs16, level="FRA")
+    for name in wavs16:
+        assert got[name].shape == ref[name].shape
+        err = np.abs(got[name] - ref[name]).max()
+        assert err < 1e-4, (name, err)
+
+    # f32 inputs round-trip through the int16 wire format within the
+    # PCM16 noise floor
+    got_f = fa.AudioExtractor(cfg, params, transfer_dtype="int16",
+                              **kw).extract(wavs_f, level="UTT")
+    ref_u = fa.AudioExtractor(cfg, params, **kw).extract(wavs_f, level="UTT")
+    for name in wavs16:
+        np.testing.assert_allclose(got_f[name], ref_u[name], atol=1e-3)
