@@ -77,6 +77,9 @@ def main(argv=None):
                    help="weight-only int8 serving mode: halves the HBM "
                         "weight traffic that bounds small-batch decode "
                         "(ops/quant.py; ~per-channel-absmax accuracy)")
+    p.add_argument("--kv_int8", action="store_true",
+                   help="int8 KV cache (static engine): halves cache "
+                        "memory + read bandwidth for long decodes")
     args = p.parse_args(argv)
 
     import jax
@@ -135,7 +138,7 @@ def main(argv=None):
             temperature=args.temperature, top_p=args.top_p,
             repetition_penalty=args.repetition_penalty,
             eos_token_id=int(tok.eos_token_id),
-            prng_key=jax.random.PRNGKey(i)))
+            prng_key=jax.random.PRNGKey(i), kv_int8=args.kv_int8))
         for b, n in enumerate(group):
             toks = tokens[b]
             stop = np.nonzero(toks == tok.eos_token_id)[0]

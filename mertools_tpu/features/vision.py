@@ -94,12 +94,17 @@ class VisionExtractor:
         results: dict[str, dict[int, np.ndarray]] = {n: {} for n in faces}
         bs = self.batch_size
         h, w = jobs[0][2].shape[:2]
+        # dispatch-then-collect: queue every host->device copy + forward
+        # first (JAX overlaps transfer and compute), materialize after
+        pending = []
         for i in range(0, len(jobs), bs):
             group = jobs[i: i + bs]
             batch = np.zeros((bs, h, w, 3), np.uint8)  # fixed shape: 1 compile
             for r, (_, _, frame) in enumerate(group):
                 batch[r] = frame
-            embeds = np.asarray(self._fwd(self._params, jnp.asarray(batch)))
+            pending.append((group, self._fwd(self._params, jnp.asarray(batch))))
+        for group, res in pending:
+            embeds = np.asarray(res)
             for r, (name, fi, _) in enumerate(group):
                 results[name][fi] = embeds[r]
 

@@ -115,6 +115,8 @@ class FrameStreamExtractor:
         results = {n: {} for n in faces}
         bs = self.batch_size
         h, w = jobs[0][2].shape[:2]
+        # dispatch-then-collect (overlap host->device copies with compute)
+        pending = []
         for i in range(0, len(jobs), bs):
             group = jobs[i: i + bs]
             batch = np.zeros((bs, h, w, 3), np.uint8)
@@ -123,7 +125,9 @@ class FrameStreamExtractor:
             dev_batch = (jax.device_put(batch, self._batch_sharding)
                          if self._batch_sharding is not None
                          else jnp.asarray(batch))
-            emb = np.asarray(self._step(self._params, dev_batch))
+            pending.append((group, self._step(self._params, dev_batch)))
+        for group, res in pending:
+            emb = np.asarray(res)
             for r, (name, fi, _) in enumerate(group):
                 results[name][fi] = emb[r]
         out = {}
@@ -271,6 +275,7 @@ class VideoMAEExtractor:
         names = list(faces)
         T = self.cfg.num_frames
         out = {}
+        pending = []   # dispatch-then-collect (overlap copies with compute)
         for i in range(0, len(names), self.batch_size):
             group = names[i: i + self.batch_size]
             h, w = faces[group[0]].shape[1:3]
@@ -282,7 +287,9 @@ class VideoMAEExtractor:
                 # resample (continuous index clamp)
                 idx = np.resize(idx, T) if len(idx) < T else idx
                 batch[r] = arr[idx]
-            segs = np.asarray(self._step(self._params, jnp.asarray(batch)))
+            pending.append((group, self._step(self._params, jnp.asarray(batch))))
+        for group, res in pending:
+            segs = np.asarray(res)
             for r, name in enumerate(group):
                 out[name] = (segs[r].mean(0)
                              if level.upper().startswith("UTT") else segs[r])

@@ -52,7 +52,8 @@ class Chat:
                  conv: Conversation | None = None, max_new_tokens: int = 256,
                  temperature: float = 0.0, top_p: float = 0.9,
                  eos_token_id: int | None = None, max_len: int = 512,
-                 repetition_penalty: float = 1.0):
+                 repetition_penalty: float = 1.0, kv_int8: bool = False):
+        self.kv_int8 = kv_int8
         self.model = model
         self.params = jax.device_put(params)
         self.tok = tokenizer
@@ -134,7 +135,7 @@ class Chat:
             self.model.cfg.llm, self.params["llm"], embeds, jnp.asarray(mask),
             max_new_tokens=self.max_new_tokens, temperature=self.temperature,
             top_p=self.top_p, eos_token_id=int(self.eos),
-            repetition_penalty=self.repetition_penalty,
+            repetition_penalty=self.repetition_penalty, kv_int8=self.kv_int8,
             prng_key=prng_key if prng_key is not None else jax.random.PRNGKey(0)))
         out = []
         for b in range(B):

@@ -58,6 +58,16 @@ def quantize_llm_params_w8(params: dict, lm_head: bool = True) -> dict:
     return out
 
 
+def _quant_kv(t):
+    """Per-token-per-head symmetric int8 KV quantization: t (..., d) ->
+    (int8 codes, f32 scale (..., 1)) with t ~= codes * scale. Halves the
+    cache-read bandwidth and memory that bound long-context decode."""
+    s = jnp.maximum(jnp.max(jnp.abs(t.astype(jnp.float32)), -1, keepdims=True),
+                    1e-8) / 127.0
+    q = jnp.round(t.astype(jnp.float32) / s).astype(jnp.int8)
+    return q, s.astype(jnp.float32)
+
+
 def _rms(p, x, eps):
     var = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
     return (x * jax.lax.rsqrt(var + eps)).astype(x.dtype) * p["weight"]
@@ -103,12 +113,14 @@ def _mlp(lp, x):
                      lp["down_proj"]["kernel"], precision=_P)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "cache_len"))
-def prefill(cfg, params, inputs_embeds, attention_mask, cache_len: int):
+@functools.partial(jax.jit, static_argnames=("cfg", "cache_len", "kv_int8"))
+def prefill(cfg, params, inputs_embeds, attention_mask, cache_len: int,
+            kv_int8: bool = False):
     """One forward over the (right-padded) prompt, capturing KV caches.
 
     Returns (last_logits (B, V), k_cache, v_cache (layers, B, L, nkv, hd),
-    n_valid (B,)).
+    n_valid (B,)). With ``kv_int8`` the caches are ``(int8 codes, scale)``
+    tuples (per-token-per-head quantization; decode reads half the bytes).
     """
     B, S, H = inputs_embeds.shape
     nh, nkv = cfg.num_heads, cfg.num_kv_heads
@@ -150,9 +162,13 @@ def prefill(cfg, params, inputs_embeds, attention_mask, cache_len: int):
                        precision=_P)
 
     pad = cache_len - S
-    k_cache = jnp.pad(jnp.stack(ks), ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
-    v_cache = jnp.pad(jnp.stack(vs), ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
-    return logits, k_cache, v_cache, n_valid
+    padkv = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+    k_cache, v_cache = jnp.stack(ks), jnp.stack(vs)
+    if kv_int8:
+        kq, ksc = _quant_kv(k_cache)
+        vq, vsc = _quant_kv(v_cache)
+        return logits, (padkv(kq), padkv(ksc)), (padkv(vq), padkv(vsc)), n_valid
+    return logits, padkv(k_cache), padkv(v_cache), n_valid
 
 
 def _step(cfg, params, tok, pos, slot, k_cache, v_cache, slot_mask):
@@ -169,18 +185,52 @@ def _step(cfg, params, tok, pos, slot, k_cache, v_cache, slot_mask):
         q, k, v = _qkv(cfg, lp, xn)
         q = _rotary(q, pos, cfg.rope_theta)
         k = _rotary(k, pos, cfg.rope_theta)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k[None, :, None], (i, 0, slot, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v[None, :, None], (i, 0, slot, 0, 0))
-        kk, vv = k_cache[i], v_cache[i]
+        quant = isinstance(k_cache, tuple)
+        if quant:
+            (kq_c, ks_c), (vq_c, vs_c) = k_cache, v_cache
+            kq, ksc = _quant_kv(k)
+            vq, vsc = _quant_kv(v)
+            upd = lambda c, t: jax.lax.dynamic_update_slice(
+                c, t[None, :, None], (i, 0, slot, 0, 0))
+            kq_c, ks_c = upd(kq_c, kq), upd(ks_c, ksc)
+            vq_c, vs_c = upd(vq_c, vq), upd(vs_c, vsc)
+            k_cache, v_cache = (kq_c, ks_c), (vq_c, vs_c)
+            kk = kq_c[i].astype(x.dtype)          # (B, L, nkv, hd)
+            vv = vq_c[i].astype(x.dtype)
+            ks_l = ks_c[i][..., 0]                 # (B, L, nkv)
+            vs_l = vs_c[i][..., 0]
+        else:
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k[None, :, None], (i, 0, slot, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v[None, :, None], (i, 0, slot, 0, 0))
+            kk, vv = k_cache[i], v_cache[i]
         if nkv != nh:
-            kk = jnp.repeat(kk, nh // nkv, axis=2)
-            vv = jnp.repeat(vv, nh // nkv, axis=2)
-        logits = jnp.einsum("bnd,blnd->bnl", q, kk, precision=_P) / np.sqrt(hd)
-        logits = jnp.where(slot_mask[:, None, :], logits, -1e30)
-        w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
-        att = jnp.einsum("bnl,blnd->bnd", w, vv, precision=_P)
+            # grouped GQA attention: contract query groups against the
+            # UNREPEATED cache — jnp.repeat would materialize nh/nkv x the
+            # cache in HBM every step, and decode is cache-bandwidth-bound
+            g = nh // nkv
+            qg = q.reshape(B, nkv, g, hd)
+            logits = jnp.einsum("bkgd,blkd->bkgl", qg, kk,
+                                precision=_P) / np.sqrt(hd)
+            if quant:   # fold per-token k scales into the logits
+                logits = logits * ks_l.transpose(0, 2, 1)[:, :, None, :]
+            logits = jnp.where(slot_mask[:, None, None, :], logits, -1e30)
+            w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
+            if quant:   # fold per-token v scales into the weights
+                w = w * vs_l.transpose(0, 2, 1)[:, :, None, :].astype(w.dtype)
+            att = jnp.einsum("bkgl,blkd->bkgd", w, vv, precision=_P)
+            att = att.reshape(B, nh, hd)
+        else:
+            logits = jnp.einsum("bnd,blnd->bnl", q, kk,
+                                precision=_P) / np.sqrt(hd)
+            if quant:
+                logits = logits * ks_l.transpose(0, 2, 1)
+            logits = jnp.where(slot_mask[:, None, :], logits, -1e30)
+            w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
+            if quant:
+                w = w * vs_l.transpose(0, 2, 1).astype(w.dtype)
+            att = jnp.einsum("bnl,blnd->bnd", w, vv, precision=_P)
         x = x + _lora_dense(lp["o_proj"], att.reshape(B, H))
         xn = _rms(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
         x = x + _mlp(lp, xn)
@@ -218,20 +268,24 @@ def _sample(logits, key, temperature, top_p, seen_counts=None,
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens",
                                              "temperature", "top_p",
                                              "eos_token_id",
-                                             "repetition_penalty"))
+                                             "repetition_penalty",
+                                             "kv_int8"))
 def generate(cfg, params, inputs_embeds, attention_mask, *,
              max_new_tokens: int = 64, temperature: float = 0.0,
              top_p: float = 0.9, eos_token_id: int = 2, prng_key=None,
-             repetition_penalty: float = 1.0):
+             repetition_penalty: float = 1.0, kv_int8: bool = False):
     """Batched generation from (possibly AV-spliced) prompt embeddings.
 
     inputs_embeds (B, S, H) right-padded, attention_mask (B, S).
     Returns (B, max_new_tokens) int32, EOS-padded after first EOS.
+    ``kv_int8``: per-token-per-head int8 KV cache — half the cache memory
+    and read bandwidth (the long-context decode bound); ~1e-2 logit class.
     """
     B, S, _ = inputs_embeds.shape
     L = S + max_new_tokens
     logits0, k_cache, v_cache, n_valid = prefill(cfg, params, inputs_embeds,
-                                                 attention_mask, L)
+                                                 attention_mask, L,
+                                                 kv_int8=kv_int8)
     key = prng_key if prng_key is not None else jax.random.PRNGKey(0)
     slot_mask0 = jnp.pad(attention_mask.astype(bool),
                          ((0, 0), (0, max_new_tokens)))

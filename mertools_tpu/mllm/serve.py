@@ -74,12 +74,22 @@ def _serve_step(cfg, params, toks, positions, write_idx, kv_mask,
         v_cache = v_cache.at[i, rows, write_idx].set(v)
         kk, vv = k_cache[i], v_cache[i]
         if nkv != nh:
-            kk = jnp.repeat(kk, nh // nkv, axis=2)
-            vv = jnp.repeat(vv, nh // nkv, axis=2)
-        logits = jnp.einsum("bnd,blnd->bnl", q, kk, precision=_P) / np.sqrt(hd)
-        logits = jnp.where(kv_mask[:, None, :], logits, -1e30)
-        w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
-        att = jnp.einsum("bnl,blnd->bnd", w, vv, precision=_P)
+            # grouped GQA attention against the unrepeated cache (see
+            # generate._step): decode is cache-bandwidth-bound
+            g = nh // nkv
+            qg = q.reshape(B, nkv, g, hd)
+            logits = jnp.einsum("bkgd,blkd->bkgl", qg, kk,
+                                precision=_P) / np.sqrt(hd)
+            logits = jnp.where(kv_mask[:, None, None, :], logits, -1e30)
+            w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
+            att = jnp.einsum("bkgl,blkd->bkgd", w, vv,
+                             precision=_P).reshape(B, nh, hd)
+        else:
+            logits = jnp.einsum("bnd,blnd->bnl", q, kk,
+                                precision=_P) / np.sqrt(hd)
+            logits = jnp.where(kv_mask[:, None, :], logits, -1e30)
+            w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
+            att = jnp.einsum("bnl,blnd->bnd", w, vv, precision=_P)
         x = x + _lora_dense(lp["o_proj"], att.reshape(B, H))
         xn = _rms(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
         x = x + _mlp(lp, xn)

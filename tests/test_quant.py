@@ -161,6 +161,46 @@ def test_w8_generate_matches_dequantized_params():
     assert (tp == tf).all()
 
 
+def test_kv_int8_generate_close_to_full_precision():
+    """kv_int8 generation: same shapes, high greedy agreement with the
+    full-precision cache on a tiny LLM (per-token-head absmax, ~1e-2
+    logit class), EOS semantics intact."""
+    import jax
+    import jax.numpy as jnp
+
+    from mertools_tpu.mllm import generate as G
+    from mertools_tpu.mllm.llm import LLM, LLMConfig
+
+    cfg = LLMConfig.tiny(vocab=64)   # GQA: nh=4, nkv=2 — grouped path
+    llm = LLM(cfg)
+
+    def both(m, emb, ids):
+        m.embed(ids)
+        return m(emb)
+
+    params = llm.init(jax.random.PRNGKey(2),
+                      jnp.zeros((1, 4, cfg.hidden_size)),
+                      jnp.zeros((1, 1), jnp.int32), method=both)["params"]
+    emb = jax.random.normal(jax.random.PRNGKey(3),
+                            (2, 5, cfg.hidden_size))
+    mask = jnp.asarray([[1, 1, 1, 0, 0], [1, 1, 1, 1, 1]], jnp.int32)
+
+    # prefill logits: quantization error bounded
+    lq, kc, vc, _ = G.prefill(cfg, params, emb, mask, 12, kv_int8=True)
+    lf, _, _, _ = G.prefill(cfg, params, emb, mask, 12)
+    assert isinstance(kc, tuple) and kc[0].dtype == np.int8
+    rel = (np.linalg.norm(np.asarray(lq) - np.asarray(lf))
+           / np.linalg.norm(np.asarray(lf)))
+    assert rel < 0.05, rel
+
+    tq = np.asarray(G.generate(cfg, params, emb, mask, max_new_tokens=6,
+                               eos_token_id=-1, kv_int8=True))
+    tf = np.asarray(G.generate(cfg, params, emb, mask, max_new_tokens=6,
+                               eos_token_id=-1))
+    assert tq.shape == tf.shape == (2, 6)
+    assert (tq == tf).mean() >= 0.5  # tiny random LLM: near-uniform logits
+
+
 def test_int8_clip_vision_mode():
     """VisionExtractor(compute_dtype='int8') end-to-end on a tiny CLIP."""
     import jax
