@@ -366,13 +366,16 @@ class WhisperAudioExtractor:
         names = list(wavs)
         out = {}
         B = self.batch_size
+        pending = []   # dispatch-then-collect (overlap copies with compute)
         for i in range(0, len(names), B):
             group = names[i: i + B]
             batch = np.zeros((B, self.chunk), np.float32)
             for r, n in enumerate(group):
                 w = wavs[n]
                 batch[r, : min(len(w), self.chunk)] = w[: self.chunk]
-            hs = np.asarray(self._fwd(self._params, jnp.asarray(batch)))
+            pending.append((group, self._fwd(self._params, jnp.asarray(batch))))
+        for group, res in pending:
+            hs = np.asarray(res)
             for r, n in enumerate(group):
                 feat = hs[r]                      # (2, D)
                 out[n] = (feat.mean(0) if level.upper().startswith("UTT")
@@ -420,12 +423,15 @@ class ImageBindAudioExtractor:
         S = self.clips_per_video
         out = {}
         B = self.batch_clips
+        pending = []   # dispatch-then-collect (overlap copies with compute)
         for i in range(0, len(names), B):
             group = names[i: i + B]
             batch = np.zeros((B, S, 2 * 16000), np.float32)
             for r, n in enumerate(group):
                 batch[r] = self._sample(wavs[n], clips_per_video=S)
-            emb = np.asarray(self._fwd(self._params, jnp.asarray(batch)))
+            pending.append((group, self._fwd(self._params, jnp.asarray(batch))))
+        for group, res in pending:
+            emb = np.asarray(res)
             for r, n in enumerate(group):
                 feat = emb[r]                   # (S, 1024)
                 out[n] = (feat.mean(0) if level.upper().startswith("UTT")

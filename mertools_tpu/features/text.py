@@ -88,6 +88,7 @@ class TextExtractor:
         D = self.cfg.hidden_size
 
         i = 0
+        pending = []   # dispatch-then-collect (overlap copies with compute)
         while i < len(jobs):
             group = jobs[i: i + self.batch_size]
             bucket = self._bucket(max(len(t) for _, t in group))
@@ -99,8 +100,10 @@ class TextExtractor:
             for r, (_, toks) in enumerate(group):
                 ids[r, : len(toks)] = toks
                 mask[r, : len(toks)] = 1
-            feats = np.asarray(self._fwd(self._params, jnp.asarray(ids),
-                                         jnp.asarray(mask)))
+            pending.append((group, self._fwd(self._params, jnp.asarray(ids),
+                                             jnp.asarray(mask))))
+        for group, res in pending:
+            feats = np.asarray(res)
             for r, (name, toks) in enumerate(group):
                 e = len(toks) + (end or 0)
                 emb = feats[r, start:e]
