@@ -112,7 +112,8 @@ def main(argv=None):
 
         cfg, params = load_whisper(args.model_name, args.pretrain_dir,
                                    args.random_init)
-        ex = WhisperAudioExtractor(cfg, params)
+        ex = WhisperAudioExtractor(cfg, params,
+                                   transfer_dtype=args.transfer_dtype)
     elif "imagebind" in args.model_name.lower():
         import jax
 

@@ -61,6 +61,9 @@ def main(argv=None):
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--max_video_frames", type=int, default=64)
     p.add_argument("--max_audio_frames", type=int, default=64)
+    p.add_argument("--kv_int8", action="store_true",
+                   help="int8 KV cache for generation (half the cache "
+                        "memory/bandwidth; ~1e-2 logit class)")
     # epoch sweep (inference_hybird.py:33-84): overlay trainable-only
     # checkpoint_{N} dirs from a Runner output_dir onto the base model
     p.add_argument("--run_dir", default=None,
@@ -146,7 +149,7 @@ def main(argv=None):
         else:
             eparams, save_path = params, args.save_path
         chat = Chat(model, eparams, tok, max_new_tokens=args.max_new_tokens,
-                    temperature=args.temperature)
+                    temperature=args.temperature, kv_int8=args.kv_int8)
 
         name2reason = {}
         if os.path.exists(save_path):  # idempotent resume (reference :209)

@@ -333,7 +333,8 @@ class WhisperAudioExtractor:
     UTT = mean over the 2 positions. Batched; the fused Pallas mel frontend
     runs on TPU."""
 
-    def __init__(self, cfg, params, batch_size: int = 8):
+    def __init__(self, cfg, params, batch_size: int = 8,
+                 transfer_dtype: str = "f32"):
         import jax
 
         from ..encoders.whisper import WhisperModel
@@ -342,6 +343,9 @@ class WhisperAudioExtractor:
         self.cfg = cfg
         self.batch_size = batch_size
         self.chunk = CHUNK_SAMPLES
+        # "int16": PCM16 over the host link (half the bytes; Whisper has no
+        # input normalization, so i16/32768 on device is exact for PCM16)
+        self.transfer_dtype = transfer_dtype
         self._params = jax.device_put(params)
         model = WhisperModel(cfg)
         on_tpu = jax.devices()[0].platform == "tpu"
@@ -349,6 +353,8 @@ class WhisperAudioExtractor:
 
         @jax.jit
         def fwd(p, wavs):
+            if wavs.dtype == jnp.int16:
+                wavs = wavs.astype(jnp.float32) / 32768.0
             if on_tpu:
                 from ..ops.mel_pallas import log_mel_spectrogram_fused
                 mel = log_mel_spectrogram_fused(wavs)
@@ -366,12 +372,16 @@ class WhisperAudioExtractor:
         names = list(wavs)
         out = {}
         B = self.batch_size
+        i16 = self.transfer_dtype == "int16"
         pending = []   # dispatch-then-collect (overlap copies with compute)
         for i in range(0, len(names), B):
             group = names[i: i + B]
-            batch = np.zeros((B, self.chunk), np.float32)
+            batch = np.zeros((B, self.chunk), np.int16 if i16 else np.float32)
             for r, n in enumerate(group):
                 w = wavs[n]
+                if i16 and w.dtype != np.int16:
+                    w = np.clip(np.round(np.asarray(w, np.float32) * 32768.0),
+                                -32768, 32767).astype(np.int16)
                 batch[r, : min(len(w), self.chunk)] = w[: self.chunk]
             pending.append((group, self._fwd(self._params, jnp.asarray(batch))))
         for group, res in pending:

@@ -111,3 +111,29 @@ def test_whisper_audio_extractor_feature_path(rng):
                                atol=1e-6)
     # different clips -> different features (content-sensitive)
     assert not np.allclose(fra["c0"], fra["c2"])
+
+
+def test_whisper_extractor_int16_transfer(rng):
+    """int16 wire format: exact for PCM16 sources (Whisper has no input
+    normalization — i16/32768 on device == the f32 the host would ship)."""
+    import jax
+
+    from mertools_tpu.encoders.whisper import WhisperConfig, WhisperModel
+    from mertools_tpu.features.audio import WhisperAudioExtractor
+
+    cfg = WhisperConfig(d_model=32, encoder_layers=1, decoder_layers=1,
+                        num_heads=4, ffn_dim=64, vocab_size=64,
+                        decoder_start_token_id=60, eos_token_id=61)
+    model = WhisperModel(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        np.zeros((1, 80, 3000), np.float32),
+                        np.zeros((1, 2), np.int32))["params"]
+    wavs16 = {f"c{i}": (rng.normal(size=16000 * (i + 1)) * 3000
+                        ).astype(np.int16) for i in range(2)}
+    wavs_f = {n: w.astype(np.float32) / 32768.0 for n, w in wavs16.items()}
+
+    ref = WhisperAudioExtractor(cfg, params, batch_size=2).extract(wavs_f, "FRA")
+    got = WhisperAudioExtractor(cfg, params, batch_size=2,
+                                transfer_dtype="int16").extract(wavs16, "FRA")
+    for n in wavs16:
+        np.testing.assert_allclose(got[n], ref[n], atol=1e-5)
