@@ -101,6 +101,8 @@ def main(argv=None):
     p.add_argument("--batch_budget_sec", type=int, default=80,
                    help="audio seconds per device batch")
     p.add_argument("--gpu", type=int, default=0, help="ignored (TPU)")
+    p.add_argument("--profile", type=str, default=None,
+                   help="write a jax.profiler trace to this dir")
     args = p.parse_args(argv)
 
     level = "UTT" if args.feature_level == "UTTERANCE" else "FRA"
@@ -147,11 +149,12 @@ def main(argv=None):
     files = sorted(glob.glob(os.path.join(args.audio_dir, "*.wav")))
     print(f"extracting {len(files)} wavs -> {out_dir}")
     t0 = time.time()
-    # stream in chunks to bound host memory
+    # stream in chunks to bound host memory; a prefetch thread reads chunk
+    # i+1 from disk while the device works on chunk i (file IO releases the
+    # GIL, so this overlaps even on a single host core)
     chunk = 256
-    done = 0
-    for i in range(0, len(files), chunk):
-        batch_files = files[i: i + chunk]
+
+    def read_chunk(batch_files):
         wavs = {}
         for f in batch_files:
             name = os.path.splitext(os.path.basename(f))[0]
@@ -159,14 +162,30 @@ def main(argv=None):
             if os.path.exists(out_path):  # idempotent skip (reference behavior)
                 continue
             wavs[name] = wav_io.read_wav_16k(f)
-        if not wavs:
-            continue
-        feats = ex.extract(wavs, level=level)
-        for name, feat in feats.items():
-            np.save(os.path.join(out_dir, name + ".npy"), feat)
-        done += len(wavs)
-        rate = done / (time.time() - t0)
-        print(f"  {done} clips, {rate:.2f} clips/sec")
+        return wavs
+
+    import contextlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..core.profiling import trace
+
+    prof = trace(args.profile) if args.profile else contextlib.nullcontext()
+    done = 0
+    with prof, ThreadPoolExecutor(max_workers=1) as pool:
+        chunks = [files[i: i + chunk] for i in range(0, len(files), chunk)]
+        nxt = pool.submit(read_chunk, chunks[0]) if chunks else None
+        for ci in range(len(chunks)):
+            wavs = nxt.result()
+            nxt = (pool.submit(read_chunk, chunks[ci + 1])
+                   if ci + 1 < len(chunks) else None)
+            if not wavs:
+                continue
+            feats = ex.extract(wavs, level=level)
+            for name, feat in feats.items():
+                np.save(os.path.join(out_dir, name + ".npy"), feat)
+            done += len(wavs)
+            rate = done / (time.time() - t0)
+            print(f"  {done} clips, {rate:.2f} clips/sec")
     print(f"Total time used: {time.time() - t0:.1f}s.")
 
 
