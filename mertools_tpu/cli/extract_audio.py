@@ -79,8 +79,10 @@ def main(argv=None):
 
     p = argparse.ArgumentParser("extract_audio")
     p.add_argument("--model_name", type=str, required=True)
-    p.add_argument("--audio_dir", type=str, required=True)
-    p.add_argument("--save_dir", type=str, required=True)
+    p.add_argument("--dataset", type=str, default=None,
+                   help="resolve dirs from the path registry (run.sh style)")
+    p.add_argument("--audio_dir", type=str, default=None)
+    p.add_argument("--save_dir", type=str, default=None)
     p.add_argument("--feature_level", type=str, default="UTTERANCE",
                    choices=["UTTERANCE", "FRAME"])
     p.add_argument("--pretrain_dir", type=str, default=None)
@@ -104,6 +106,9 @@ def main(argv=None):
     p.add_argument("--profile", type=str, default=None,
                    help="write a jax.profiler trace to this dir")
     args = p.parse_args(argv)
+
+    from ..core.config import resolve_dataset_args
+    resolve_dataset_args(args, audio_dir="audio", save_dir="features")
 
     level = "UTT" if args.feature_level == "UTTERANCE" else "FRA"
     out_dir = os.path.join(args.save_dir, f"{args.model_name}-{level}")

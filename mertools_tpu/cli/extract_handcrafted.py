@@ -87,12 +87,17 @@ def main(argv=None):
     p.add_argument("--feature_set", type=str, required=True,
                    choices=OPENSMILE_SETS + LIBROSA_SETS)
     p.add_argument("--feature_level", type=str, default="UTTERANCE",
+    p.add_argument("--dataset", type=str, default=None,
+                   help="resolve dirs from the path registry (run.sh style)")
                    choices=["UTTERANCE", "FRAME"])
-    p.add_argument("--audio_dir", type=str, required=True)
-    p.add_argument("--save_dir", type=str, required=True)
+    p.add_argument("--audio_dir", type=str, default=None)
+    p.add_argument("--save_dir", type=str, default=None)
     p.add_argument("--sr", type=int, default=16000)
     p.add_argument("--batch", type=int, default=32)
     args = p.parse_args(argv)
+
+    from ..core.config import resolve_dataset_args
+    resolve_dataset_args(args, audio_dir="audio", save_dir="features")
 
     level_tag = "UTT" if args.feature_level == "UTTERANCE" else "FRA"
     out_dir = os.path.join(args.save_dir, f"{args.feature_set}-{level_tag}")

@@ -25,8 +25,10 @@ def main(argv=None):
 
     p = argparse.ArgumentParser("extract_text")
     p.add_argument("--model_name", type=str, required=True)
-    p.add_argument("--trans_path", type=str, required=True)
-    p.add_argument("--save_dir", type=str, required=True)
+    p.add_argument("--dataset", type=str, default=None,
+                   help="resolve dirs from the path registry (run.sh style)")
+    p.add_argument("--trans_path", type=str, default=None)
+    p.add_argument("--save_dir", type=str, default=None)
     p.add_argument("--feature_level", type=str, default="UTTERANCE",
                    choices=["UTTERANCE", "FRAME"])
     p.add_argument("--language", type=str, default="chinese")
@@ -36,6 +38,9 @@ def main(argv=None):
                    choices=[None, "bf16"])
     p.add_argument("--gpu", type=int, default=0, help="ignored (TPU)")
     args = p.parse_args(argv)
+
+    from ..core.config import resolve_dataset_args
+    resolve_dataset_args(args, trans_path="transcriptions", save_dir="features")
 
     from transformers import AutoConfig, AutoModel, AutoTokenizer
 

@@ -144,8 +144,10 @@ def main(argv=None):
 
     p = argparse.ArgumentParser("extract_vision")
     p.add_argument("--model_name", type=str, required=True)
-    p.add_argument("--face_dir", type=str, required=True)
-    p.add_argument("--save_dir", type=str, required=True)
+    p.add_argument("--dataset", type=str, default=None,
+                   help="resolve dirs from the path registry (run.sh style)")
+    p.add_argument("--face_dir", type=str, default=None)
+    p.add_argument("--save_dir", type=str, default=None)
     p.add_argument("--feature_level", type=str, default="UTTERANCE",
                    choices=["UTTERANCE", "FRAME"])
     p.add_argument("--pretrain_dir", type=str, default=None)
@@ -159,6 +161,9 @@ def main(argv=None):
                         "approximate features)")
     p.add_argument("--gpu", type=int, default=0, help="ignored (TPU)")
     args = p.parse_args(argv)
+
+    from ..core.config import resolve_dataset_args
+    resolve_dataset_args(args, face_dir="openface_face", save_dir="features")
 
     ex = build_extractor(args)
 

@@ -108,6 +108,30 @@ class PathRegistry:
 REGISTRY = PathRegistry()
 
 
+def resolve_dataset_args(args, dataset_attr: str = "dataset",
+                         **arg_to_field) -> None:
+    """run.sh compatibility: fill CLI path args left as None from the
+    registry entry named by ``--dataset`` (the reference CLIs resolve every
+    path from config.py the same way, e.g.
+    ``extract_audio_huggingface.py --dataset=MER2023``). Explicit dirs
+    always win; raises SystemExit if a path is still missing."""
+    ds = getattr(args, dataset_attr, None)
+    if ds is not None:
+        reg = configure_from_env()
+        if ds not in reg:
+            raise SystemExit(
+                f"--dataset={ds} is not in the path registry "
+                f"(set $MERTOOLS_TPU_CONFIG or pass explicit dirs)")
+        for arg, fieldname in arg_to_field.items():
+            if getattr(args, arg, None) is None:
+                setattr(args, arg, getattr(reg[ds], fieldname))
+    missing = [a for a in arg_to_field if getattr(args, a, None) is None]
+    if missing:
+        raise SystemExit(
+            f"missing {', '.join('--' + m for m in missing)} "
+            f"(pass them explicitly or use --dataset with a registry)")
+
+
 def configure_from_env() -> PathRegistry:
     """Load the path registry from $MERTOOLS_TPU_CONFIG if set."""
     cfg = os.environ.get("MERTOOLS_TPU_CONFIG")

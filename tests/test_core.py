@@ -89,3 +89,35 @@ def test_shard_batch_and_replicate():
     assert float(total) == 48.0
     params = mesh.replicate(m, {"w": np.ones((3, 3), np.float32)})
     assert params["w"].sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_resolve_dataset_args(tmp_path, monkeypatch):
+    """run.sh-style --dataset resolution: registry fills path args left as
+    None; explicit values win; missing registry entry is a clear error."""
+    import argparse
+
+    import pytest
+
+    from mertools_tpu.core import config as C
+
+    yaml = tmp_path / "paths.yaml"
+    yaml.write_text(
+        "datasets:\n  MER2023:\n    root: %s\n" % tmp_path)
+    monkeypatch.setenv("MERTOOLS_TPU_CONFIG", str(yaml))
+
+    ns = argparse.Namespace(dataset="MER2023", audio_dir=None, save_dir=None)
+    C.resolve_dataset_args(ns, audio_dir="audio", save_dir="features")
+    assert ns.audio_dir.endswith("audio")
+    assert ns.save_dir.endswith("features")
+
+    ns = argparse.Namespace(dataset="MER2023", audio_dir="/x", save_dir=None)
+    C.resolve_dataset_args(ns, audio_dir="audio", save_dir="features")
+    assert ns.audio_dir == "/x"   # explicit wins
+
+    ns = argparse.Namespace(dataset="NOPE", audio_dir=None, save_dir=None)
+    with pytest.raises(SystemExit):
+        C.resolve_dataset_args(ns, audio_dir="audio", save_dir="features")
+
+    ns = argparse.Namespace(dataset=None, audio_dir=None, save_dir="/y")
+    with pytest.raises(SystemExit):
+        C.resolve_dataset_args(ns, audio_dir="audio", save_dir="features")
