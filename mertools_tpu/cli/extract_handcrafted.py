@@ -87,9 +87,9 @@ def main(argv=None):
     p.add_argument("--feature_set", type=str, required=True,
                    choices=OPENSMILE_SETS + LIBROSA_SETS)
     p.add_argument("--feature_level", type=str, default="UTTERANCE",
+                   choices=["UTTERANCE", "FRAME"])
     p.add_argument("--dataset", type=str, default=None,
                    help="resolve dirs from the path registry (run.sh style)")
-                   choices=["UTTERANCE", "FRAME"])
     p.add_argument("--audio_dir", type=str, default=None)
     p.add_argument("--save_dir", type=str, default=None)
     p.add_argument("--sr", type=int, default=16000)
