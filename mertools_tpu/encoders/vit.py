@@ -309,10 +309,14 @@ class ViTEncoder(nn.Module):
 
 def dinov2_config(hf_cfg=None, **kw) -> ViTConfig:
     if hf_cfg is not None:
+        swiglu = bool(getattr(hf_cfg, "use_swiglu_ffn", False))
+        inter = int(hf_cfg.hidden_size * hf_cfg.mlp_ratio)
+        if swiglu:   # dinov2-giant: HF rounds 2/3 of the MLP dim up to 8
+            inter = (int(inter * 2 / 3) + 7) // 8 * 8
         return ViTConfig(
             hidden_size=hf_cfg.hidden_size, num_layers=hf_cfg.num_hidden_layers,
             num_heads=hf_cfg.num_attention_heads,
-            intermediate_size=int(hf_cfg.hidden_size * hf_cfg.mlp_ratio),
+            intermediate_size=inter, use_swiglu=swiglu,
             image_size=hf_cfg.image_size, patch_size=hf_cfg.patch_size,
             layerscale=hf_cfg.layerscale_value, pos_embed="learned",
             final_layernorm=True, layer_norm_eps=hf_cfg.layer_norm_eps,
@@ -463,9 +467,18 @@ def from_hf_dinov2(model) -> tuple[ViTConfig, dict]:
                  v="attention.attention.value", proj="attention.output.dense",
                  fc1="mlp.fc1", fc2="mlp.fc2",
                  ls1="layer_scale1.lambda1", ls2="layer_scale2.lambda1")
+    if cfg.use_swiglu:   # dinov2-giant SwiGLUFFN: weights_in packs both
+        names.update(fc1="mlp.weights_in", fc2="mlp.weights_out")
     for i in range(cfg.num_layers):
-        params[f"block_{i}"] = _block_params(cfg, get, i,
-                                             f"encoder.layer.{i}", names)
+        bp = _block_params(cfg, get, i, f"encoder.layer.{i}", names)
+        if cfg.use_swiglu:
+            # HF: x1, x2 = chunk(weights_in(x)); silu(x1) * x2
+            # ours: silu(fc1_gate(x)) * fc1(x)  ->  gate <- x1, fc1 <- x2
+            kin, bin_ = bp["fc1"]["kernel"], bp["fc1"]["bias"]
+            half = kin.shape[1] // 2
+            bp["fc1_gate"] = {"kernel": kin[:, :half], "bias": bin_[:half]}
+            bp["fc1"] = {"kernel": kin[:, half:], "bias": bin_[half:]}
+        params[f"block_{i}"] = bp
     return cfg, params
 
 

@@ -214,3 +214,30 @@ def test_eva_clip_g_extractor_ln_vision(rng):
                                           batch_size=4)
     np.testing.assert_allclose(ex2.extract(faces, level="UTT")["a"], utt,
                                rtol=1e-6)
+
+
+def test_dinov2_giant_swiglu_parity(rng):
+    """dinov2-giant class: use_swiglu_ffn=True (HF Dinov2SwiGLUFFN packs
+    gate+value into weights_in; silu(x1)*x2) — converter splits it into our
+    fc1_gate/fc1."""
+    import torch
+    from transformers import Dinov2Config, Dinov2Model
+
+    from mertools_tpu.encoders import vit as V
+
+    hf_cfg = Dinov2Config(hidden_size=32, num_hidden_layers=2,
+                          num_attention_heads=4, mlp_ratio=4, image_size=28,
+                          patch_size=14, layerscale_value=1.0,
+                          use_swiglu_ffn=True)
+    torch.manual_seed(1)
+    model = Dinov2Model(hf_cfg).eval()
+    cfg, params = V.from_hf_dinov2(model)
+    assert cfg.use_swiglu and cfg.intermediate_size == 88  # (32*4*2/3 -> 88)
+    x = _img(rng, 2, 28)
+    with torch.no_grad():
+        ref = model(pixel_values=torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
+    out = np.asarray(V.ViTEncoder(cfg).apply({"params": params},
+                                             jax.numpy.asarray(x)))
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).max() < 1e-4
