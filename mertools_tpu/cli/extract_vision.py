@@ -38,7 +38,8 @@ def build_extractor(args):
         from ..encoders.vit import from_hf_videomae
         from ..features.vision_zoo import VideoMAEExtractor
         cfg, params = from_hf_videomae(VideoMAEModel.from_pretrained(path))
-        return VideoMAEExtractor(cfg, params)
+        return VideoMAEExtractor(cfg, params,
+                                 compute_dtype=args.compute_dtype)
     if "dinov2" in name or "dino2" in name:
         import dataclasses
 
@@ -49,14 +50,16 @@ def build_extractor(args):
         cfg, params = from_hf_dinov2(Dinov2Model.from_pretrained(path))
         if args.tome_r:   # ToMe production mode (arXiv:2210.09461)
             cfg = dataclasses.replace(cfg, tome_r=args.tome_r)
-        return vit_token_sum_extractor(cfg, params)
+        return vit_token_sum_extractor(cfg, params,
+                                       compute_dtype=args.compute_dtype)
     if "data2vec" in name or "beit" in name:
         from transformers import Data2VecVisionModel
 
         from ..encoders.vit import from_hf_beit
         from ..features.vision_zoo import vit_token_sum_extractor
         cfg, params = from_hf_beit(Data2VecVisionModel.from_pretrained(path))
-        return vit_token_sum_extractor(cfg, params)
+        return vit_token_sum_extractor(cfg, params,
+                                       compute_dtype=args.compute_dtype)
     if "eva-clip-g" in name or "eva_clip_g" in name:
         import dataclasses
 
@@ -70,7 +73,8 @@ def build_extractor(args):
         if args.tome_r:
             cfg = dataclasses.replace(cfg, tome_r=args.tome_r)
         return eva_clip_g_token_mean_extractor(cfg, params,
-                                               max_frames=args.max_frames)
+                                               max_frames=args.max_frames,
+                                               compute_dtype=args.compute_dtype)
     if "siglip" in name:
         import dataclasses
 
@@ -82,7 +86,8 @@ def build_extractor(args):
         if args.tome_r:
             cfg = dataclasses.replace(cfg, tome_r=args.tome_r)
         return siglip_token_mean_extractor(cfg, params,
-                                           max_frames=args.max_frames)
+                                           max_frames=args.max_frames,
+                                           compute_dtype=args.compute_dtype)
     if "emonet" in name:
         import torch
 
@@ -154,7 +159,8 @@ def main(argv=None):
     p.add_argument("--max_frames", type=int, default=64)
     p.add_argument("--compute_dtype", type=str, default=None,
                    choices=[None, "bf16", "int8"],
-                   help="bf16/int8 production modes (CLIP path)")
+                   help="bf16: production mode, all ViT-family paths; "
+                        "int8: dynamic w8a8 (CLIP path)")
     p.add_argument("--tome_r", type=int, default=0,
                    help="Token Merging r per layer (CLIP/DINOv2/SigLIP/"
                         "EVA-CLIP-G paths; production accelerator, "

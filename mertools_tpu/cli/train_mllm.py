@@ -54,7 +54,7 @@ def apply_options(cfg: dict, options: list[str]) -> dict:
     return cfg
 
 
-def build_model(mcfg: dict):
+def build_model(mcfg: dict, amp: str | None = None):
     import jax
 
     from ..mllm import AffectGPT, AffectGPTConfig, LLMConfig, QFormerConfig
@@ -89,6 +89,9 @@ def build_model(mcfg: dict):
         audio_dim=int(mcfg.get("audio_dim", 1024)),
         max_video_frames=int(mcfg.get("max_video_frames", 64)),
         fusion=mcfg.get("fusion", "qformer"))
+    if amp == "bf16":   # bf16 AMP: DEFAULT-precision matmuls (see Runner)
+        return (AffectGPT(cfg, precision=jax.lax.Precision.DEFAULT),
+                llm_params, tokenizer)
     return AffectGPT(cfg), llm_params, tokenizer
 
 
@@ -114,7 +117,8 @@ def main(argv=None):
     cfg = apply_options(load_yaml(args.config), args.options)
     mcfg, dcfg, rcfg = cfg["model"], cfg["datasets"], cfg.get("run", {})
 
-    model, llm_params, tokenizer = build_model(mcfg)
+    amp = rcfg.get("amp")
+    model, llm_params, tokenizer = build_model(mcfg, amp)
     if tokenizer is None:
         from ..mllm.data import FakeWordTokenizer
 
@@ -134,7 +138,8 @@ def main(argv=None):
         init_lr=float(rcfg.get("init_lr", 1e-4)),
         min_lr=float(rcfg.get("min_lr", 8e-5)),
         warmup_steps=int(rcfg.get("warmup_steps", 100)),
-        output_dir=rcfg.get("output_dir", "./mllm_output"))
+        output_dir=rcfg.get("output_dir", "./mllm_output"),
+        compute_dtype=("bf16" if amp == "bf16" else None))
 
     it = batch_iterator(dataset, tokenizer, model.num_av_tokens,
                         run_cfg.batch_size,

@@ -80,9 +80,12 @@ class FrameStreamExtractor:
 
     def __init__(self, forward, params, spec: PreprocessSpec,
                  batch_size: int = 64, max_frames: int | None = None,
-                 mesh=None):
+                 mesh=None, compute_dtype: str | None = None):
         self.spec = spec
         self.max_frames = max_frames
+        if compute_dtype == "bf16":   # production mode (see features/audio)
+            params = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.bfloat16), params)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -96,10 +99,13 @@ class FrameStreamExtractor:
             self._params = jax.device_put(params)
             self._batch_sharding = None
         self.batch_size = batch_size
+        cast = ((lambda x: x.astype(jnp.bfloat16))
+                if compute_dtype == "bf16" else (lambda x: x))
 
         @jax.jit
         def step(p, frames):
-            return forward(p, preprocess_device(frames, spec))
+            out = forward(p, cast(preprocess_device(frames, spec)))
+            return out.astype(jnp.float32)
 
         self._step = step
 
@@ -138,11 +144,17 @@ class FrameStreamExtractor:
         return out
 
 
+def _prec(compute_dtype):
+    return (jax.lax.Precision.DEFAULT if compute_dtype == "bf16"
+            else jax.lax.Precision.HIGHEST)
+
+
 # ----------------------------------------------------------------- backends
 
 
 def vit_token_sum_extractor(cfg: ViTConfig, params, spec=None,
-                            batch_size=64, max_frames=None):
+                            batch_size=64, max_frames=None,
+                            compute_dtype=None):
     """data2vec-vision / DINOv2 / EVA-02: token-summed last hidden state
     per frame (extract_vision_huggingface.py:130-145). With ``cfg.tome_r``
     (Token Merging production mode) the sum is size-weighted so it
@@ -151,7 +163,7 @@ def vit_token_sum_extractor(cfg: ViTConfig, params, spec=None,
         stats = IMAGENET_DEFAULT if cfg.arch == "dinov2" else IMAGENET_STANDARD
         spec = PreprocessSpec(image_size=cfg.image_size, mean=stats[0],
                               std=stats[1])
-    enc = ViTEncoder(cfg)
+    enc = ViTEncoder(cfg, precision=_prec(compute_dtype))
     if max_frames is None and cfg.arch == "dinov2":
         max_frames = 64  # reference pre-samples 64 frames (:136)
 
@@ -162,11 +174,13 @@ def vit_token_sum_extractor(cfg: ViTConfig, params, spec=None,
             return jnp.einsum("bnd,bn->bd", tokens, sizes)
         return out.sum(axis=1)
 
-    return FrameStreamExtractor(forward, params, spec, batch_size, max_frames)
+    return FrameStreamExtractor(forward, params, spec, batch_size, max_frames,
+                                compute_dtype=compute_dtype)
 
 
 def eva_clip_g_token_mean_extractor(cfg: ViTConfig, params, ln_vision=None,
-                                    batch_size=16, max_frames=64):
+                                    batch_size=16, max_frames=64,
+                                    compute_dtype=None):
     """EVA_CLIP_G_NO_QFORMER: ``ln_vision(visual_encoder(image)).mean(tokens)``
     (MER2025_Track23 my_affectgpt/models/encoder.py:160-174). ``ln_vision``
     is a plain LayerNorm over 1408 features — identity affine unless a BLIP-2
@@ -176,7 +190,7 @@ def eva_clip_g_token_mean_extractor(cfg: ViTConfig, params, ln_vision=None,
                   (0.26862954, 0.26130258, 0.27577711))
     spec = PreprocessSpec(image_size=cfg.image_size, mean=clip_stats[0],
                           std=clip_stats[1])
-    enc = ViTEncoder(cfg)
+    enc = ViTEncoder(cfg, precision=_prec(compute_dtype))
 
     def forward(p, pix):
         out = enc.apply({"params": p}, pix)
@@ -191,17 +205,19 @@ def eva_clip_g_token_mean_extractor(cfg: ViTConfig, params, ln_vision=None,
                     / sizes.sum(-1, keepdims=True))
         return normed.mean(axis=1)
 
-    return FrameStreamExtractor(forward, params, spec, batch_size, max_frames)
+    return FrameStreamExtractor(forward, params, spec, batch_size, max_frames,
+                                compute_dtype=compute_dtype)
 
 
-def siglip_token_mean_extractor(cfg, params, batch_size=32, max_frames=64):
+def siglip_token_mean_extractor(cfg, params, batch_size=32, max_frames=64,
+                                compute_dtype=None):
     """SigLIP_SO: per-frame last-hidden-state **mean over tokens**
     (MER2025_Track23 my_affectgpt/models/encoder.py:269-281; the HF
     SiglipImageProcessor resizes to (S, S) and normalizes with 0.5/0.5)."""
     from ..encoders.siglip import SiglipVisionEncoder
     spec = PreprocessSpec(image_size=cfg.image_size,
                           mean=IMAGENET_STANDARD[0], std=IMAGENET_STANDARD[1])
-    enc = SiglipVisionEncoder(cfg)
+    enc = SiglipVisionEncoder(cfg, precision=_prec(compute_dtype))
 
     def forward(p, pix):
         out = enc.apply({"params": p}, pix)
@@ -210,7 +226,8 @@ def siglip_token_mean_extractor(cfg, params, batch_size=32, max_frames=64):
             return jnp.einsum("bnd,bn->bd", t, s) / s.sum(-1, keepdims=True)
         return out["last_hidden"].mean(axis=1)
 
-    return FrameStreamExtractor(forward, params, spec, batch_size, max_frames)
+    return FrameStreamExtractor(forward, params, spec, batch_size, max_frames,
+                                compute_dtype=compute_dtype)
 
 
 def resnet_embed_extractor(cfg: ResNetConfig, params, spec: PreprocessSpec,
@@ -246,14 +263,20 @@ class VideoMAEExtractor:
     """Clip-level: 16-frame uniform resample -> tubelet tokens -> per-segment
     patch mean (B, T/tubelet, D) (extract_vision_huggingface.py:147-159)."""
 
-    def __init__(self, cfg: ViTConfig, params, spec=None, batch_size=8):
+    def __init__(self, cfg: ViTConfig, params, spec=None, batch_size=8,
+                 compute_dtype: str | None = None):
         assert cfg.num_frames > 0
         self.cfg = cfg
         self.batch_size = batch_size
         self.spec = spec or PreprocessSpec(image_size=cfg.image_size,
                                            mean=IMAGENET_STANDARD[0],
                                            std=IMAGENET_STANDARD[1])
-        enc = ViTEncoder(cfg)
+        enc = ViTEncoder(cfg, precision=_prec(compute_dtype))
+        if compute_dtype == "bf16":
+            params = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.bfloat16), params)
+        cast = ((lambda x: x.astype(jnp.bfloat16))
+                if compute_dtype == "bf16" else (lambda x: x))
         self._params = jax.device_put(params)
         n_seg = cfg.num_frames // cfg.tubelet_size
         patches = cfg.grid * cfg.grid
@@ -262,11 +285,11 @@ class VideoMAEExtractor:
         def step(p, clips):  # (B, T, H, W, 3) uint8
             B, T = clips.shape[0], clips.shape[1]
             flat = clips.reshape((B * T,) + clips.shape[2:])
-            pix = preprocess_device(flat, self.spec)
+            pix = cast(preprocess_device(flat, self.spec))
             pix = pix.reshape(B, T, self.cfg.image_size, self.cfg.image_size, 3)
             tokens = enc.apply({"params": p}, pix)          # (B, n_seg*patches, D)
             tokens = tokens.reshape(B, n_seg, patches, -1)
-            return tokens.mean(axis=2)                       # (B, n_seg, D)
+            return tokens.mean(axis=2).astype(jnp.float32)   # (B, n_seg, D)
 
         self._step = step
 

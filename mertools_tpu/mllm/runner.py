@@ -64,6 +64,11 @@ class RunnerConfig:
     warmup_steps: int = 100
     weight_decay: float = 0.05
     output_dir: str = "./mllm_output"
+    # TPU-native AMP equivalent of the reference's fp16 autocast+GradScaler
+    # (runner_base.py:147-155): "bf16" runs the forward/backward in bfloat16
+    # against f32 master weights — bf16's exponent range needs no loss
+    # scaler. Pair with a model built at Precision.DEFAULT.
+    compute_dtype: str | None = None
 
 
 class Runner:
@@ -89,10 +94,20 @@ class Runner:
             self._batch_sharding = None
         self._history: list[dict] = []
 
+        if cfg.compute_dtype == "bf16":
+            def cast_tree(t):
+                return jax.tree_util.tree_map(
+                    lambda x: (x.astype(jnp.bfloat16)
+                               if jnp.issubdtype(x.dtype, jnp.floating)
+                               else x), t)
+        else:
+            cast_tree = lambda t: t
+
         @partial(jax.jit, donate_argnames=("state",))
         def train_step(state: MLLMTrainState, batch: dict):
             def loss_fn(p):
-                loss, _ = state.apply_fn({"params": p}, batch)
+                loss, _ = state.apply_fn({"params": cast_tree(p)},
+                                         cast_tree(batch))
                 return loss
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -100,7 +115,8 @@ class Runner:
 
         @jax.jit
         def eval_step(state: MLLMTrainState, batch: dict):
-            loss, _ = state.apply_fn({"params": state.params}, batch)
+            loss, _ = state.apply_fn({"params": cast_tree(state.params)},
+                                     cast_tree(batch))
             return loss
 
         self._train_step = train_step

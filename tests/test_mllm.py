@@ -233,3 +233,38 @@ def test_fusion_variants(fusion, rng):
     l3, _ = model.apply({"params": params}, batch3)
     if fusion == "attention":
         np.testing.assert_allclose(float(l2), float(l3), rtol=1e-5)
+
+
+def test_runner_bf16_amp_mode():
+    """compute_dtype='bf16' (the reference's AMP analogue): master weights
+    stay f32, training still reduces loss, eval runs."""
+    import jax
+    import numpy as np
+
+    from mertools_tpu.mllm import Runner, RunnerConfig
+
+    model = _make_affectgpt(lora_r=2)
+    rng = np.random.default_rng(1)
+    init_batch = synth_mllm_batch(rng)
+    params = model.init(jax.random.PRNGKey(1),
+                        {k: np.asarray(v) for k, v in init_batch.items()}
+                        )["params"]
+    cfg = RunnerConfig(max_epoch=1, iters_per_epoch=30, init_lr=5e-3,
+                       min_lr=1e-4, warmup_steps=5,
+                       output_dir="/tmp/mllm_bf16_test",
+                       compute_dtype="bf16")
+    runner = Runner(cfg, model, params)
+
+    def batches():
+        while True:
+            yield synth_mllm_batch(rng)
+
+    gen = batches()
+    stats = runner.train_epoch(0, gen)
+    assert np.isfinite(stats["train_loss"])
+    # master weights remain f32 (mixed precision, not a cast-down)
+    leaf = runner.state.params["video_proj"]["kernel"]
+    assert leaf.dtype == np.float32
+    first = next(gen)
+    loss0 = float(runner._eval_step(runner.state, runner.place(first)))
+    assert np.isfinite(loss0)

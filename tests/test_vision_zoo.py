@@ -123,3 +123,20 @@ def test_manet_extractor_runs(rng):
                               batch_size=4)
     out = ex.extract(_faces(rng, n_clips=1, T=2, hw=64), "UTT")["c0"]
     assert out.shape == (1024,) and np.isfinite(out).all()
+
+
+def test_zoo_bf16_mode_close_to_f32(rng):
+    """compute_dtype='bf16' (production) on the ViT-zoo backends stays in
+    the bf16 error class of the f32 path and returns f32 arrays."""
+    cfg, params, _ = _tiny_vit("beit")
+    faces = _faces(rng, n_clips=2, T=3, hw=32)
+    exact = Z.vit_token_sum_extractor(cfg, params, batch_size=4
+                                      ).extract(faces, level="UTT")
+    fast = Z.vit_token_sum_extractor(cfg, params, batch_size=4,
+                                     compute_dtype="bf16"
+                                     ).extract(faces, level="UTT")
+    for n in faces:
+        assert fast[n].dtype == np.float32
+        e, q = exact[n], fast[n]
+        cos = float(np.dot(e, q) / (np.linalg.norm(e) * np.linalg.norm(q)))
+        assert cos > 0.995, (n, cos)
