@@ -59,6 +59,7 @@ def build_model(mcfg: dict, amp: str | None = None):
 
     from ..mllm import AffectGPT, AffectGPTConfig, LLMConfig, QFormerConfig
 
+    remat = bool(mcfg.get("remat", False))
     if mcfg.get("llm_checkpoint", "tiny") == "tiny":
         llm_cfg = LLMConfig.tiny(vocab=int(mcfg.get("vocab_size", 256)),
                                  lora_r=int(mcfg.get("lora_r", 4)))
@@ -76,6 +77,10 @@ def build_model(mcfg: dict, amp: str | None = None):
         tokenizer = AutoTokenizer.from_pretrained(mcfg["llm_checkpoint"])
         del hf
 
+    if remat:
+        import dataclasses
+
+        llm_cfg = dataclasses.replace(llm_cfg, remat=True)
     multi = mcfg.get("multi_queries")
     cfg = AffectGPTConfig(
         llm=llm_cfg,

@@ -43,6 +43,12 @@ class LLMConfig:
     # sequence lengths divisible by the kernel block size; padding is
     # carried via segment_ids. Off by default (XLA attention elsewhere).
     use_flash_attention: bool = False
+    # Rematerialize each decoder layer on the backward pass
+    # (jax.checkpoint): activation memory drops from O(num_layers) to
+    # O(1) layers at ~1/3 extra FLOPs — the TPU-native lever for fitting
+    # the reference's large-LLM training (runner_base AMP+accum regime)
+    # in HBM. Orthogonal to flash attention and LoRA.
+    remat: bool = False
 
     @classmethod
     def tiny(cls, vocab=128, lora_r=0):
@@ -178,7 +184,8 @@ class LLM(nn.Module):
         c = self.cfg
         self.embed_tokens = nn.Embed(c.vocab_size, c.hidden_size,
                                      name="embed_tokens")
-        self.layers = [_LLMLayer(c, self.precision, name=f"layer_{i}")
+        layer_cls = nn.remat(_LLMLayer) if c.remat else _LLMLayer
+        self.layers = [layer_cls(c, self.precision, name=f"layer_{i}")
                        for i in range(c.num_layers)]
         self.norm = RMSNorm(c.rms_norm_eps, name="norm")
         self.lm_head = nn.Dense(c.vocab_size, use_bias=False, name="lm_head",

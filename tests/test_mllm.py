@@ -268,3 +268,45 @@ def test_runner_bf16_amp_mode():
     first = next(gen)
     loss0 = float(runner._eval_step(runner.state, runner.place(first)))
     assert np.isfinite(loss0)
+
+
+def test_llm_remat_exact_and_saves_memory():
+    """cfg.remat: identical loss/grads (remat is a pure scheduling change)
+    and lower compiled temp memory on a deeper stack."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from mertools_tpu.mllm import llm as L
+
+    cfg = L.LLMConfig(vocab_size=64, hidden_size=64, num_layers=8,
+                      num_heads=4, num_kv_heads=4, intermediate_size=256,
+                      lora_r=2)
+    base = L.LLM(cfg)
+    rmt = L.LLM(dataclasses.replace(cfg, remat=True))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 64, size=(2, 64)))
+    params = base.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(model):
+        def f(p):
+            return L.lm_loss(model.apply({"params": p}, x), labels)
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(base))(params)
+    l1, g1 = jax.value_and_grad(loss(rmt))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for (p0, a), (p1, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g0)[0],
+            jax.tree_util.tree_flatten_with_path(g1)[0]):
+        assert p0 == p1
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6, err_msg=str(p0))
+
+    def temp_bytes(model):
+        lowered = jax.jit(jax.grad(loss(model))).lower(params)
+        return lowered.compile().memory_analysis().temp_size_in_bytes
+
+    assert temp_bytes(rmt) < temp_bytes(base)
