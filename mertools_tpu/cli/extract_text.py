@@ -21,6 +21,7 @@ def main(argv=None):
     from ..core.cache import enable_persistent_cache
     enable_persistent_cache()
     from ..encoders.bert import from_hf_torch
+    from ..encoders.text_zoo import MODEL_TYPE_DISPATCH
     from ..features.text import TextExtractor, find_token_span
 
     p = argparse.ArgumentParser("extract_text")
@@ -46,8 +47,27 @@ def main(argv=None):
 
     path = (os.path.join(args.pretrain_dir, args.model_name)
             if args.pretrain_dir else args.model_name)
-    tokenizer = AutoTokenizer.from_pretrained(path)
     layer_ids = tuple(int(x) for x in args.layer_ids.split(","))
+
+    # THUDM chatglm checkpoints: weights convert via pure key remap (no
+    # remote modeling code); only the sentencepiece tokenizer class is remote
+    # (reference extract_text_huggingface.py:165-200 trusts it wholesale).
+    import json
+    cfg_json = os.path.join(path, "config.json")
+    local_type = None
+    if os.path.isdir(path) and os.path.exists(cfg_json):
+        with open(cfg_json) as f:
+            local_type = json.load(f).get("model_type")
+    if local_type == "chatglm":
+        from ..encoders.text_zoo import GlmEncoder, from_chatglm_checkpoint_dir
+        tokenizer = AutoTokenizer.from_pretrained(path, trust_remote_code=True)
+        cfg, params = from_chatglm_checkpoint_dir(path)
+        ex = TextExtractor(cfg, params, layer_ids=layer_ids,
+                           compute_dtype=args.compute_dtype,
+                           encoder_cls=GlmEncoder)
+        return _run_extraction(args, tokenizer, ex, cfg)
+
+    tokenizer = AutoTokenizer.from_pretrained(path)
     hf_cfg = AutoConfig.from_pretrained(path)
     if hf_cfg.model_type in ("llama", "qwen2", "mistral", "baichuan"):
         # decoder-only LLM branch (reference LLM path, .half())
@@ -61,10 +81,24 @@ def main(argv=None):
         params = convert_torch_state(cfg, hf.state_dict())
         del hf
         ex = CausalLMTextExtractor(cfg, params, layer_ids=layer_ids)
+    elif hf_cfg.model_type in MODEL_TYPE_DISPATCH:
+        convert, encoder_cls = MODEL_TYPE_DISPATCH[hf_cfg.model_type]
+        hf = AutoModel.from_pretrained(path)
+        cfg, params = convert(hf)
+        del hf
+        ex = TextExtractor(cfg, params, layer_ids=layer_ids,
+                           compute_dtype=args.compute_dtype,
+                           encoder_cls=encoder_cls)
     else:
         cfg, params = from_hf_torch(AutoModel.from_pretrained(path))
         ex = TextExtractor(cfg, params, layer_ids=layer_ids,
                            compute_dtype=args.compute_dtype)
+    return _run_extraction(args, tokenizer, ex, cfg)
+
+
+def _run_extraction(args, tokenizer, ex, cfg):
+    from ..features.text import find_token_span
+
     span = find_token_span(tokenizer)
 
     level = "UTT" if args.feature_level == "UTTERANCE" else "FRA"

@@ -34,9 +34,14 @@ class BertConfig:
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
     embedding_size: int | None = None  # ELECTRA-style factorized embeddings
+    # RoBERTa-style position ids (cumsum from the pad id, offset by pad id).
+    # English roberta-base/large & XLM-R; Chinese "RoBERTa" ckpts are BertModel.
+    position_pad_id: int | None = None
 
     @classmethod
     def from_hf(cls, hf_cfg) -> "BertConfig":
+        roberta = getattr(hf_cfg, "model_type", "") in (
+            "roberta", "xlm-roberta", "camembert")
         return cls(vocab_size=hf_cfg.vocab_size, hidden_size=hf_cfg.hidden_size,
                    num_hidden_layers=hf_cfg.num_hidden_layers,
                    num_attention_heads=hf_cfg.num_attention_heads,
@@ -46,7 +51,8 @@ class BertConfig:
                    layer_norm_eps=hf_cfg.layer_norm_eps,
                    embedding_size=(hf_cfg.embedding_size
                                    if getattr(hf_cfg, "embedding_size", None) not in (None, hf_cfg.hidden_size)
-                                   else None))
+                                   else None),
+                   position_pad_id=hf_cfg.pad_token_id if roberta else None)
 
 
 class _BertLayer(nn.Module):
@@ -90,11 +96,16 @@ class BertEncoder(nn.Module):
         E = c.embedding_size or c.hidden_size
         B, S = input_ids.shape
         we = nn.Embed(c.vocab_size, E, name="word_embeddings")(input_ids)
-        pe = self.param("position_embeddings", nn.initializers.zeros,
-                        (c.max_position_embeddings, E))[:S]
+        pe_table = self.param("position_embeddings", nn.initializers.zeros,
+                              (c.max_position_embeddings, E))
+        if c.position_pad_id is not None:   # RoBERTa create_position_ids
+            m = (input_ids != c.position_pad_id).astype(jnp.int32)
+            pe = pe_table[jnp.cumsum(m, axis=1) * m + c.position_pad_id]
+        else:
+            pe = pe_table[:S][None]
         tt = token_type_ids if token_type_ids is not None else jnp.zeros_like(input_ids)
         te = nn.Embed(c.type_vocab_size, E, name="token_type_embeddings")(tt)
-        x = we + pe[None] + te
+        x = we + pe + te
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="embeddings_ln")(x)
         if c.embedding_size:
             x = nn.Dense(c.hidden_size, name="embeddings_project",

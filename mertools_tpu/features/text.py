@@ -53,11 +53,12 @@ class TextExtractor:
     batch_size: int = 64
     precision: object = jax.lax.Precision.HIGHEST
     compute_dtype: str | None = None   # "bf16": production mode (see audio)
+    encoder_cls: object = None         # non-BERT zoo (encoders/text_zoo.py)
 
     def __post_init__(self):
         precision = (jax.lax.Precision.DEFAULT
                      if self.compute_dtype == "bf16" else self.precision)
-        enc = BertEncoder(self.cfg, precision=precision)
+        enc = (self.encoder_cls or BertEncoder)(self.cfg, precision=precision)
 
         @jax.jit
         def fwd(params, ids, mask):
