@@ -106,14 +106,38 @@ def cmd_compress_faces(args):
 
 def cmd_detect_faces(args):
     """Video/frame-npy -> detected+aligned (T, size, size, 3) BGR uint8 face
-    stores: the full OpenFace replacement path (detector weights from
-    --detector_params, an orbax/npz param tree for ops/face_detect)."""
+    stores: the full OpenFace replacement path. Two detector backends:
+    the in-tree Viola-Jones cascade frontend (default — weights ship with
+    the image, ops/face_haar) or a learned BlazeFace param tree
+    (--detector_params, ops/face_detect)."""
     import jax
     import jax.numpy as jnp
 
     from ..io import video as vio
     from ..ops.face_align import align_faces, crop_resize
     from ..ops.face_detect import INPUT_SIZE, FaceDetector, N_LANDMARKS
+
+    if args.detector_params is None:
+        from ..ops.face_haar import HaarFaceFrontend
+
+        frontend = HaarFaceFrontend(detect_every=args.detect_every,
+                                    min_neighbors=args.min_neighbors,
+                                    min_size_frac=args.min_size_frac)
+        os.makedirs(args.save_root, exist_ok=True)
+        for clip in sorted(os.listdir(args.video_root)):
+            name = os.path.splitext(clip)[0]
+            out = os.path.join(args.save_root, name + ".npy")
+            if os.path.exists(out):
+                continue
+            src = os.path.join(args.video_root, clip)
+            frames = (np.load(src) if clip.endswith(".npy")
+                      else vio.decode_frames(src))        # (T, H, W, 3) RGB
+            aligned, detected = frontend.crop_video(frames, size=args.size)
+            np.save(out, aligned)
+            print(f"  {name}: {int(detected.sum())}/{len(frames)} frames"
+                  " with faces")
+        print("done")
+        return
 
     params = dict(np.load(args.detector_params, allow_pickle=True))
     if "params" in params:
@@ -214,11 +238,19 @@ def main(argv=None):
     d = sub.add_parser("detect-faces")
     d.add_argument("--video_root", required=True)
     d.add_argument("--save_root", required=True)
-    d.add_argument("--detector_params", required=True,
-                   help="npz param tree for ops/face_detect.BlazeFace")
+    d.add_argument("--detector_params", default=None,
+                   help="npz param tree for ops/face_detect.BlazeFace; "
+                        "omit to use the in-tree Viola-Jones cascades")
     d.add_argument("--detector_width", type=int, default=32)
     d.add_argument("--size", type=int, default=112)
     d.add_argument("--score_thresh", type=float, default=0.5)
+    d.add_argument("--detect_every", type=int, default=1,
+                   help="haar backend: detect every k-th frame, track between")
+    d.add_argument("--min_neighbors", type=int, default=3,
+                   help="haar backend: rectangle-grouping strictness")
+    d.add_argument("--min_size_frac", type=float, default=0.2,
+                   help="haar backend: min face size as a fraction of "
+                        "min(H, W)")
     d.set_defaults(fn=cmd_detect_faces)
 
     n = sub.add_parser("normalize-dataset",

@@ -1,0 +1,135 @@
+"""OpenFace-replacement face frontend with shipped cascade weights.
+
+``ops/viola_jones`` supplies the in-tree detector (classic OpenCV Haar
+cascade XMLs, present in this image); this module adds the OpenFace-style
+video pipeline the reference gets from the OpenFace binaries
+(``extract_openface.py:14-97``): per-frame face detection with temporal
+tracking fallback, eye localization for rotation-correct similarity
+alignment, and batched on-device warp/crop via ``ops/face_align`` into the
+reference's ``(T, 112, 112, 3)`` BGR uint8 store layout.
+
+Eye-based 2-point alignment targets the same ArcFace template eye positions
+as the 5-landmark path, so Haar-frontend crops and landmark-frontend crops
+are geometrically consistent.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import viola_jones as vj
+
+# fractional eye positions inside a Viola-Jones face box (fallback when the
+# eye cascade finds nothing; standard frontal-face prior)
+_EYE_FRAC = np.asarray([[0.30, 0.38], [0.70, 0.38]], np.float32)
+
+
+def _gray(frame: np.ndarray) -> np.ndarray:
+    return frame[..., 0] * 0.299 + frame[..., 1] * 0.587 + frame[..., 2] * 0.114
+
+
+@dataclass
+class HaarFaceFrontend:
+    min_neighbors: int = 3
+    scale_factor: float = 1.1
+    min_size_frac: float = 0.2      # min face size vs min(H, W)
+    detect_every: int = 1           # detect every k-th frame, track between
+    _face: object = field(default=None, repr=False)
+    _eye: object = field(default=None, repr=False)
+
+    def __post_init__(self):
+        if self._face is None:
+            self._face = vj.load_cascade(vj.find_cascade(vj.FRONTALFACE))
+        if self._eye is None:
+            self._eye = vj.load_cascade(vj.find_cascade(vj.EYE))
+
+    def detect_face(self, gray: np.ndarray):
+        """Main face box [x, y, w, h] or None. "Main" = largest area (the
+        subject in talking-head MER clips), the same heuristic OpenFace's
+        single-face mode uses; neighbor count already gated the candidates."""
+        H, W = gray.shape
+        min_size = max(32, int(self.min_size_frac * min(H, W)))
+        boxes = vj.detect_multiscale(
+            gray, self._face, scale_factor=self.scale_factor,
+            min_neighbors=self.min_neighbors, min_size=min_size)
+        if not len(boxes):
+            return None
+        return boxes[np.argmax(boxes[:, 2] * boxes[:, 3]), :4]
+
+    def detect_eyes(self, gray: np.ndarray, box: np.ndarray):
+        """Eye centers ((2, 2) [x, y], left-then-right) inside `box`, or
+        None when the eye cascade can't find a consistent pair."""
+        x, y, w, h = box
+        y0, y1 = int(y + 0.12 * h), int(y + 0.58 * h)
+        x0, x1 = int(max(0, x)), int(x + w)
+        roi = gray[max(0, y0): y1, x0: x1]
+        if roi.shape[0] < 16 or roi.shape[1] < 16:
+            return None
+        eyes = vj.detect_multiscale(
+            roi, self._eye, scale_factor=1.1, min_neighbors=2,
+            min_size=max(10, int(0.12 * w)), max_size=int(0.45 * w))
+        if len(eyes) < 2:
+            return None
+        centers = eyes[:, :2] + eyes[:, 2:4] / 2.0
+        centers += [x0, max(0, y0)]
+        best = None
+        for i in range(min(4, len(centers))):
+            for j in range(i + 1, min(4, len(centers))):
+                a, b = centers[i], centers[j]
+                dx, dy = abs(a[0] - b[0]), abs(a[1] - b[1])
+                if dx > 0.25 * w and dy < 0.25 * dx:
+                    pair = np.stack(sorted([a, b], key=lambda p: p[0]))
+                    score = eyes[i, 4] + eyes[j, 4]
+                    if best is None or score > best[0]:
+                        best = (score, pair)
+        return None if best is None else best[1].astype(np.float32)
+
+    def landmarks_for_frame(self, gray: np.ndarray, box: np.ndarray):
+        """2-point (left-eye, right-eye) landmarks for a detected box."""
+        eyes = self.detect_eyes(gray, box)
+        if eyes is None:
+            x, y, w, h = box
+            eyes = np.asarray([x, y], np.float32) + _EYE_FRAC * [w, h]
+        return eyes
+
+    def crop_video(self, frames: np.ndarray, size: int = 112,
+                   bgr: bool = True):
+        """frames (T, H, W, 3) RGB uint8 -> (aligned (T', size, size, 3)
+        uint8, detected mask (T,)). Undetected frames reuse the last (or
+        first) tracked face; clips with no face at all return one zero
+        frame (matching cli/preprocess.cmd_detect_faces semantics)."""
+        import jax.numpy as jnp
+
+        from .face_align import ARCFACE_TEMPLATE, umeyama, warp_affine
+
+        T = len(frames)
+        lms = np.zeros((T, 2, 2), np.float32)
+        detected = np.zeros(T, bool)
+        state = None                      # (box, landmarks)
+        pending = []                      # frames before the first detection
+        for t in range(T):
+            g = _gray(frames[t].astype(np.float32))
+            box = (self.detect_face(g)
+                   if t % self.detect_every == 0 or state is None else None)
+            if box is not None:
+                state = (box, self.landmarks_for_frame(g, box))
+                detected[t] = True
+                for p in pending:         # backfill leading frames
+                    lms[p] = state[1]
+                pending.clear()
+            if state is None:
+                pending.append(t)
+            else:
+                lms[t] = state[1]
+        if state is None:
+            return np.zeros((1, size, size, 3), np.uint8), detected
+
+        tmpl = ARCFACE_TEMPLATE[:2] * (size / 112.0)     # eye row of template
+        A = umeyama(jnp.asarray(lms), jnp.broadcast_to(jnp.asarray(tmpl),
+                                                       (T, 2, 2)))
+        out = np.asarray(warp_affine(jnp.asarray(frames, jnp.float32), A,
+                                     size, size))
+        out = np.clip(out, 0, 255).astype(np.uint8)
+        return (out[..., ::-1] if bgr else out), detected
