@@ -190,6 +190,22 @@ def cmd_normalize_dataset(args):
     return out
 
 
+def cmd_scan_faces(args):
+    from ..data import normalize as N
+
+    name2len, short = N.scan_face_store(
+        args.face_root, save_path=args.save_path,
+        min_frames=args.min_frames, delete_short=args.delete_short)
+    lens = list(name2len.values())
+    print(f"sample number: {len(name2len)}")
+    if lens:
+        print(f"min/max/mean len: {min(lens)}/{max(lens)}/"
+              f"{sum(lens) / len(lens):.1f}")
+    for name in short:
+        print(f"<= {args.min_frames} faces: {name}")
+    return name2len
+
+
 def cmd_check_features(args):
     """Completeness scan: every labeled clip has a feature file with finite
     values and a consistent trailing dim."""
@@ -257,8 +273,8 @@ def main(argv=None):
                        help="raw dataset distribution -> normalized layout "
                             "(toolkit/preprocess/* equivalents)")
     n.add_argument("--dataset", required=True,
-                   choices=["mer2023", "meld", "sims", "simsv2", "cmumosi",
-                            "cmumosei", "iemocap"])
+                   choices=["mer2023", "mer2024", "meld", "sims", "simsv2",
+                            "cmumosi", "cmumosei", "iemocap"])
     n.add_argument("--data_root", default=None,
                    help="raw distribution root (CSV layouts)")
     n.add_argument("--label_pkl", default=None,
@@ -267,6 +283,16 @@ def main(argv=None):
     n.add_argument("--copy_videos", action="store_true")
     n.add_argument("--ways", type=int, default=4, help="iemocap 4/6-way")
     n.set_defaults(fn=cmd_normalize_dataset)
+
+    f = sub.add_parser("scan-faces",
+                       help="frame-count scan of an openface_face store; "
+                            "flags clips with <= min_frames usable faces "
+                            "(mer2023_unlabel.py equivalent)")
+    f.add_argument("--face_root", required=True)
+    f.add_argument("--save_path", default=None, help="name2len npz out")
+    f.add_argument("--min_frames", type=int, default=16)
+    f.add_argument("--delete_short", action="store_true")
+    f.set_defaults(fn=cmd_scan_faces)
 
     k = sub.add_parser("check-features")
     k.add_argument("--feature_root", required=True)

@@ -72,6 +72,64 @@ def normalize_mer2023(data_root: str, save_root: str,
     return out
 
 
+def normalize_mer2024(data_root: str, save_root: str,
+                      copy_videos: bool = False) -> str:
+    """MER2024/toolkit/preprocess/mer2024.py:35-79: ``video-labeled/`` +
+    ``label-disdim.csv`` (name/discrete) -> train corpus; every clip in
+    ``video-unlabeled-with-test2noise/`` -> test1 corpus labeled neutral
+    (the semi-supervised pool doubles as the test set pre-release)."""
+    os.makedirs(save_root, exist_ok=True)
+    name2emo = {r["name"]: r["discrete"]
+                for r in _read_csv(os.path.join(data_root,
+                                                "label-disdim.csv"))}
+
+    def clip_names(vdir):
+        return sorted({os.path.basename(p).rsplit(".", 1)[0]
+                       for p in glob.glob(os.path.join(vdir, "*"))})
+
+    train_dir = os.path.join(data_root, "video-labeled")
+    test_dir = os.path.join(data_root, "video-unlabeled-with-test2noise")
+    corpus = {
+        "train": {n: {"emo": name2emo[n]} for n in clip_names(train_dir)},
+        "test1": {n: {"emo": "neutral"} for n in clip_names(test_dir)},
+    }
+    if copy_videos:
+        vdir = os.path.join(save_root, "video")
+        os.makedirs(vdir, exist_ok=True)
+        for src_dir in (train_dir, test_dir):
+            for src in glob.glob(os.path.join(src_dir, "*")):
+                shutil.copy(src, os.path.join(vdir, os.path.basename(src)))
+    out = os.path.join(save_root, "label-6way.npz")
+    _save_corpus(out, corpus)
+    return out
+
+
+def scan_face_store(face_root: str, save_path: str | None = None,
+                    min_frames: int = 16, delete_short: bool = False):
+    """MER2024/toolkit/preprocess/mer2023_unlabel.py:8-36: scan an
+    ``openface_face`` store (``{name}/{name}.npy`` per clip), record frame
+    counts, and flag/drop clips with <= ``min_frames`` usable faces (the
+    reference prunes these from the 74k unlabeled pretraining pool).
+
+    Returns (name2len, short_names)."""
+    name2len, short = {}, []
+    for face_dir in sorted(glob.glob(os.path.join(face_root, "*"))):
+        name = os.path.basename(face_dir)
+        npy = os.path.join(face_dir, name + ".npy")
+        try:
+            n = len(np.load(npy, mmap_mode="r"))
+        except Exception:
+            n = 0
+        name2len[name] = n
+        if n <= min_frames:
+            short.append(name)
+            if delete_short:
+                shutil.rmtree(face_dir)
+    if save_path:
+        np.savez_compressed(save_path, name2len=name2len)
+    return name2len, short
+
+
 def normalize_meld(data_root: str, save_root: str,
                    copy_videos: bool = False) -> str:
     """meld.py:14-87: {train,dev,test}_sent_emo.csv -> names
@@ -238,6 +296,7 @@ def normalize_iemocap(label_pkl: str, save_root: str,
 
 NORMALIZERS = {
     "mer2023": normalize_mer2023,
+    "mer2024": normalize_mer2024,
     "meld": normalize_meld,
     "sims": normalize_sims,
     "simsv2": normalize_simsv2,

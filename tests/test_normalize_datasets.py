@@ -134,3 +134,49 @@ def test_normalize_mer2023(tmp_path):
                                                       "val": 2.5}
     # test3 has no valence in the reference -> -10
     assert lab["test3_corpus"].item()["test3_c1"]["val"] == -10.0
+
+
+def test_normalize_mer2024_and_scan_faces(tmp_path):
+    root = str(tmp_path / "raw")
+    _wcsv(os.path.join(root, "label-disdim.csv"),
+          ["name", "discrete", "valence"],
+          [["clipA", "happy", 0.5], ["clipB", "sad", -0.5]])
+    os.makedirs(os.path.join(root, "video-labeled"))
+    os.makedirs(os.path.join(root, "video-unlabeled-with-test2noise"))
+    for n in ("clipA", "clipB"):
+        open(os.path.join(root, "video-labeled", n + ".mp4"), "w").close()
+    open(os.path.join(root, "video-unlabeled-with-test2noise", "u1.avi"),
+         "w").close()
+    save = str(tmp_path / "out")
+    preprocess_main(["normalize-dataset", "--dataset=mer2024",
+                     f"--data_root={root}", f"--save_root={save}",
+                     "--copy_videos"])
+    lab = np.load(os.path.join(save, "label-6way.npz"), allow_pickle=True)
+    train = lab["train_corpus"].item()
+    assert train == {"clipA": {"emo": "happy"}, "clipB": {"emo": "sad"}}
+    test1 = lab["test1_corpus"].item()
+    assert test1 == {"u1": {"emo": "neutral"}}  # unlabeled pool -> neutral
+    assert os.path.exists(os.path.join(save, "video", "u1.avi"))
+
+    # the reader maps the string labels and tolerates the missing val key
+    from mertools_tpu.data.labels import read_names_labels
+    names, emos, vals = read_names_labels(
+        os.path.join(save, "label-6way.npz"), "train")
+    assert sorted(names) == ["clipA", "clipB"]
+    assert vals[0] == -10.0
+
+    # scan-faces: frame counts + short-clip pruning (mer2023_unlabel.py)
+    faces = tmp_path / "faces"
+    for name, n_frames in (("ok", 20), ("short", 3)):
+        d = faces / name
+        d.mkdir(parents=True)
+        np.save(d / f"{name}.npy", np.zeros((n_frames, 4, 4, 3), np.uint8))
+    (faces / "broken").mkdir()  # missing npy -> counted as 0
+    out_npz = str(tmp_path / "name2len.npz")
+    preprocess_main(["scan-faces", f"--face_root={faces}",
+                     f"--save_path={out_npz}", "--delete_short"])
+    n2l = np.load(out_npz, allow_pickle=True)["name2len"].item()
+    assert n2l == {"ok": 20, "short": 3, "broken": 0}
+    assert os.path.isdir(faces / "ok")
+    assert not os.path.isdir(faces / "short")
+    assert not os.path.isdir(faces / "broken")
