@@ -53,6 +53,11 @@ def main(argv=None):
     p.add_argument("--acoustic_pretrain", default=None)
     p.add_argument("--random_init_encoders", action="store_true",
                    help="tiny random encoders (smoke without checkpoints)")
+    # multi-stream feature stores (models saved with face_or_frame set);
+    # unset streams fall back to --video_feat_dir
+    p.add_argument("--face_feat_dir", default=None)
+    p.add_argument("--frame_feat_dir", default=None)
+    p.add_argument("--image_feat_dir", default=None)
     p.add_argument("--subtitle_csv", default=None)
     p.add_argument("--save_path", required=True)
     p.add_argument("--tokenizer", required=True)
@@ -159,23 +164,47 @@ def main(argv=None):
         todo = [n for n in names if n not in name2reason]
         print(f"{len(todo)} clips to process ({len(name2reason)} cached)")
 
+        streams = None
+        if model.cfg.face_or_frame is not None:
+            from ..mllm.affectgpt import stream_plan
+
+            _, streams = stream_plan(model.cfg.face_or_frame)
+            stream_dir = {
+                "audio": args.audio_feat_dir,
+                "face": args.face_feat_dir or args.video_feat_dir,
+                "frame": args.frame_feat_dir or args.video_feat_dir,
+                "image": args.image_feat_dir or args.video_feat_dir}
+
+        def feat_keys(n, vfeats=None, afeats=None):
+            """Per-sample feature dict: legacy AV pair or per-stream keys."""
+            if streams is None:
+                if vfeats is not None:
+                    return {"video_feats": vfeats[n].astype(np.float32),
+                            "audio_feats": afeats[n].astype(np.float32)}
+                return {"video_feats": load_feat(args.video_feat_dir, n,
+                                                 args.max_video_frames),
+                        "audio_feats": load_feat(args.audio_feat_dir, n,
+                                                 args.max_audio_frames)}
+            out = {}
+            for s in streams:
+                if vfeats is not None:  # raw mode: online-encoded features
+                    x = afeats[n] if s == "audio" else vfeats[n]
+                    out[f"{s}_feats"] = np.asarray(x, np.float32)
+                else:
+                    cap = (args.max_audio_frames if s == "audio"
+                           else args.max_video_frames)
+                    out[f"{s}_feats"] = load_feat(stream_dir[s], n, cap)
+            return out
+
         for i in range(0, len(todo), args.batch):
             group = todo[i: i + args.batch]
             if raw_mode:
                 vfeats, afeats = raw_feats(group)
-                samples = [{
-                    "video_feats": vfeats[n].astype(np.float32),
-                    "audio_feats": afeats[n].astype(np.float32),
-                    "subtitle": subtitles.get(n, ""),
-                } for n in group]
+                samples = [{**feat_keys(n, vfeats, afeats),
+                            "subtitle": subtitles.get(n, "")} for n in group]
             else:
-                samples = [{
-                    "video_feats": load_feat(args.video_feat_dir, n,
-                                             args.max_video_frames),
-                    "audio_feats": load_feat(args.audio_feat_dir, n,
-                                             args.max_audio_frames),
-                    "subtitle": subtitles.get(n, ""),
-                } for n in group]
+                samples = [{**feat_keys(n),
+                            "subtitle": subtitles.get(n, "")} for n in group]
             answers = chat.answer_batch(samples)
             for n, a in zip(group, answers):
                 name2reason[n] = a

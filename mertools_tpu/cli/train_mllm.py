@@ -81,19 +81,43 @@ def build_model(mcfg: dict, amp: str | None = None):
         import dataclasses
 
         llm_cfg = dataclasses.replace(llm_cfg, remat=True)
+    # reference YAML key aliases (train_configs/*.yaml:16-19,55):
+    # *_fusion_type, num_*_query_token, face_or_frame
+    alias = lambda *keys, default=None: next(
+        (mcfg[k] for k in keys if mcfg.get(k) is not None), default)
+    face_or_frame = mcfg.get("face_or_frame")
+    multi_fusion = alias("multi_fusion_type", "multi_fusion",
+                         default="qformer")
     multi = mcfg.get("multi_queries")
+    from ..mllm.affectgpt import SEGMENTS_BY_MODE
+
+    has_multi = multi or (face_or_frame and
+                          "multi" in SEGMENTS_BY_MODE[face_or_frame])
     cfg = AffectGPTConfig(
         llm=llm_cfg,
         video_qformer=QFormerConfig(
             num_queries=int(mcfg.get("video_queries", 32))),
         audio_qformer=QFormerConfig(
             num_queries=int(mcfg.get("audio_queries", 8))),
-        multi_qformer=(QFormerConfig(num_queries=int(multi))
-                       if multi else None),
+        multi_qformer=(QFormerConfig(num_queries=int(multi or 32))
+                       if has_multi and multi_fusion == "qformer" else None),
         video_dim=int(mcfg.get("video_dim", 768)),
         audio_dim=int(mcfg.get("audio_dim", 1024)),
+        image_dim=(int(mcfg["image_dim"]) if mcfg.get("image_dim")
+                   else None),
         max_video_frames=int(mcfg.get("max_video_frames", 64)),
-        fusion=mcfg.get("fusion", "qformer"))
+        max_audio_frames=int(mcfg.get("max_audio_frames", 64)),
+        fusion=mcfg.get("fusion", "qformer"),
+        video_fusion=alias("video_fusion_type", "video_fusion"),
+        audio_fusion=alias("audio_fusion_type", "audio_fusion"),
+        multi_fusion=multi_fusion,
+        image_fusion=alias("image_fusion_type", "image_fusion",
+                           default="mean"),
+        num_video_query_token=int(mcfg.get("num_video_query_token", 1)),
+        num_audio_query_token=int(mcfg.get("num_audio_query_token", 1)),
+        num_multi_query_token=int(mcfg.get("num_multi_query_token", 1)),
+        num_image_query_token=int(mcfg.get("num_image_query_token", 1)),
+        face_or_frame=face_or_frame)
     if amp == "bf16":   # bf16 AMP: DEFAULT-precision matmuls (see Runner)
         return (AffectGPT(cfg, precision=jax.lax.Precision.DEFAULT),
                 llm_params, tokenizer)
@@ -122,6 +146,11 @@ def main(argv=None):
     cfg = apply_options(load_yaml(args.config), args.options)
     mcfg, dcfg, rcfg = cfg["model"], cfg["datasets"], cfg.get("run", {})
 
+    # the reference carries face_or_frame in the datasets section
+    # (train_configs/...face_lz.yaml:55); honor either placement
+    if dcfg.get("face_or_frame") and not mcfg.get("face_or_frame"):
+        mcfg["face_or_frame"] = dcfg["face_or_frame"]
+
     amp = rcfg.get("amp")
     model, llm_params, tokenizer = build_model(mcfg, amp)
     if tokenizer is None:
@@ -129,10 +158,14 @@ def main(argv=None):
 
         tokenizer = FakeWordTokenizer(model.cfg.llm.vocab_size)
 
+    stream_dirs = {s: dcfg[f"{s}_feat_dir"]
+                   for s in ("face", "frame", "audio", "image")
+                   if dcfg.get(f"{s}_feat_dir")}
     dataset = CaptionDataset.from_csvs(
-        dcfg["openset_csv"], dcfg["reason_csv"], dcfg.get("subtitle_csv"),
+        dcfg["openset_csv"], dcfg.get("reason_csv"), dcfg.get("subtitle_csv"),
         dcfg["video_feat_dir"], dcfg["audio_feat_dir"],
-        label_type=dcfg.get("label_type", "description"))
+        label_type=dcfg.get("label_type", "description"),
+        face_or_frame=model.cfg.face_or_frame, stream_dirs=stream_dirs)
     print(f"dataset: {len(dataset)} annotated clips")
 
     run_cfg = RunnerConfig(
@@ -146,19 +179,32 @@ def main(argv=None):
         output_dir=rcfg.get("output_dir", "./mllm_output"),
         compute_dtype=("bf16" if amp == "bf16" else None))
 
-    it = batch_iterator(dataset, tokenizer, model.num_av_tokens,
-                        run_cfg.batch_size,
-                        seed=int(rcfg.get("seed", 42)),
-                        max_len=int(rcfg.get("max_len", 512)))
+    if model.cfg.face_or_frame is not None:
+        from ..mllm.data import stream_batch_iterator
+
+        it = stream_batch_iterator(dataset, tokenizer, model.cfg,
+                                   run_cfg.batch_size,
+                                   seed=int(rcfg.get("seed", 42)),
+                                   max_len=int(rcfg.get("max_len", 512)))
+    else:
+        it = batch_iterator(dataset, tokenizer, model.num_av_tokens,
+                            run_cfg.batch_size,
+                            seed=int(rcfg.get("seed", 42)),
+                            max_len=int(rcfg.get("max_len", 512)))
     batch0 = next(it)
     params = model.init(jax.random.PRNGKey(int(rcfg.get("seed", 42))),
                         batch0)["params"]
     if llm_params is not None:
+        # path-based overlay: converted HF weights replace the init values;
+        # leaves absent from the checkpoint (LoRA a/b) keep their init
+        def overlay(cur, new):
+            out = dict(cur)
+            for k, v in new.items():
+                out[k] = overlay(cur[k], v) if isinstance(v, dict) else v
+            return out
+
         params = dict(params)
-        params["llm"] = jax.tree_util.tree_map(
-            lambda cur, new: new if new is not None else cur,
-            params["llm"], {**llm_params},
-            is_leaf=lambda x: not isinstance(x, dict))
+        params["llm"] = overlay(params["llm"], llm_params)
 
     n_data = jax.device_count() // args.n_model
     mesh = None

@@ -46,6 +46,48 @@ class Conversation:
 DEFAULT_QUESTION = ("Please describe the emotional state of the main "
                     "character, then infer the most likely emotion labels.")
 
+# Per-segment prompt chunks (base_dataset.py:463-549 templates).
+SEGMENT_TEXT = {
+    "multi": ("The audio and video merged info is: <Multi>", "</Multi>. "),
+    "audio": ("The audio content is as follows: <Audio>", "</Audio>. "),
+    "face": ("Meanwhile, we uniformly sample raw frames from the video and "
+             "extract faces from these frames: <Video>", "</Video>. "),
+    "frame": ("Meanwhile, we uniformly sample raw frames from the video: "
+              "<Video>", "</Video>. "),
+    "image": ("The image content is as follows: <Image>", "</Image>. "),
+}
+
+
+def encode_stream_prompt(tokenizer, cfg, subtitle: str, question: str,
+                         system: str = DEFAULT_SYSTEM):
+    """Tokenize a multi-stream prompt with one placeholder run per spliced
+    segment (reference get_prompt_for_multimodal + the patch-token
+    replacement, base_dataset.py:463-556).
+
+    Returns (ids, starts) where ``starts[segment]`` is the index of that
+    segment's placeholder run inside ``ids``.
+    """
+    from .affectgpt import stream_plan
+
+    segments, _ = stream_plan(cfg.face_or_frame)
+    ids, starts = [], {}
+    head = f"{system}\n###Human: " if system else "###Human: "
+    for i, seg in enumerate(segments):
+        opener, closer = SEGMENT_TEXT[seg]
+        text = (head if i == 0 else "") + opener
+        ids += tokenizer.encode(text, add_special_tokens=(i == 0))
+        starts[seg] = len(ids)
+        ids += [0] * cfg.segment_tokens(seg)
+        ids += tokenizer.encode(closer, add_special_tokens=False)
+    if not segments:  # textonly
+        ids += tokenizer.encode(head, add_special_tokens=True)
+    sub = (f"The subtitle of this video is: <Subtitle>{subtitle}"
+           f"</Subtitle>. ") if subtitle else ""
+    tail = (f"{sub}Now, please answer my question based on all the "
+            f"provided information. {question} ###Assistant: ")
+    ids += tokenizer.encode(tail, add_special_tokens=False)
+    return ids, starts
+
 
 class Chat:
     def __init__(self, model: AffectGPT, params, tokenizer,
@@ -103,9 +145,63 @@ class Chat:
             mask[b, : len(ids)] = 1
         return input_ids, mask, np.asarray(starts, np.int32)
 
+    def _decode_rows(self, tokens: np.ndarray) -> list[str]:
+        out = []
+        for toks in tokens:
+            stop = np.nonzero(toks == self.eos)[0]
+            toks = toks[: stop[0]] if len(stop) else toks
+            out.append(self.tok.decode(toks.tolist(),
+                                       skip_special_tokens=True).strip())
+        return out
+
+    def _answer_batch_streams(self, samples, prng_key):
+        """Multi-stream inference (cfg.face_or_frame set): one placeholder
+        run per spliced segment — mirrors Chat.answer_sample's multi-segment
+        splice (conversation_video.py:200-260) batched."""
+        from .affectgpt import stream_plan
+        from .data import _pad_stream
+
+        cfg = self.model.cfg
+        segments, needed = stream_plan(cfg.face_or_frame)
+        ids_list, starts_list = [], []
+        for s in samples:
+            ids, starts = encode_stream_prompt(
+                self.tok, cfg, s.get("subtitle", ""),
+                s.get("question") or DEFAULT_QUESTION)
+            if len(ids) > self.max_len:
+                raise ValueError(f"prompt length {len(ids)} exceeds max_len")
+            ids_list.append(ids)
+            starts_list.append(starts)
+        B, S = len(samples), max(len(i) for i in ids_list)
+        batch = {"input_ids": np.zeros((B, S), np.int32)}
+        mask = np.zeros((B, S), np.int32)
+        for seg in segments:
+            batch[f"splice_{seg}"] = np.asarray(
+                [st[seg] for st in starts_list], np.int32)
+        for stream in sorted(needed):
+            feats, smask = _pad_stream(samples, f"{stream}_feats")
+            batch[f"{stream}_feats"] = feats
+            batch[f"{stream}_mask"] = smask
+        for b, ids in enumerate(ids_list):
+            batch["input_ids"][b, : len(ids)] = ids
+            mask[b, : len(ids)] = 1
+        embeds = self._embed_fn(self.params,
+                                {k: jnp.asarray(v) for k, v in batch.items()})
+        tokens = np.asarray(generate(
+            self.model.cfg.llm, self.params["llm"], embeds, jnp.asarray(mask),
+            max_new_tokens=self.max_new_tokens, temperature=self.temperature,
+            top_p=self.top_p, eos_token_id=int(self.eos),
+            repetition_penalty=self.repetition_penalty, kv_int8=self.kv_int8,
+            prng_key=prng_key if prng_key is not None
+            else jax.random.PRNGKey(0)))
+        return self._decode_rows(tokens)
+
     def answer_batch(self, samples: list[dict], prng_key=None) -> list[str]:
-        """samples: dicts with video_feats (Tv, Dv), audio_feats (Ta, Da),
-        optional subtitle/question strings. Returns decoded answers."""
+        """samples: dicts with video_feats (Tv, Dv), audio_feats (Ta, Da) —
+        or per-stream ``{stream}_feats`` when cfg.face_or_frame is set —
+        plus optional subtitle/question strings. Returns decoded answers."""
+        if self.model.cfg.face_or_frame is not None:
+            return self._answer_batch_streams(samples, prng_key)
         B = len(samples)
         Tv = max(s["video_feats"].shape[0] for s in samples)
         Ta = max(s["audio_feats"].shape[0] for s in samples)
@@ -137,11 +233,4 @@ class Chat:
             top_p=self.top_p, eos_token_id=int(self.eos),
             repetition_penalty=self.repetition_penalty, kv_int8=self.kv_int8,
             prng_key=prng_key if prng_key is not None else jax.random.PRNGKey(0)))
-        out = []
-        for b in range(B):
-            toks = tokens[b]
-            stop = np.nonzero(toks == self.eos)[0]
-            toks = toks[: stop[0]] if len(stop) else toks
-            out.append(self.tok.decode(toks.tolist(),
-                                       skip_special_tokens=True).strip())
-        return out
+        return self._decode_rows(tokens)

@@ -53,17 +53,29 @@ class CaptionDataset:
     max_video_frames: int = 64
     max_audio_frames: int = 64
     label_type: str = "description"     # description | ovlabel | mixed
+    # Multi-stream mode (cfg.face_or_frame set): per-stream feature dirs;
+    # unset streams fall back to video_feat_dir (face/frame/image) or
+    # audio_feat_dir (audio) — the reference points 'face' at openface-crop
+    # features and 'frame' at raw-video features of the same clips.
+    face_or_frame: str | None = None
+    stream_dirs: dict = field(default_factory=dict)
 
     @classmethod
-    def from_csvs(cls, openset_csv: str, reason_csv: str,
+    def from_csvs(cls, openset_csv: str, reason_csv: str | None,
                   subtitle_csv: str | None, video_feat_dir: str,
                   audio_feat_dir: str, **kw) -> "CaptionDataset":
+        """reason_csv=None covers the ovlabel-only datasets (MER2026-T2
+        Human_Dataset / MER2026OV join just openset + subtitle and set
+        label_type_candidates=['ovlabel'] — human_dataset.py:40-60)."""
         name2openset = {}
         for r in _read_csv(openset_csv):
             labels = string_to_list(r.get("openset", "")) or ["neutral"]
             name2openset[r["name"]] = ", ".join(labels)
-        name2reason = {r["name"]: (r.get("reason") or "")
-                       for r in _read_csv(reason_csv)}
+        name2reason = ({r["name"]: (r.get("reason") or "")
+                        for r in _read_csv(reason_csv)} if reason_csv
+                       else {})
+        if not reason_csv:
+            kw.setdefault("label_type", "ovlabel")
         name2sub = {}
         if subtitle_csv:
             for r in _read_csv(subtitle_csv):
@@ -98,15 +110,28 @@ class CaptionDataset:
             label_type = ("description", "ovlabel")[int(rng.integers(0, 2))]
         else:
             label_type = self.label_type
-        return {
-            "video_feats": self._feat(self.video_feat_dir, ann["name"],
-                                      self.max_video_frames),
-            "audio_feats": self._feat(self.audio_feat_dir, ann["name"],
-                                      self.max_audio_frames),
+        out = {
             "subtitle": ann["subtitle"],
             "question": QUESTION_BY_LABEL_TYPE[label_type],
             "answer": ann[label_type],
         }
+        if self.face_or_frame is None:
+            out["video_feats"] = self._feat(self.video_feat_dir, ann["name"],
+                                            self.max_video_frames)
+            out["audio_feats"] = self._feat(self.audio_feat_dir, ann["name"],
+                                            self.max_audio_frames)
+            return out
+        from .affectgpt import stream_plan
+
+        _, needed = stream_plan(self.face_or_frame)
+        for stream in needed:
+            default = (self.audio_feat_dir if stream == "audio"
+                       else self.video_feat_dir)
+            cap = (self.max_audio_frames if stream == "audio"
+                   else self.max_video_frames)
+            out[f"{stream}_feats"] = self._feat(
+                self.stream_dirs.get(stream, default), ann["name"], cap)
+        return out
 
 
 def build_batch(samples: list[dict], tokenizer, num_av_tokens: int,
@@ -158,6 +183,101 @@ def build_batch(samples: list[dict], tokenizer, num_av_tokens: int,
     return batch
 
 
+def _pad_stream(samples: list[dict], key: str):
+    """Stack ragged (T_i, D) features -> (B, T_max, D) + (B, T_max) mask."""
+    B = len(samples)
+    T = max(s[key].shape[0] for s in samples)
+    D = samples[0][key].shape[1]
+    feats = np.zeros((B, T, D), np.float32)
+    mask = np.zeros((B, T), np.int32)
+    for b, s in enumerate(samples):
+        t = s[key].shape[0]
+        feats[b, :t] = s[key]
+        mask[b, :t] = 1
+    return feats, mask
+
+
+def build_stream_batch(samples: list[dict], tokenizer, cfg,
+                       max_len: int = 512, system: str | None = None) -> dict:
+    """Multi-stream training batch for a ``face_or_frame`` config: one
+    placeholder run per spliced segment (reference builds the same prompts in
+    base_dataset.get_prompt_for_multimodal :463-549 and splices every segment
+    in affectgpt.forward :686-711).
+
+    ``samples`` carry ``{stream}_feats`` for each needed stream plus
+    subtitle/question/answer strings. Raises if a prompt's placeholder runs
+    don't fit ``max_len`` (only the answer may be truncated).
+    """
+    from .affectgpt import stream_plan
+    from .chat import DEFAULT_SYSTEM, encode_stream_prompt
+
+    segments, needed = stream_plan(cfg.face_or_frame)
+    eos = tokenizer.eos_token_id
+    per = []
+    for s in samples:
+        ids, starts = encode_stream_prompt(
+            tokenizer, cfg, s.get("subtitle", ""), s["question"],
+            system=DEFAULT_SYSTEM if system is None else system)
+        if len(ids) > max_len:
+            raise ValueError(f"prompt length {len(ids)} exceeds max_len "
+                             f"{max_len}; placeholder runs must not truncate")
+        ans = tokenizer.encode(s["answer"], add_special_tokens=False) + [eos]
+        full = (ids + ans)[:max_len]
+        labels = ([-100] * len(ids) + ans)[:max_len]
+        per.append((full, labels, starts))
+
+    B = len(samples)
+    S = max(len(p[0]) for p in per)
+    batch = {
+        "input_ids": np.zeros((B, S), np.int32),
+        "attention_mask": np.zeros((B, S), np.int32),
+        "labels": np.full((B, S), -100, np.int64),
+    }
+    for seg in segments:
+        batch[f"splice_{seg}"] = np.zeros(B, np.int32)
+    for stream in sorted(needed):
+        feats, mask = _pad_stream(samples, f"{stream}_feats")
+        batch[f"{stream}_feats"] = feats
+        batch[f"{stream}_mask"] = mask
+    for b, (ids, labels, starts) in enumerate(per):
+        batch["input_ids"][b, : len(ids)] = ids
+        batch["attention_mask"][b, : len(ids)] = 1
+        batch["labels"][b, : len(labels)] = labels
+        for seg, start in starts.items():
+            batch[f"splice_{seg}"][b] = start
+    return batch
+
+
+def _pad_seq_to_multiple(batch: dict, pad_to_multiple: int, max_len: int):
+    """Round sequence length up so XLA sees few shapes."""
+    S = batch["input_ids"].shape[1]
+    target = min(-(-S // pad_to_multiple) * pad_to_multiple, max_len)
+    if target > S:
+        pad = target - S
+        for k in ("input_ids", "attention_mask"):
+            batch[k] = np.pad(batch[k], ((0, 0), (0, pad)))
+        batch["labels"] = np.pad(batch["labels"], ((0, 0), (0, pad)),
+                                 constant_values=-100)
+    return batch
+
+
+def stream_batch_iterator(dataset: CaptionDataset, tokenizer, model_cfg,
+                          batch_size: int, seed: int = 0, max_len: int = 512,
+                          pad_to_multiple: int = 32):
+    """Infinite shuffled iterator of multi-stream training batches
+    (``model_cfg.face_or_frame`` set)."""
+    rng = np.random.default_rng(seed)
+    n = len(dataset)
+    while True:
+        order = rng.permutation(n)
+        for i in range(0, n - batch_size + 1, batch_size):
+            samples = [dataset.sample(int(j), rng)
+                       for j in order[i: i + batch_size]]
+            batch = build_stream_batch(samples, tokenizer, model_cfg,
+                                       max_len)
+            yield _pad_seq_to_multiple(batch, pad_to_multiple, max_len)
+
+
 def batch_iterator(dataset: CaptionDataset, tokenizer, num_av_tokens: int,
                    batch_size: int, seed: int = 0, max_len: int = 512,
                    pad_to_multiple: int = 32):
@@ -174,15 +294,7 @@ def batch_iterator(dataset: CaptionDataset, tokenizer, num_av_tokens: int,
             samples = [dataset.sample(int(j), rng)
                        for j in order[i: i + batch_size]]
             batch = build_batch(samples, tokenizer, num_av_tokens, max_len)
-            S = batch["input_ids"].shape[1]
-            target = min(-(-S // pad_to_multiple) * pad_to_multiple, max_len)
-            if target > S:
-                pad = target - S
-                for k in ("input_ids", "attention_mask"):
-                    batch[k] = np.pad(batch[k], ((0, 0), (0, pad)))
-                batch["labels"] = np.pad(batch["labels"], ((0, 0), (0, pad)),
-                                         constant_values=-100)
-            yield batch
+            yield _pad_seq_to_multiple(batch, pad_to_multiple, max_len)
 
 
 class FakeWordTokenizer:

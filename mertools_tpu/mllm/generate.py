@@ -73,14 +73,14 @@ def _rms(p, x, eps):
     return (x * jax.lax.rsqrt(var + eps)).astype(x.dtype) * p["weight"]
 
 
-def _lora_dense(p, x):
+def _lora_dense(p, x, alpha=16.0):
     y = w8_einsum("...d,df->...f", x, p["kernel"], precision=_P)
     if "bias" in p:
         y = y + p["bias"]
     if "lora_a" in p:
         r = p["lora_a"].shape[-1]
-        y = y + (16.0 / r) * jnp.einsum("...d,dr,rf->...f", x, p["lora_a"],
-                                        p["lora_b"], precision=_P)
+        y = y + (alpha / r) * jnp.einsum("...d,dr,rf->...f", x, p["lora_a"],
+                                         p["lora_b"], precision=_P)
     return y
 
 
@@ -100,17 +100,19 @@ def _rotary(x, positions, theta):
 def _qkv(cfg, lp, xn):
     nh, nkv = cfg.num_heads, cfg.num_kv_heads
     hd = cfg.hidden_size // nh
-    q = _lora_dense(lp["q_proj"], xn).reshape(*xn.shape[:-1], nh, hd)
-    k = _lora_dense(lp["k_proj"], xn).reshape(*xn.shape[:-1], nkv, hd)
-    v = _lora_dense(lp["v_proj"], xn).reshape(*xn.shape[:-1], nkv, hd)
+    a = cfg.lora_alpha
+    q = _lora_dense(lp["q_proj"], xn, a).reshape(*xn.shape[:-1], nh, hd)
+    k = _lora_dense(lp["k_proj"], xn, a).reshape(*xn.shape[:-1], nkv, hd)
+    v = _lora_dense(lp["v_proj"], xn, a).reshape(*xn.shape[:-1], nkv, hd)
     return q, k, v
 
 
-def _mlp(lp, x):
-    g = w8_einsum("...d,df->...f", x, lp["gate_proj"]["kernel"], precision=_P)
-    u = w8_einsum("...d,df->...f", x, lp["up_proj"]["kernel"], precision=_P)
-    return w8_einsum("...f,fd->...d", jax.nn.silu(g) * u,
-                     lp["down_proj"]["kernel"], precision=_P)
+def _mlp(lp, x, alpha=16.0):
+    # LoRA deltas apply to the MLP projections too (peft target_modules
+    # cover all 7 — reference affectgpt.py:111-117)
+    g = _lora_dense(lp["gate_proj"], x, alpha)
+    u = _lora_dense(lp["up_proj"], x, alpha)
+    return _lora_dense(lp["down_proj"], jax.nn.silu(g) * u, alpha)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "cache_len", "kv_int8"))
@@ -151,9 +153,9 @@ def prefill(cfg, params, inputs_embeds, attention_mask, cache_len: int,
         logits = jnp.einsum("bqnd,bknd->bnqk", q, k, precision=_P) / np.sqrt(hd)
         w = jax.nn.softmax((logits + bias).astype(jnp.float32), -1).astype(x.dtype)
         att = jnp.einsum("bnqk,bknd->bqnd", w, vr, precision=_P)
-        x = x + _lora_dense(lp["o_proj"], att.reshape(B, S, H))
+        x = x + _lora_dense(lp["o_proj"], att.reshape(B, S, H), cfg.lora_alpha)
         xn = _rms(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
-        x = x + _mlp(lp, xn)
+        x = x + _mlp(lp, xn, cfg.lora_alpha)
 
     x = _rms(params["norm"], x, cfg.rms_norm_eps)
     # logits at the LAST VALID position of each sample
@@ -231,9 +233,9 @@ def _step(cfg, params, tok, pos, slot, k_cache, v_cache, slot_mask):
             if quant:
                 w = w * vs_l.transpose(0, 2, 1).astype(w.dtype)
             att = jnp.einsum("bnl,blnd->bnd", w, vv, precision=_P)
-        x = x + _lora_dense(lp["o_proj"], att.reshape(B, H))
+        x = x + _lora_dense(lp["o_proj"], att.reshape(B, H), cfg.lora_alpha)
         xn = _rms(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
-        x = x + _mlp(lp, xn)
+        x = x + _mlp(lp, xn, cfg.lora_alpha)
     x = _rms(params["norm"], x, cfg.rms_norm_eps)
     logits = w8_einsum("bd,dv->bv", x, params["lm_head"]["kernel"],
                        precision=_P)

@@ -164,12 +164,14 @@ class _LLMLayer(nn.Module):
                           name="o_proj")(attn)
 
         xn = RMSNorm(c.rms_norm_eps, name="post_attention_layernorm")(x)
-        gate = nn.Dense(c.intermediate_size, use_bias=False, name="gate_proj",
-                        precision=self.precision)(xn)
-        up = nn.Dense(c.intermediate_size, use_bias=False, name="up_proj",
-                      precision=self.precision)(xn)
-        down = nn.Dense(H, use_bias=False, name="down_proj",
-                        precision=self.precision)(jax.nn.silu(gate) * up)
+        # LoRA wraps the MLP projections too (the reference's peft
+        # target_modules cover all 7 — affectgpt.py:111-117)
+        gate = LoRADense(c.intermediate_size, c.lora_r, c.lora_alpha, False,
+                         self.precision, name="gate_proj")(xn)
+        up = LoRADense(c.intermediate_size, c.lora_r, c.lora_alpha, False,
+                       self.precision, name="up_proj")(xn)
+        down = LoRADense(H, c.lora_r, c.lora_alpha, False, self.precision,
+                         name="down_proj")(jax.nn.silu(gate) * up)
         return x + down
 
 

@@ -284,7 +284,13 @@ def restore_model(path: str):
                        if raw.get("multi_qformer") else None),
         video_dim=raw["video_dim"], audio_dim=raw["audio_dim"],
         max_video_frames=raw["max_video_frames"],
-        fusion=raw.get("fusion", "qformer"))
+        fusion=raw.get("fusion", "qformer"),
+        **{k: raw[k] for k in (
+            "image_dim", "max_audio_frames", "multi_max_positions",
+            "video_fusion", "audio_fusion", "multi_fusion", "image_fusion",
+            "num_video_query_token", "num_audio_query_token",
+            "num_multi_query_token", "num_image_query_token",
+            "face_or_frame") if k in raw})
     ckpt = ocp.PyTreeCheckpointer()
     params = ckpt.restore(os.path.join(path, "params"))
     params = jax.tree_util.tree_map(jnp.asarray, params)
