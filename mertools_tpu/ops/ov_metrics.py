@@ -153,7 +153,10 @@ def openset_overlap_rate(name2gt: Mapping, name2pred: Mapping,
         else:
             accuracy.append(len(gt & pred) / len(pred))
             recall.append(len(gt & pred) / len(gt))
-    return float(np.mean(accuracy)), float(np.mean(recall))
+    # every sample may filter out under a sparse wheel map (MER2026 wheel.py
+    # guards this case to 0 rather than nan)
+    return (float(np.mean(accuracy)) if accuracy else 0.0,
+            float(np.mean(recall)) if recall else 0.0)
 
 
 def wheel_metric_calculation(name2gt, name2pred, wheels: Mapping[str, Mapping],
@@ -170,6 +173,30 @@ def wheel_metric_calculation(name2gt, name2pred, wheels: Mapping[str, Mapping],
         f = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
         scores.append([f, precision, recall])
     return np.mean(scores, axis=0).tolist()
+
+
+def save_wheel_mapping(path: str, format_mapping: Mapping,
+                       raw_mapping: Mapping, wheels: Mapping[str, Mapping]):
+    """Write the precomputed-mapping npz MER2026-T2 consumes
+    (``config.OUTSIDE_WHEEL_MAPPING`` — wheel.py:112-118 loads
+    format_mapping / raw_mapping / wheel_map_whole where
+    ``wheel_map_whole[wheelN][levelK]`` is a level1->cluster map)."""
+    wheel_map_whole = {
+        name: {level: wheel_cluster_map(wheel, level)
+               for level in ("level1", "level2")}
+        for name, wheel in wheels.items()}
+    np.savez_compressed(path, format_mapping=dict(format_mapping),
+                        raw_mapping=dict(raw_mapping),
+                        wheel_map_whole=wheel_map_whole)
+    return path
+
+
+def load_wheel_mapping(path: str) -> tuple[dict, dict, dict]:
+    """(format_mapping, raw_mapping, wheel_map_whole) from the npz layout
+    above — interoperable with reference-produced mapping files."""
+    z = np.load(path, allow_pickle=True)
+    return (z["format_mapping"].item(), z["raw_mapping"].item(),
+            z["wheel_map_whole"].item())
 
 
 # ---------------------------------------------------------------------------

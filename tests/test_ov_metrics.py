@@ -102,3 +102,40 @@ def test_read_wheel_table_forward_fill(tmp_path):
 
     wheels = load_wheels(str(tmp_path))
     assert list(wheels) == ["wheel1"]
+
+
+def test_wheel_mapping_npz_roundtrip(tmp_path):
+    """MER2026-T2 OUTSIDE_WHEEL_MAPPING npz layout (wheel.py:112-118):
+    save/load roundtrip + case3 metric through the loaded maps; all-filtered
+    sample sets score 0, not nan."""
+    from mertools_tpu.ops.ov_metrics import (load_wheel_mapping,
+                                             openset_overlap_rate,
+                                             save_wheel_mapping,
+                                             wheel_cluster_map)
+
+    wheels = {"wheel1": {"joy": {"happy": ["cheerful", "merry"]},
+                         "sad": {"down": ["gloomy"]}}}
+    format_mapping = {"cheerful": ["happy"], "merry": ["happy"],
+                      "gloomy": ["down"], "happy": ["happy"],
+                      "down": ["down"]}
+    raw_mapping = {"happy": ["joy"], "down": ["sad"]}
+    path = str(tmp_path / "mapping.npz")
+    save_wheel_mapping(path, format_mapping, raw_mapping, wheels)
+    fm, rm, whole = load_wheel_mapping(path)
+    assert fm == format_mapping and rm == raw_mapping
+    assert whole["wheel1"]["level1"] == wheel_cluster_map(wheels["wheel1"],
+                                                          "level1")
+
+    name2gt = {"a": "['cheerful']", "b": "['gloomy']"}
+    name2pred = {"a": "['merry']", "b": "['happy']"}
+    acc, rec = openset_overlap_rate(
+        name2gt, name2pred, fm, rm, whole["wheel1"]["level1"],
+        metric="case3_wheel1_level1")
+    assert acc == 0.5 and rec == 0.5  # a: both -> joy (hit); b: sad vs joy
+
+    # every mapped GT empty -> 0/0 guard (unknown labels drop out)
+    acc, rec = openset_overlap_rate({"x": "['unknownword']"},
+                                    {"x": "['alsounknown']"}, fm, rm,
+                                    whole["wheel1"]["level1"],
+                                    metric="case3_wheel1_level1")
+    assert acc == 0.0 and rec == 0.0
