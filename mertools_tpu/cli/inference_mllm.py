@@ -59,6 +59,9 @@ def main(argv=None):
     p.add_argument("--frame_feat_dir", default=None)
     p.add_argument("--image_feat_dir", default=None)
     p.add_argument("--subtitle_csv", default=None)
+    p.add_argument("--question", default=None,
+                   help="override the default question (reference "
+                        "--outside_user_message, inference_hybird.py:123)")
     p.add_argument("--save_path", required=True)
     p.add_argument("--tokenizer", required=True)
     p.add_argument("--batch", type=int, default=8)
@@ -196,20 +199,26 @@ def main(argv=None):
                     out[f"{s}_feats"] = load_feat(stream_dir[s], n, cap)
             return out
 
-        for i in range(0, len(todo), args.batch):
-            group = todo[i: i + args.batch]
-            if raw_mode:
-                vfeats, afeats = raw_feats(group)
-                samples = [{**feat_keys(n, vfeats, afeats),
-                            "subtitle": subtitles.get(n, "")} for n in group]
-            else:
-                samples = [{**feat_keys(n),
-                            "subtitle": subtitles.get(n, "")} for n in group]
-            answers = chat.answer_batch(samples)
-            for n, a in zip(group, answers):
-                name2reason[n] = a
-            np.savez_compressed(save_path, name2reason=name2reason)
-            print(f"  {len(name2reason)}/{len(names)} done")
+        from ..core.profiling import trace
+
+        with trace():  # active when MERTPU_TRACE_DIR is set
+            for i in range(0, len(todo), args.batch):
+                group = todo[i: i + args.batch]
+                if raw_mode:
+                    vfeats, afeats = raw_feats(group)
+                    samples = [{**feat_keys(n, vfeats, afeats),
+                                "subtitle": subtitles.get(n, ""),
+                                "question": args.question} for n in group]
+                else:
+                    samples = [{**feat_keys(n),
+                                "subtitle": subtitles.get(n, ""),
+                                "question": args.question} for n in group]
+                answers = chat.answer_batch(samples)
+                for n, a in zip(group, answers):
+                    name2reason[n] = a
+                np.savez_compressed(save_path, name2reason=name2reason)
+                print(f"  {len(name2reason)}/{len(names)} done")
+
         print(f"wrote {save_path}")
 
 

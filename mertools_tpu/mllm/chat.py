@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .affectgpt import AffectGPT
-from .generate import generate
+from .generate import bucket_len, generate
 
 DEFAULT_SYSTEM = ("You are able to understand the video and audio the user "
                   "provides. Answer the question about the emotional state "
@@ -34,11 +34,18 @@ class Conversation:
     roles: tuple = ("Human", "Assistant")
     sep: str = "###"
 
-    def render(self, subtitle: str, question: str) -> tuple[str, str]:
-        """Returns (prefix_before_av, suffix_after_av)."""
+    def render(self, subtitle: str, question: str,
+               history: list | None = None) -> tuple[str, str]:
+        """Returns (prefix_before_av, suffix_after_av). ``history`` is a list
+        of earlier (question, answer) turns appended after the AV block —
+        the reference Conversation accumulates messages the same way
+        (conversation_video.py:33-76, Chat.ask/answer_sample :133-260)."""
         pre = f"{self.system}\n{self.sep}{self.roles[0]}: <Video>"
         sub = f" Subtitle: {subtitle}" if subtitle else ""
-        post = (f"</Video>{sub} {question}\n"
+        turns = "".join(
+            f"{q}\n{self.sep}{self.roles[1]}: {a}\n{self.sep}{self.roles[0]}: "
+            for q, a in (history or []))
+        post = (f"</Video>{sub} {turns}{question}\n"
                 f"{self.sep}{self.roles[1]}: ")
         return pre, post
 
@@ -59,7 +66,8 @@ SEGMENT_TEXT = {
 
 
 def encode_stream_prompt(tokenizer, cfg, subtitle: str, question: str,
-                         system: str = DEFAULT_SYSTEM):
+                         system: str = DEFAULT_SYSTEM,
+                         history: list | None = None):
     """Tokenize a multi-stream prompt with one placeholder run per spliced
     segment (reference get_prompt_for_multimodal + the patch-token
     replacement, base_dataset.py:463-556).
@@ -83,8 +91,10 @@ def encode_stream_prompt(tokenizer, cfg, subtitle: str, question: str,
         ids += tokenizer.encode(head, add_special_tokens=True)
     sub = (f"The subtitle of this video is: <Subtitle>{subtitle}"
            f"</Subtitle>. ") if subtitle else ""
+    turns = "".join(f"{q} ###Assistant: {a} ###Human: "
+                    for q, a in (history or []))
     tail = (f"{sub}Now, please answer my question based on all the "
-            f"provided information. {question} ###Assistant: ")
+            f"provided information. {turns}{question} ###Assistant: ")
     ids += tokenizer.encode(tail, add_special_tokens=False)
     return ids, starts
 
@@ -122,12 +132,15 @@ class Chat:
                                      method=model.generate_step_embeds))
 
     def _encode_prompts(self, items):
-        """items: list of (subtitle, question). Returns right-padded
-        input_ids, attention_mask, splice_start."""
+        """items: list of (subtitle, question) or (subtitle, question,
+        history) tuples. Returns right-padded input_ids, attention_mask,
+        splice_start."""
         n_av = self.model.num_av_tokens
         ids_list, starts = [], []
-        for subtitle, question in items:
-            pre, post = self.conv.render(subtitle, question or DEFAULT_QUESTION)
+        for subtitle, question, *rest in items:
+            history = rest[0] if rest else None
+            pre, post = self.conv.render(subtitle, question or DEFAULT_QUESTION,
+                                         history)
             pre_ids = self.tok.encode(pre, add_special_tokens=True)
             post_ids = self.tok.encode(post, add_special_tokens=False)
             start = len(pre_ids)
@@ -136,7 +149,9 @@ class Chat:
             start = min(start, max(self.max_len - n_av, 0))
             ids_list.append(ids)
             starts.append(start)
-        S = max(len(i) for i in ids_list)
+        # bucket the padded length: one compile per 64-token class instead of
+        # one per distinct prompt length (pad slots are mask-0 everywhere)
+        S = bucket_len(max(len(i) for i in ids_list), cap=self.max_len)
         B = len(ids_list)
         input_ids = np.zeros((B, S), np.int32)
         mask = np.zeros((B, S), np.int32)
@@ -167,19 +182,29 @@ class Chat:
         for s in samples:
             ids, starts = encode_stream_prompt(
                 self.tok, cfg, s.get("subtitle", ""),
-                s.get("question") or DEFAULT_QUESTION)
+                s.get("question") or DEFAULT_QUESTION,
+                history=s.get("history"))
             if len(ids) > self.max_len:
                 raise ValueError(f"prompt length {len(ids)} exceeds max_len")
             ids_list.append(ids)
             starts_list.append(starts)
-        B, S = len(samples), max(len(i) for i in ids_list)
+        B = len(samples)
+        S = bucket_len(max(len(i) for i in ids_list), cap=self.max_len)
         batch = {"input_ids": np.zeros((B, S), np.int32)}
         mask = np.zeros((B, S), np.int32)
         for seg in segments:
             batch[f"splice_{seg}"] = np.asarray(
                 [st[seg] for st in starts_list], np.int32)
+        stream_caps = {"face": cfg.max_video_frames,
+                       "frame": cfg.max_video_frames,
+                       "audio": cfg.max_audio_frames}
         for stream in sorted(needed):
-            feats, smask = _pad_stream(samples, f"{stream}_feats")
+            # bucket frame counts too (image excluded: 'token' fusion splices
+            # one LLM token per input frame, so its length is semantic)
+            feats, smask = _pad_stream(
+                samples, f"{stream}_feats",
+                multiple=8 if stream in stream_caps else 1,
+                cap=stream_caps.get(stream))
             batch[f"{stream}_feats"] = feats
             batch[f"{stream}_mask"] = smask
         for b, ids in enumerate(ids_list):
@@ -203,8 +228,12 @@ class Chat:
         if self.model.cfg.face_or_frame is not None:
             return self._answer_batch_streams(samples, prng_key)
         B = len(samples)
+        cfg = self.model.cfg
         Tv = max(s["video_feats"].shape[0] for s in samples)
         Ta = max(s["audio_feats"].shape[0] for s in samples)
+        # bucket frame counts so batches of ragged clips share compiles
+        Tv = max(Tv, min(bucket_len(Tv, 8), cfg.max_video_frames))
+        Ta = max(Ta, min(bucket_len(Ta, 8), cfg.max_audio_frames))
         Dv = samples[0]["video_feats"].shape[1]
         Da = samples[0]["audio_feats"].shape[1]
         video = np.zeros((B, Tv, Dv), np.float32)
@@ -218,7 +247,8 @@ class Chat:
             vmask[b, :tv] = 1
             amask[b, :ta] = 1
         input_ids, mask, starts = self._encode_prompts(
-            [(s.get("subtitle", ""), s.get("question")) for s in samples])
+            [(s.get("subtitle", ""), s.get("question"), s.get("history"))
+             for s in samples])
 
         batch = {"video_feats": jnp.asarray(video),
                  "audio_feats": jnp.asarray(audio),
@@ -234,3 +264,23 @@ class Chat:
             repetition_penalty=self.repetition_penalty, kv_int8=self.kv_int8,
             prng_key=prng_key if prng_key is not None else jax.random.PRNGKey(0)))
         return self._decode_rows(tokens)
+
+
+class ChatSession:
+    """Stateful multi-turn conversation over one clip (the reference's
+    ``Chat.ask`` + ``answer_sample`` accumulate messages in a Conversation —
+    conversation_video.py:133-260). Feature keys are fixed at construction;
+    each :meth:`ask` appends a (question, answer) turn to the history that
+    future prompts include."""
+
+    def __init__(self, chat: Chat, sample: dict):
+        self.chat = chat
+        self.sample = {k: v for k, v in sample.items() if k != "history"}
+        self.history: list[tuple[str, str]] = list(sample.get("history", []))
+
+    def ask(self, question: str, prng_key=None) -> str:
+        answer = self.chat.answer_batch(
+            [{**self.sample, "question": question, "history": self.history}],
+            prng_key=prng_key)[0]
+        self.history.append((question, answer))
+        return answer

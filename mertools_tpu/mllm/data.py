@@ -183,10 +183,17 @@ def build_batch(samples: list[dict], tokenizer, num_av_tokens: int,
     return batch
 
 
-def _pad_stream(samples: list[dict], key: str):
-    """Stack ragged (T_i, D) features -> (B, T_max, D) + (B, T_max) mask."""
+def _pad_stream(samples: list[dict], key: str, multiple: int = 1,
+                cap: int | None = None):
+    """Stack ragged (T_i, D) features -> (B, T_max, D) + (B, T_max) mask.
+    ``multiple`` rounds T_max up to a bucket so repeated inference batches
+    reuse compiled shapes; ``cap`` bounds the bucket (frame-position tables
+    are sized to the config's max frames)."""
     B = len(samples)
     T = max(s[key].shape[0] for s in samples)
+    if multiple > 1:
+        bucket = -(-T // multiple) * multiple
+        T = max(T, min(bucket, cap) if cap is not None else bucket)
     D = samples[0][key].shape[1]
     feats = np.zeros((B, T, D), np.float32)
     mask = np.zeros((B, T), np.int32)

@@ -32,6 +32,16 @@ _W8_KERNELS = ("q_proj", "k_proj", "v_proj", "o_proj",
                "gate_proj", "up_proj", "down_proj")
 
 
+def bucket_len(n: int, mult: int = 64, cap: int | None = None) -> int:
+    """Round a ragged length up to a bucket (multiple of ``mult``) so batches
+    of varying prompt/feature lengths reuse a handful of compiled shapes
+    instead of triggering one XLA compile per distinct length. Pad positions
+    carry mask 0 everywhere in this module, so bucketed padding is
+    output-invariant."""
+    b = max(mult, ((n + mult - 1) // mult) * mult)
+    return min(b, cap) if cap is not None else b
+
+
 def quantize_llm_params_w8(params: dict, lm_head: bool = True) -> dict:
     """Pack the LLM's large kernels as weight-only int8 (serving mode).
 

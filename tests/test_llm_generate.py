@@ -181,3 +181,16 @@ def test_flash_attention_matches_xla():
     valid = mask.astype(bool)
     rel = np.abs(ref - out)[valid].max() / np.abs(ref[valid]).max()
     assert rel < 0.01
+
+
+def test_bucket_len():
+    """Bucketed padding classes: multiples of `mult`, floor `mult`, capped."""
+    from mertools_tpu.mllm.generate import bucket_len
+
+    assert bucket_len(1) == 64
+    assert bucket_len(64) == 64
+    assert bucket_len(65) == 128
+    assert bucket_len(100, mult=8) == 104
+    assert bucket_len(300, cap=256) == 256
+    # cap below the floor still wins (max_len < mult prompts)
+    assert bucket_len(3, cap=10) == 10

@@ -306,3 +306,42 @@ def test_caption_dataset_ovlabel_only(tmp_path):
     assert ds.label_type == "ovlabel"
     s = ds.sample(0, rng)
     assert s["answer"] == "happy, calm"
+
+
+def test_multiturn_history_prompts_and_chatsession():
+    """History turns render into both prompt paths (conversation_video.py
+    Conversation accumulation) and ChatSession threads answers forward."""
+    import jax
+
+    from mertools_tpu.mllm import AffectGPT
+    from mertools_tpu.mllm.chat import (Chat, ChatSession, Conversation,
+                                        encode_stream_prompt)
+    from mertools_tpu.mllm.data import FakeWordTokenizer
+
+    conv = Conversation()
+    pre, post = conv.render("sub", "second question?",
+                            history=[("first?", "happy")])
+    assert "first?" in post and "happy" in post
+    assert post.index("first?") < post.index("second question?")
+
+    cfg = _cfg("multiface_audio_face_text")
+    tok = FakeWordTokenizer(64)
+    ids0, starts0 = encode_stream_prompt(tok, cfg, "sub", "q2")
+    ids1, starts1 = encode_stream_prompt(tok, cfg, "sub", "q2",
+                                         history=[("q1", "a1 a2")])
+    assert starts0 == starts1          # history goes after the AV segments
+    assert len(ids1) > len(ids0)
+
+    rng = np.random.default_rng(5)
+    model = AffectGPT(cfg)
+    batch = _stream_batch(cfg, rng)
+    params = model.init(jax.random.PRNGKey(5), batch)["params"]
+    chat = Chat(model, params, tok, max_new_tokens=2, max_len=128)
+    session = ChatSession(chat, {
+        "face_feats": rng.normal(size=(4, cfg.video_dim)).astype(np.float32),
+        "audio_feats": rng.normal(size=(3, cfg.audio_dim)).astype(np.float32),
+        "subtitle": "hello"})
+    a1 = session.ask("what emotion?")
+    a2 = session.ask("why?")
+    assert isinstance(a1, str) and isinstance(a2, str)
+    assert session.history == [("what emotion?", a1), ("why?", a2)]
