@@ -38,6 +38,8 @@ def main(argv=None):
     p.add_argument("--compute_dtype", type=str, default=None,
                    choices=[None, "bf16"])
     p.add_argument("--gpu", type=int, default=0, help="ignored (TPU)")
+    p.add_argument("--profile", type=str, default=None,
+                   help="jax.profiler trace dir for the extraction loop")
     args = p.parse_args(argv)
 
     from ..core.config import resolve_dataset_args
@@ -117,8 +119,13 @@ def _run_extraction(args, tokenizer, ex, cfg):
         else:
             token_ids[name] = tokenizer(str(sentence))["input_ids"]
 
+    import contextlib
+
+    from ..core.profiling import trace
+
     t0 = time.time()
-    feats = ex.extract(token_ids, span=span, level=level)
+    with trace(args.profile) if args.profile else contextlib.nullcontext():
+        feats = ex.extract(token_ids, span=span, level=level)
     D = cfg.hidden_size
     for name in empty:  # reference: zeros for empty transcripts
         feats[name] = (np.zeros(D, np.float32) if level == "UTT"

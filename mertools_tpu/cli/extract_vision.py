@@ -166,6 +166,8 @@ def main(argv=None):
                         "EVA-CLIP-G paths; production accelerator, "
                         "approximate features)")
     p.add_argument("--gpu", type=int, default=0, help="ignored (TPU)")
+    p.add_argument("--profile", type=str, default=None,
+                   help="jax.profiler trace dir for the extraction loop")
     args = p.parse_args(argv)
 
     from ..core.config import resolve_dataset_args
@@ -177,24 +179,30 @@ def main(argv=None):
     out_dir = os.path.join(args.save_dir, f"{args.model_name}-{level}")
     os.makedirs(out_dir, exist_ok=True)
 
+    import contextlib
+
+    from ..core.profiling import trace
+
     files = sorted(glob.glob(os.path.join(args.face_dir, "*.npy")))
     t0 = time.time()
     chunk = 64
     done = 0
-    for i in range(0, len(files), chunk):
-        faces = {}
-        for f in files[i: i + chunk]:
-            name = os.path.splitext(os.path.basename(f))[0]
-            if os.path.exists(os.path.join(out_dir, name + ".npy")):
+    prof = trace(args.profile) if args.profile else contextlib.nullcontext()
+    with prof:
+        for i in range(0, len(files), chunk):
+            faces = {}
+            for f in files[i: i + chunk]:
+                name = os.path.splitext(os.path.basename(f))[0]
+                if os.path.exists(os.path.join(out_dir, name + ".npy")):
+                    continue
+                faces[name] = np.load(f)
+            if not faces:
                 continue
-            faces[name] = np.load(f)
-        if not faces:
-            continue
-        feats = ex.extract(faces, level=level)
-        for name, feat in feats.items():
-            np.save(os.path.join(out_dir, name + ".npy"), feat)
-        done += len(faces)
-        print(f"  {done} clips, {done / (time.time() - t0):.2f} clips/sec")
+            feats = ex.extract(faces, level=level)
+            for name, feat in feats.items():
+                np.save(os.path.join(out_dir, name + ".npy"), feat)
+            done += len(faces)
+            print(f"  {done} clips, {done / (time.time() - t0):.2f} clips/sec")
     print(f"Total time used: {time.time() - t0:.1f}s.")
 
 

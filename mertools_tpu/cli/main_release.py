@@ -185,8 +185,10 @@ def main(argv=None):
           f"tests: { {k: len(v) for k, v in test_sets.items()} }")
 
     print("====== Training and Evaluation =======")
-    result = run_cv(args, train_set, test_sets, seed=seed, folds=folds,
-                    calc_fn=loader.calc_results)
+    from ..core.profiling import trace
+    with trace():  # active when MERTPU_TRACE_DIR is set (SURVEY.md §5)
+        result = run_cv(args, train_set, test_sets, seed=seed, folds=folds,
+                        calc_fn=loader.calc_results)
     result.chosen_hp = chosen  # sweep driver re-runs the winning config
 
     feature_name = "+".join(sorted(set(f for f in whole_features if f)))

@@ -86,7 +86,7 @@ def main(argv=None):
     import jax.numpy as jnp
     from transformers import AutoModelForCausalLM, AutoTokenizer
 
-    from ..mllm.generate import generate
+    from ..mllm.generate import bucket_len, generate
     from ..mllm.llm import LLMConfig, convert_torch_state
 
     hf = AutoModelForCausalLM.from_pretrained(args.model)
@@ -120,34 +120,46 @@ def main(argv=None):
         _store(args, names, responses)
         return
 
-    responses = []
-    for i in range(0, len(names), args.batch):
-        group = names[i: i + args.batch]
-        ids_list = [tok.encode(EXTRACT_PROMPT.format(
-            reason=str(name2reason[n])[:2000])) for n in group]
-        S = max(len(x) for x in ids_list)
-        B = len(group)
-        embeds = np.zeros((B, S, cfg.hidden_size), np.float32)
-        mask = np.zeros((B, S), np.int32)
-        for b, ids in enumerate(ids_list):
-            embeds[b, : len(ids)] = emb_table[ids]
-            mask[b, : len(ids)] = 1
-        tokens = np.asarray(generate(
-            cfg, params, jnp.asarray(embeds), jnp.asarray(mask),
-            max_new_tokens=args.max_new_tokens,
-            temperature=args.temperature, top_p=args.top_p,
-            repetition_penalty=args.repetition_penalty,
-            eos_token_id=int(tok.eos_token_id),
-            prng_key=jax.random.PRNGKey(i), kv_int8=args.kv_int8))
-        for b, n in enumerate(group):
-            toks = tokens[b]
-            stop = np.nonzero(toks == tok.eos_token_id)[0]
-            text = tok.decode(toks[: stop[0]] if len(stop) else toks,
-                              skip_special_tokens=True)
-            responses.append(postprocess_openset(text))
-        print(f"  {len(responses)}/{len(names)}")
+    # Pre-tokenize once, process in length-sorted order, and bucket the
+    # padded prompt length: vLLM-style scheduling that (a) minimizes padding
+    # waste inside a batch and (b) bounds the number of distinct (B, S)
+    # shapes — unbucketed, every batch's max length is unique and each one
+    # costs a fresh XLA compile on a multi-thousand-clip sweep.
+    from ..core.profiling import trace
 
-    _store(args, names, responses)
+    ids_by_name = {n: tok.encode(EXTRACT_PROMPT.format(
+        reason=str(name2reason[n])[:2000])) for n in names}
+    order = sorted(names, key=lambda n: len(ids_by_name[n]))
+    by_name = {}
+    with trace():  # active when MERTPU_TRACE_DIR is set
+        for i in range(0, len(order), args.batch):
+            group = order[i: i + args.batch]
+            ids_list = [ids_by_name[n] for n in group]
+            S = bucket_len(max(len(x) for x in ids_list))
+            B = args.batch  # pad ragged final group: one compile per (batch, S)
+            embeds = np.zeros((B, S, cfg.hidden_size), np.float32)
+            mask = np.zeros((B, S), np.int32)
+            for b, ids in enumerate(ids_list):
+                embeds[b, : len(ids)] = emb_table[ids]
+                mask[b, : len(ids)] = 1
+            for b in range(len(group), B):
+                mask[b, 0] = 1  # dummy rows decode garbage that is discarded
+            tokens = np.asarray(generate(
+                cfg, params, jnp.asarray(embeds), jnp.asarray(mask),
+                max_new_tokens=args.max_new_tokens,
+                temperature=args.temperature, top_p=args.top_p,
+                repetition_penalty=args.repetition_penalty,
+                eos_token_id=int(tok.eos_token_id),
+                prng_key=jax.random.PRNGKey(i), kv_int8=args.kv_int8))
+            for b, n in enumerate(group):
+                toks = tokens[b]
+                stop = np.nonzero(toks == tok.eos_token_id)[0]
+                text = tok.decode(toks[: stop[0]] if len(stop) else toks,
+                                  skip_special_tokens=True)
+                by_name[n] = postprocess_openset(text)
+            print(f"  {len(by_name)}/{len(names)}")
+
+    _store(args, names, [by_name[n] for n in names])
 
 
 def _store(args, names, responses):

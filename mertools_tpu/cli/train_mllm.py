@@ -223,14 +223,17 @@ def main(argv=None):
         start_epoch = int(loaded_epoch or 0) + 1
         print(f"resumed from {resume} (epoch {loaded_epoch})")
 
+    from ..core.profiling import trace
+
     best = float("inf")
-    for epoch in range(start_epoch, run_cfg.max_epoch):
-        stats = runner.train_epoch(epoch, it)
-        print(f"epoch {epoch}: {stats}")
-        runner.save_checkpoint(epoch)
-        if stats["train_loss"] < best:
-            best = stats["train_loss"]
-            runner.save_checkpoint(epoch, is_best=True)
+    with trace():  # active when MERTPU_TRACE_DIR is set (SURVEY.md §5)
+        for epoch in range(start_epoch, run_cfg.max_epoch):
+            stats = runner.train_epoch(epoch, it)
+            print(f"epoch {epoch}: {stats}")
+            runner.save_checkpoint(epoch)
+            if stats["train_loss"] < best:
+                best = stats["train_loss"]
+                runner.save_checkpoint(epoch, is_best=True)
     save_model(os.path.join(run_cfg.output_dir, "model"), model,
                runner.state.params)
     print(f"done; best train loss {best:.4f}; model saved to "

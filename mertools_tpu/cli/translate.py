@@ -46,7 +46,7 @@ def main(argv=None):
     import jax.numpy as jnp
     from transformers import AutoModelForCausalLM, AutoTokenizer
 
-    from ..mllm.generate import generate
+    from ..mllm.generate import bucket_len, generate
     from ..mllm.llm import LLMConfig, convert_torch_state
 
     hf = AutoModelForCausalLM.from_pretrained(args.model)
@@ -62,18 +62,24 @@ def main(argv=None):
     texts = [(r.get(src_col) or "").strip() for r in rows]
 
     out_texts = [""] * len(rows)
-    todo = [i for i, t in enumerate(texts) if t]
+    # length-sorted + bucketed batches: minimal padding waste and a bounded
+    # set of compiled shapes over arbitrarily many rows (see
+    # ovlabel_extraction; generate is pad-invariant)
+    ids_by_idx = {i: tok.encode(PROMPTS[args.direction].format(
+        text=texts[i][:1000])) for i, t in enumerate(texts) if t}
+    todo = sorted(ids_by_idx, key=lambda i: len(ids_by_idx[i]))
     for i in range(0, len(todo), args.batch):
         idxs = todo[i: i + args.batch]
-        ids_list = [tok.encode(PROMPTS[args.direction].format(
-            text=texts[j][:1000])) for j in idxs]
-        S = max(len(x) for x in ids_list)
-        B = len(idxs)
+        ids_list = [ids_by_idx[j] for j in idxs]
+        S = bucket_len(max(len(x) for x in ids_list))
+        B = args.batch
         embeds = np.zeros((B, S, cfg.hidden_size), np.float32)
         mask = np.zeros((B, S), np.int32)
         for b, ids in enumerate(ids_list):
             embeds[b, : len(ids)] = emb_table[ids]
             mask[b, : len(ids)] = 1
+        for b in range(len(idxs), B):
+            mask[b, 0] = 1  # ragged final batch: dummy rows, discarded
         tokens = np.asarray(generate(
             cfg, params, jnp.asarray(embeds), jnp.asarray(mask),
             max_new_tokens=args.max_new_tokens, temperature=0.0,
