@@ -32,14 +32,6 @@ _P = jax.lax.Precision.HIGHEST
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _prefill_kv(cfg, params, embeds, mask):
-    """(1, S, H) right-padded prompt -> per-layer K/V (layers, S, nkv, hd),
-    last-position logits (V,), n_valid (scalar)."""
-    logits, k, v, n_valid = _prefill_full(cfg, params, embeds, mask)
-    return logits[0], k[:, 0], v[:, 0], n_valid[0]
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",))
 def _prefill_full(cfg, params, inputs_embeds, attention_mask):
     from .generate import prefill
 
@@ -114,13 +106,15 @@ class ContinuousBatcher:
 
     def __init__(self, cfg, params, n_slots: int = 8, max_len: int = 512,
                  eos_token_id: int = 2, max_new_tokens: int = 128,
-                 prefill_buckets: tuple = (32, 64, 128, 256)):
+                 prefill_buckets: tuple = (32, 64, 128, 256),
+                 admit_batched: bool = True):
         self.cfg = cfg
         self.params = jax.device_put(params)
         self.n_slots = n_slots
         self.max_len = max_len
         self.eos = eos_token_id
         self.max_new = max_new_tokens
+        self.admit_batched = admit_batched
         self.buckets = tuple(b for b in prefill_buckets
                              if b + max_new_tokens <= max_len) or (
             max_len - max_new_tokens,)
@@ -154,27 +148,61 @@ class ContinuousBatcher:
 
     def _admit(self):
         free = [s for s in range(self.n_slots) if not self.active[s]]
-        while free and self.queue:
-            slot = free.pop(0)
+        if not (free and self.queue):
+            return
+        take = min(len(free), len(self.queue))
+        pending = []  # (slot, rid, emb (S,H) truncated, bucket)
+        for slot in free[:take]:
             rid, emb = self.queue.pop(0)
             S = min(len(emb), self.max_len - self.max_new)
             pad = self._bucket(S)
             S = min(S, pad)  # prompts beyond the largest bucket truncate
-            emb = emb[:S]
-            e = np.zeros((1, pad, emb.shape[-1]), np.float32)
-            m = np.zeros((1, pad), np.int32)
-            e[0, :S] = emb
-            m[0, :S] = 1
-            logits, k, v, _ = _prefill_kv(self.cfg, self.params,
-                                          jnp.asarray(e), jnp.asarray(m))
-            # copy the valid prefix into this slot's cache region
-            self.k_cache = self.k_cache.at[:, slot, :pad].set(k)
-            self.v_cache = self.v_cache.at[:, slot, :pad].set(v)
+            pending.append((slot, rid, emb[:S], pad))
+        if self.admit_batched:
+            # one prefill per bucket for ALL admitted requests: B=1 serial
+            # prefills leave the MXU idle exactly when the queue is deepest
+            # (the submit-all-then-run extraction workload). B pads to a
+            # power of two so compile count stays O(buckets x log n_slots).
+            for bucket in sorted({p[3] for p in pending}):
+                grp = [p for p in pending if p[3] == bucket]
+                self._admit_group(grp, bucket)
+        else:
+            for p in pending:
+                self._admit_group([p], p[3])
+
+    @staticmethod
+    def _pow2(n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
+    def _admit_group(self, grp, bucket):
+        """Prefill a same-bucket group in one forward and scatter the KV
+        prefixes into the group's slots."""
+        H = self.cfg.hidden_size
+        B = self._pow2(len(grp)) if self.admit_batched else 1
+        e = np.zeros((B, bucket, H), np.float32)
+        m = np.zeros((B, bucket), np.int32)
+        for b, (_, _, emb, _) in enumerate(grp):
+            e[b, : len(emb)] = emb
+            m[b, : len(emb)] = 1
+        for b in range(len(grp), B):
+            m[b, 0] = 1  # dummy padding rows (discarded)
+        logits, k, v, _ = _prefill_full(self.cfg, self.params,
+                                        jnp.asarray(e), jnp.asarray(m))
+        slots = np.asarray([p[0] for p in grp])
+        # scatter the group's KV prefixes into their slots' cache regions
+        self.k_cache = self.k_cache.at[:, slots, :bucket].set(k[:, : len(grp)])
+        self.v_cache = self.v_cache.at[:, slots, :bucket].set(v[:, : len(grp)])
+        first = np.asarray(logits[: len(grp)].argmax(-1))
+        for b, (slot, rid, emb, _) in enumerate(grp):
+            S = len(emb)
             self.kv_mask[slot] = False
             self.kv_mask[slot, :S] = True
             self.cur_len[slot] = S
-            self.write_at[slot] = pad  # physical layout: prompt pad then gen
-            tok = int(np.asarray(logits).argmax())
+            self.write_at[slot] = bucket  # physical: prompt pad then gen
+            tok = int(first[b])
             self.next_tok[slot] = tok
             self.active[slot] = True
             req = _Request(rid, S, tokens=[tok], done=tok == self.eos)

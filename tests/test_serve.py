@@ -36,16 +36,21 @@ def _ref(cfg, params, emb, max_new, eos):
     return out[: stop[0]].tolist() if len(stop) else out.tolist()
 
 
-def test_engine_matches_generate(engine_llm, rng):
+@pytest.mark.parametrize("admit_batched", [True, False])
+def test_engine_matches_generate(engine_llm, rng, admit_batched):
+    """Batched admission (one prefill per bucket across freed slots, B padded
+    to a power of two) must produce byte-identical results to serial B=1
+    admission and to per-request generation."""
     cfg, params = engine_llm
     eos = 88
     prompts = [rng.normal(size=(n, 32)).astype(np.float32) * 0.1
                for n in (5, 11, 3, 17, 8)]
     refs = [_ref(cfg, params, p, 10, eos) for p in prompts]
 
-    eng = ContinuousBatcher(cfg, params, n_slots=2, max_len=64,
+    eng = ContinuousBatcher(cfg, params, n_slots=4, max_len=64,
                             eos_token_id=eos, max_new_tokens=10,
-                            prefill_buckets=(8, 16, 32))
+                            prefill_buckets=(8, 16, 32),
+                            admit_batched=admit_batched)
     rids = [eng.submit(p) for p in prompts]
     out = eng.run()
     for rid, ref in zip(rids, refs):
