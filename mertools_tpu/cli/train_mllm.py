@@ -168,7 +168,39 @@ def main(argv=None):
         face_or_frame=model.cfg.face_or_frame, stream_dirs=stream_dirs)
     print(f"dataset: {len(dataset)} annotated clips")
 
+    # --- validation split (reference valid_splits, runner_base.py:318-324:
+    # when configured, per-epoch eval drives best-checkpoint selection;
+    # otherwise "best" is the last epoch / lowest train loss) -------------
+    import dataclasses as _dc
+
+    valid_frac = float(rcfg.get("valid_frac", 0.0))
+    val_dataset = None
+    if dcfg.get("valid_openset_csv"):
+        val_dataset = CaptionDataset.from_csvs(
+            dcfg["valid_openset_csv"], dcfg.get("valid_reason_csv"),
+            dcfg.get("subtitle_csv"), dcfg["video_feat_dir"],
+            dcfg["audio_feat_dir"],
+            label_type=dcfg.get("label_type", "description"),
+            face_or_frame=model.cfg.face_or_frame, stream_dirs=stream_dirs)
+    elif valid_frac > 0 and len(dataset) >= 4:
+        rng_split = np.random.default_rng(int(rcfg.get("seed", 42)))
+        idx = rng_split.permutation(len(dataset.annotations))
+        n_val = max(1, int(len(idx) * valid_frac))
+        val_dataset = _dc.replace(
+            dataset, annotations=[dataset.annotations[i]
+                                  for i in idx[:n_val]])
+        dataset = _dc.replace(
+            dataset, annotations=[dataset.annotations[i]
+                                  for i in idx[n_val:]])
+        print(f"valid split: {n_val} val / {len(dataset)} train clips")
+
+    from ..mllm.affectgpt import frozen_components
+
+    frozen = frozen_components(mcfg)
+    if frozen:
+        print(f"freeze: {', '.join(frozen)}")
     run_cfg = RunnerConfig(
+        frozen=frozen,
         max_epoch=int(rcfg.get("max_epoch", 10)),
         iters_per_epoch=int(rcfg.get("iters_per_epoch", 100)),
         batch_size=int(rcfg.get("batch_size", 4)),
@@ -191,6 +223,25 @@ def main(argv=None):
                             run_cfg.batch_size,
                             seed=int(rcfg.get("seed", 42)),
                             max_len=int(rcfg.get("max_len", 512)))
+    val_batches = []
+    if val_dataset is not None and len(val_dataset) > 0:
+        from ..mllm.data import (_pad_seq_to_multiple, build_batch,
+                                 build_stream_batch)
+
+        vrng = np.random.default_rng(0)
+        vbs, vml = run_cfg.batch_size, int(rcfg.get("max_len", 512))
+        spans = [list(range(i, min(i + vbs, len(val_dataset))))
+                 for i in range(0, len(val_dataset), vbs)]
+        if len(spans) > 1 and len(spans[-1]) < vbs:
+            spans = spans[:-1]  # full batches only: one eval compile
+        for span in spans:
+            samples = [val_dataset.sample(j, vrng) for j in span]
+            if model.cfg.face_or_frame is not None:
+                b = build_stream_batch(samples, tokenizer, model.cfg, vml)
+            else:
+                b = build_batch(samples, tokenizer, model.num_av_tokens, vml)
+            val_batches.append(_pad_seq_to_multiple(b, 32, vml))
+
     batch0 = next(it)
     params = model.init(jax.random.PRNGKey(int(rcfg.get("seed", 42))),
                         batch0)["params"]
@@ -229,14 +280,20 @@ def main(argv=None):
     with trace():  # active when MERTPU_TRACE_DIR is set (SURVEY.md §5)
         for epoch in range(start_epoch, run_cfg.max_epoch):
             stats = runner.train_epoch(epoch, it)
+            if val_batches:
+                # reference: valid_splits eval drives best-checkpoint
+                # selection (runner_base.py:401-435)
+                stats["val_loss"] = runner.evaluate(val_batches)
             print(f"epoch {epoch}: {stats}")
             runner.save_checkpoint(epoch)
-            if stats["train_loss"] < best:
-                best = stats["train_loss"]
+            crit = stats.get("val_loss", stats["train_loss"])
+            if crit < best:
+                best = crit
                 runner.save_checkpoint(epoch, is_best=True)
     save_model(os.path.join(run_cfg.output_dir, "model"), model,
                runner.state.params)
-    print(f"done; best train loss {best:.4f}; model saved to "
+    print(f"done; best {'val' if val_batches else 'train'} loss "
+          f"{best:.4f}; model saved to "
           f"{run_cfg.output_dir}/model")
 
 

@@ -373,14 +373,48 @@ class AffectGPT(nn.Module):
         return self._splice_all(self.llm.embed(batch["input_ids"]), batch)
 
 
-def trainable_labels(params: dict) -> dict:
+# reference frozen_* config keys (affectgpt.py:44-48,121-226; the best-setup
+# yamls set them all False = fully trainable bridge) -> our param subtrees
+FROZEN_KEY_MAP = {
+    "frozen_llm": ("llm",),                       # includes LoRA (:121-124)
+    # each *_Qformer flag freezes that branch's fusion module whatever the
+    # fusion type (qformer: Q-Former + position embedding + query tokens,
+    # reference :154-176; attention: the score MLP)
+    "frozen_video_Qformer": ("video_qformer", "frame_position_embedding",
+                             "video_attention_mlp"),
+    "frozen_audio_Qformer": ("audio_qformer", "audio_position_embedding",
+                             "audio_attention_mlp"),
+    "frozen_multi_Qformer": ("multi_qformer", "multi_position_embedding",
+                             "attention_mlp", "fc_att",
+                             "multi_video_embs", "multi_audio_embs"),
+    "frozen_video_proj": ("video_proj",),
+    "frozen_audio_proj": ("audio_proj",),
+    "frozen_multi_llama_proj": ("multi_proj",),
+    "frozen_image_proj": ("image_proj",),
+}
+
+
+def frozen_components(cfg: dict) -> tuple:
+    """Reference frozen_* yaml keys -> param-subtree names to freeze."""
+    out = []
+    for key, subtrees in FROZEN_KEY_MAP.items():
+        if cfg.get(key):
+            out.extend(subtrees)
+    return tuple(out)
+
+
+def trainable_labels(params: dict, frozen: tuple = ()) -> dict:
     """'train' for Q-Formers / projections / position embeddings / fusion
     MLPs / LoRA, 'frozen' for the LLM base — mirrors the reference's
     trainable-params-only regime (runner_base.py:594 saves trainable-only
-    state dicts)."""
+    state dicts). ``frozen`` freezes additional top-level subtrees (the
+    reference frozen_* flags, affectgpt.py:121-226; 'llm' in ``frozen``
+    freezes the LoRA deltas too, :121-124)."""
 
     def label(path, _leaf):
         names = [getattr(k, "key", str(k)) for k in path]
+        if names and names[0] in frozen:
+            return "frozen"
         if any(n in ("lora_a", "lora_b") for n in names):
             return "train"
         if names and names[0] == "llm":

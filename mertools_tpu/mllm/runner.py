@@ -69,6 +69,9 @@ class RunnerConfig:
     # against f32 master weights — bf16's exponent range needs no loss
     # scaler. Pair with a model built at Precision.DEFAULT.
     compute_dtype: str | None = None
+    # param subtrees to freeze beyond the LLM base (reference frozen_* yaml
+    # keys via affectgpt.frozen_components)
+    frozen: tuple = ()
 
 
 class Runner:
@@ -79,7 +82,9 @@ class Runner:
         total = cfg.max_epoch * cfg.iters_per_epoch
         schedule = warmup_cosine_schedule(cfg.init_lr, cfg.min_lr,
                                           cfg.warmup_steps, total)
-        tx = make_mllm_optimizer(params, schedule, cfg.weight_decay)
+        tx = make_mllm_optimizer(
+            params, schedule, cfg.weight_decay,
+            labels_fn=lambda p: trainable_labels(p, cfg.frozen))
         if cfg.accum_grad_iters > 1:
             tx = optax.MultiSteps(tx, cfg.accum_grad_iters)
         self.state = MLLMTrainState.create(
@@ -161,7 +166,7 @@ class Runner:
 
         path = os.path.abspath(os.path.join(
             self.cfg.output_dir, "checkpoint_best" if is_best else f"checkpoint_{epoch}"))
-        labels = trainable_labels(self.state.params)
+        labels = trainable_labels(self.state.params, self.cfg.frozen)
         trainable = jax.tree_util.tree_map(
             lambda p, l: p if l == "train" else None, self.state.params, labels)
         # None leaves = frozen params; tree_map's default None handling drops

@@ -168,3 +168,52 @@ def test_runner_checkpoint_resume(tmp_path, rng):
     # training continues from the restored state
     stats = r2.train_epoch(0, iter([batch() for _ in range(3)]))
     assert np.isfinite(stats["train_loss"])
+
+
+def test_train_mllm_valid_split(tmp_path, capsys):
+    """run.valid_frac holds out clips, evaluates per epoch and selects the
+    best checkpoint by val loss (reference valid_splits semantics,
+    runner_base.py:318-324,401-435)."""
+    rng = np.random.default_rng(1)
+    fv = tmp_path / "v"; fa = tmp_path / "a"
+    fv.mkdir(); fa.mkdir()
+    names = [f"c{i}" for i in range(8)]
+    for n in names:
+        np.save(fv / f"{n}.npy", rng.normal(size=(5, 12)).astype(np.float32))
+        np.save(fa / f"{n}.npy", rng.normal(size=(4, 10)).astype(np.float32))
+    (tmp_path / "openset.csv").write_text(
+        "name,openset\n" + "\n".join(f"{n},happy" for n in names) + "\n")
+    (tmp_path / "reason.csv").write_text(
+        "name,reason\n" + "\n".join(f"{n},smiling person" for n in names) + "\n")
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"""
+model:
+  llm_checkpoint: tiny
+  vocab_size: 96
+  lora_r: 2
+  video_dim: 12
+  audio_dim: 10
+  video_queries: 4
+  audio_queries: 2
+  max_video_frames: 8
+datasets:
+  openset_csv: {tmp_path}/openset.csv
+  reason_csv: {tmp_path}/reason.csv
+  video_feat_dir: {fv}
+  audio_feat_dir: {fa}
+run:
+  max_epoch: 2
+  iters_per_epoch: 2
+  batch_size: 2
+  warmup_steps: 2
+  max_len: 64
+  valid_frac: 0.25
+  output_dir: {tmp_path}/out
+""")
+    from mertools_tpu.cli.train_mllm import main
+    main([f"--config={cfg}"])
+    logs = capsys.readouterr().out
+    assert "valid split: 2 val / 6 train clips" in logs
+    assert "val_loss" in logs
+    assert "best val loss" in logs
+    assert (tmp_path / "out" / "checkpoint_best").exists()
