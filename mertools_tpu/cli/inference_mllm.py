@@ -59,9 +59,9 @@ def main(argv=None):
     p.add_argument("--frame_feat_dir", default=None)
     p.add_argument("--image_feat_dir", default=None)
     p.add_argument("--subtitle_csv", default=None)
-    p.add_argument("--question", default=None,
+    p.add_argument("--question", "--outside_user_message", default=None,
                    help="override the default question (reference "
-                        "--outside_user_message, inference_hybird.py:123)")
+                        "outside_user_message, inference_hybird.py:123)")
     p.add_argument("--save_path", required=True)
     p.add_argument("--tokenizer", required=True)
     p.add_argument("--batch", type=int, default=8)

@@ -50,8 +50,11 @@ class Conversation:
         return pre, post
 
 
-DEFAULT_QUESTION = ("Please describe the emotional state of the main "
-                    "character, then infer the most likely emotion labels.")
+# the reference defaults inference to the ovlabel question
+# (inference_hybird.py:109-114 -> func_get_qa_ovlabel question_only); the
+# exact wording matters for converted trained checkpoints
+DEFAULT_QUESTION = ("Please recognize all possible emotional states of the "
+                    "character.")
 
 # Per-segment prompt chunks (base_dataset.py:463-549 templates).
 SEGMENT_TEXT = {

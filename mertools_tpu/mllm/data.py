@@ -24,11 +24,107 @@ import numpy as np
 
 from .chat import DEFAULT_SYSTEM, Conversation
 
+# ---------------------------------------------------------------------------
+# QA-type algebra (reference base_dataset.py:254-374 / get_qa_pairs:376-460).
+# The template strings are reproduced EXACTLY (including the reference's
+# "ﬂoating-point" ligature) — converted reference checkpoints were trained
+# on these prompts, so any drift costs accuracy.
+# ---------------------------------------------------------------------------
+
+IMAGE_CAPTION_PROMPTS = (  # base_dataset.py:38-41
+    "Describe this image in detail.",
+    "Take a look at this image and describe what you notice.",
+    "Please provide a detailed description of the picture.",
+    "Could you describe the contents of this image for me?")
+AUDIO_CAPTION_PROMPTS = (  # base_dataset.py:43-46
+    "Describe this audio in detail.",
+    "Listen to this audio and describe what you hear.",
+    "Please provide a detailed description of this audio.",
+    "Could you describe the contents of this audio for me?")
+
+
+def build_qa(label_type: str, ann: dict, ds: "CaptionDataset",
+             rng: np.random.Generator) -> tuple[str, str]:
+    """(question, answer) for one sample — base_dataset.py:254-374."""
+    if label_type == "description":
+        return ("Please infer the person's emotional state and provide "
+                "your reasoning process.", ann["description"])
+    if label_type == "ovlabel":
+        return ("Please recognize all possible emotional states of the "
+                "character.",
+                f"The character's emotional state is {ann['ovlabel']}.")
+    if label_type == "onehot_w_candidates":
+        return (f"Please select the label that can best describe the "
+                f"person's emotional state from the provided candidate "
+                f"labels: {ds.candidate_labels}.",
+                f"The most likely label is {ann['onehot']}.")
+    if label_type == "onehot_wo_candidates":
+        return ("Please recognize the character's most likely emotional "
+                "state.",
+                f"The character's emotional state is {ann['onehot']}.")
+    if label_type == "valence":
+        return (f"Please identify the overall positive or negative "
+                f"emotional polarity of the main characters. The output "
+                f"should be a ﬂoating-point number ranging from "
+                f"{ds.minval} to {ds.maxval}. Here, {ds.minval} indicates "
+                f"extremely negative emotions, 0 indicates neutral "
+                f"emotions, and {ds.maxval} indicates extremely positive "
+                f"emotions. Please provide your judgment as a "
+                f"ﬂoating-point number.",
+                "The valence score is %.2f." % float(ann["valence"]))
+    if label_type == "sentiment":
+        sent = ann.get("sentiment") or (
+            "positive" if float(ann["valence"]) > 0 else
+            "negative" if float(ann["valence"]) < 0 else "neutral")
+        return ("Please select the most likely sentiment label that can "
+                "best describe the person's emotional state: positive, "
+                "negative, neutral.",
+                f"The character's sentiment state is {sent}.")
+    if label_type == "qa":
+        return ann["question"], ann["answer"]
+    if label_type in ("caption", "caption_image"):
+        prompts = IMAGE_CAPTION_PROMPTS
+        return (prompts[int(rng.integers(0, len(prompts)))], ann["caption"])
+    if label_type == "caption_audio":
+        prompts = AUDIO_CAPTION_PROMPTS
+        return (prompts[int(rng.integers(0, len(prompts)))], ann["caption"])
+    if label_type == "preference":
+        a1, a2, pref = ann["a1"], ann["a2"], ann["p"]
+        question = (f"We provide two descriptions. a1: {a1} \t\t\t a2: {a2} "
+                    f"Please select the one that best matches the video "
+                    f"content.")
+        assert pref in ("a1", "a2", "same"), pref
+        answer = (f"The best one is {pref}." if pref in ("a1", "a2") else
+                  "These two sentences describe the content of the video "
+                  "with the same accuracy.")
+        return question, answer
+    if label_type == "reward":
+        reward = ann["reward"]
+        assert reward in ("accept", "reject"), reward
+        return (f"We have provided a description: {ann['description']} "
+                f"\t\t\t Please evaluate and decide whether to accept or "
+                f"reject this description based on its alignment with the "
+                f"video content.",
+                f"{reward} this sentence.")
+    raise KeyError(f"unknown label_type {label_type!r}")
+
+
+# annotation column each label type needs (candidate derivation for
+# mixed/hybird sampling — reference get_qa_pairs per-dataset candidate sets)
+_QA_REQUIRED_KEY = {
+    "description": "description", "ovlabel": "ovlabel",
+    "onehot_w_candidates": "onehot", "onehot_wo_candidates": "onehot",
+    "valence": "valence", "sentiment": "valence", "qa": "question",
+    "caption": "caption", "caption_image": "caption",
+    "caption_audio": "caption", "preference": "p", "reward": "reward",
+}
+
+# kept for callers that only need the question text
 QUESTION_BY_LABEL_TYPE = {
-    "description": ("Please describe the person's emotional state in detail "
-                    "and explain the evidence."),
-    "ovlabel": ("Please list every emotion label conveyed by the person, "
-                "separated by commas."),
+    "description": ("Please infer the person's emotional state and provide "
+                    "your reasoning process."),
+    "ovlabel": ("Please recognize all possible emotional states of the "
+                "character."),
 }
 
 
@@ -52,7 +148,15 @@ class CaptionDataset:
     audio_feat_dir: str
     max_video_frames: int = 64
     max_audio_frames: int = 64
-    label_type: str = "description"     # description | ovlabel | mixed
+    # any build_qa type, or mixed/hybird for per-sample random selection
+    # over label_type_candidates (reference get_cur_label_type :125-131)
+    label_type: str = "description"
+    # explicit candidate set for mixed/hybird; None derives it from the
+    # columns present on each annotation (get_qa_pairs per-dataset sets)
+    label_type_candidates: tuple | None = None
+    candidate_labels: str = ""      # onehot_w_candidates question (:276-279)
+    minval: float = -1.0            # valence range (CMUMOSI/MOSEI: -3..3,
+    maxval: float = 1.0             # SIMS/SIMSv2: -1..1)
     # Multi-stream mode (cfg.face_or_frame set): per-stream feature dirs;
     # unset streams fall back to video_feat_dir (face/frame/image) or
     # audio_feat_dir (audio) — the reference points 'face' at openface-crop
@@ -82,13 +186,24 @@ class CaptionDataset:
                 name2sub[r["name"]] = (r.get("english") or
                                        r.get("sentence") or
                                        r.get("chinese") or "")
+        # optional extra QA columns riding on the openset csv (onehot /
+        # valence / sentiment / caption / question / answer / a1 / a2 / p /
+        # reward) feed the other build_qa types
+        extra_cols = ("onehot", "valence", "sentiment", "caption",
+                      "question", "answer", "a1", "a2", "p", "reward")
+        name2extra = {}
+        for r in _read_csv(openset_csv):
+            extra = {k: r[k] for k in extra_cols if r.get(k)}
+            if extra:
+                name2extra[r["name"]] = extra
         annotations = []
         for name, openset in name2openset.items():
             if not os.path.exists(os.path.join(video_feat_dir, name + ".npy")):
                 continue
             annotations.append({
                 "name": name, "subtitle": name2sub.get(name, ""),
-                "description": name2reason.get(name, ""), "ovlabel": openset})
+                "description": name2reason.get(name, ""), "ovlabel": openset,
+                **name2extra.get(name, {})})
         return cls(annotations=annotations, video_feat_dir=video_feat_dir,
                    audio_feat_dir=audio_feat_dir, **kw)
 
@@ -106,14 +221,21 @@ class CaptionDataset:
 
     def sample(self, idx: int, rng: np.random.Generator) -> dict:
         ann = self.annotations[idx]
-        if self.label_type == "mixed":  # label_type_candidates (:83)
-            label_type = ("description", "ovlabel")[int(rng.integers(0, 2))]
+        # 'hybird' is the reference's spelling for random candidate selection
+        # (base_dataset.py:125-128); candidates come from the explicit set
+        # or from the columns this annotation actually carries
+        if self.label_type in ("mixed", "hybird"):
+            cands = self.label_type_candidates or tuple(
+                t for t in ("description", "ovlabel", "sentiment", "valence")
+                if ann.get(_QA_REQUIRED_KEY[t]))
+            label_type = cands[int(rng.integers(0, len(cands)))]
         else:
             label_type = self.label_type
+        question, answer = build_qa(label_type, ann, self, rng)
         out = {
             "subtitle": ann["subtitle"],
-            "question": QUESTION_BY_LABEL_TYPE[label_type],
-            "answer": ann[label_type],
+            "question": question,
+            "answer": answer,
         }
         if self.face_or_frame is None:
             out["video_feats"] = self._feat(self.video_feat_dir, ann["name"],

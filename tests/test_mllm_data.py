@@ -48,7 +48,7 @@ def test_dataset_join_skips_missing(csv_store):
     assert len(ds) == 8  # missing_clip has no features -> dropped
     s = ds.sample(0, np.random.default_rng(0))
     assert s["video_feats"].shape == (6, 12)
-    assert s["answer"] == "the person smiles warmly"
+    assert s["answer"] == "the person smiles warmly"  # description passthrough
 
 
 def test_build_batch_label_span(csv_store):
@@ -112,3 +112,98 @@ def test_training_loss_decreases(csv_store):
         params, opt, loss = step(params, opt, next(it))
         losses.append(float(loss))
     assert np.mean(losses[-5:]) < 0.6 * np.mean(losses[:5]), losses[:3] + losses[-3:]
+
+
+def test_build_qa_full_algebra():
+    """Every reference QA type (base_dataset.py:254-374) renders its exact
+    question/answer template; mixed/hybird selection draws only from
+    candidate types the annotation supports."""
+    import numpy as np
+
+    from mertools_tpu.mllm.data import (CaptionDataset, build_qa,
+                                        IMAGE_CAPTION_PROMPTS,
+                                        AUDIO_CAPTION_PROMPTS)
+
+    ds = CaptionDataset(annotations=[], video_feat_dir="", audio_feat_dir="",
+                        candidate_labels="happy, sad, angry",
+                        minval=-3.0, maxval=3.0)
+    rng = np.random.default_rng(0)
+    ann = {"description": "smiles a lot", "ovlabel": "happy, calm",
+           "onehot": "happy", "valence": "2.5", "sentiment": "",
+           "caption": "a sunny park", "question": "What is shown?",
+           "answer": "A park.", "a1": "desc one", "a2": "desc two",
+           "p": "a2", "reward": "accept"}
+
+    q, a = build_qa("description", ann, ds, rng)
+    assert q == ("Please infer the person's emotional state and provide "
+                 "your reasoning process.")
+    assert a == "smiles a lot"
+
+    q, a = build_qa("ovlabel", ann, ds, rng)
+    assert a == "The character's emotional state is happy, calm."
+
+    q, a = build_qa("onehot_w_candidates", ann, ds, rng)
+    assert "happy, sad, angry" in q and a == "The most likely label is happy."
+
+    q, a = build_qa("onehot_wo_candidates", ann, ds, rng)
+    assert a == "The character's emotional state is happy."
+
+    q, a = build_qa("valence", ann, ds, rng)
+    assert "-3.0" in q and "3.0" in q
+    assert a == "The valence score is 2.50."
+
+    q, a = build_qa("sentiment", ann, ds, rng)  # derived from valence sign
+    assert a == "The character's sentiment state is positive."
+    q, a = build_qa("sentiment", {**ann, "sentiment": "negative"}, ds, rng)
+    assert a == "The character's sentiment state is negative."
+
+    q, a = build_qa("qa", ann, ds, rng)
+    assert (q, a) == ("What is shown?", "A park.")
+
+    q, a = build_qa("caption_image", ann, ds, rng)
+    assert q in IMAGE_CAPTION_PROMPTS and a == "a sunny park"
+    q, a = build_qa("caption_audio", ann, ds, rng)
+    assert q in AUDIO_CAPTION_PROMPTS
+
+    q, a = build_qa("preference", ann, ds, rng)
+    assert "desc one" in q and a == "The best one is a2."
+    q, a = build_qa("preference", {**ann, "p": "same"}, ds, rng)
+    assert a.startswith("These two sentences describe")
+
+    q, a = build_qa("reward", ann, ds, rng)
+    assert "smiles a lot" in q and a == "accept this sentence."
+
+
+def test_caption_dataset_hybird_candidates(tmp_path):
+    """hybird label_type samples across the QA types the csv columns enable
+    (extra columns ride on the openset csv)."""
+    import csv
+
+    import numpy as np
+
+    from mertools_tpu.mllm.data import CaptionDataset
+
+    vdir = tmp_path / "v"; adir = tmp_path / "a"
+    vdir.mkdir(); adir.mkdir()
+    rng = np.random.default_rng(0)
+    np.save(vdir / "c1.npy", rng.normal(size=(4, 12)).astype(np.float32))
+    np.save(adir / "c1.npy", rng.normal(size=(3, 10)).astype(np.float32))
+    with open(tmp_path / "openset.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["name", "openset", "valence"])
+        w.writerow(["c1", "['happy']", "-0.8"])
+    with open(tmp_path / "reason.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["name", "reason"])
+        w.writerow(["c1", "frowns deeply"])
+    ds = CaptionDataset.from_csvs(
+        str(tmp_path / "openset.csv"), str(tmp_path / "reason.csv"), None,
+        str(vdir), str(adir), label_type="hybird")
+    seen = set()
+    for i in range(40):
+        s = ds.sample(0, rng)
+        seen.add(s["question"])
+    # description + ovlabel + sentiment + valence all reachable
+    assert len(seen) == 4, seen
+    s = ds.sample(0, np.random.default_rng(3))
+    assert isinstance(s["answer"], str) and s["answer"]

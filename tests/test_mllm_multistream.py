@@ -305,7 +305,8 @@ def test_caption_dataset_ovlabel_only(tmp_path):
                                   str(vdir), str(adir))
     assert ds.label_type == "ovlabel"
     s = ds.sample(0, rng)
-    assert s["answer"] == "happy, calm"
+    # reference-exact answer template (base_dataset.py:265-274)
+    assert s["answer"] == "The character's emotional state is happy, calm."
 
 
 def test_multiturn_history_prompts_and_chatsession():
