@@ -18,25 +18,69 @@ import os
 
 import numpy as np
 
+# reference-exact expert-role few-shot template (reason_to_openset_qwen,
+# toolkit/utils/qwen.py:272-281) — same-model extraction quality depends on
+# the exact wording and the bracketed-list output examples
 EXTRACT_PROMPT = (
-    "Below is a description of a person's emotional state in a video.\n"
-    "Description: {reason}\n"
-    "Please extract every emotion label conveyed by the description and "
-    "answer ONLY with a comma-separated list of lowercase English emotion "
-    "words (for example: happy, excited). Answer:")
+    "Please assume the role of an expert in the field of emotions. "
+    "We provide clues that may be related to the emotions of the "
+    "characters. Based on the provided clues, please identify the "
+    "emotional states of the main character. "
+    "The main character is the one with the most detailed clues. "
+    "Please separate different emotional categories with commas and output "
+    "only the clearly identifiable emotional categories in a list format. "
+    "If none are identified, please output an empty list. "
+    "Input: We cannot recognize his emotional state; Output: [] "
+    "Input: His emotional state is happy, sad, and angry; "
+    "Output: [happy, sad, angry] "
+    "Input: {reason}; Output: ")
+
+_STRIP_PREFIXES = ("输入", "输出", "翻译", "output", "Output", "input",
+                   "Input")  # func_postprocess_qwen (qwen.py:15-30)
 
 
 def postprocess_openset(text: str) -> str:
-    """Model output -> normalized 'label1, label2' string."""
-    text = text.strip().split("\n")[0]
+    """Model output -> normalized 'label1, label2' string (reference
+    func_postprocess_qwen prefix stripping, qwen.py:15-30, + the
+    string_to_list bracket parsing applied at metric time). The prompt's
+    few-shot examples elicit '[happy, sad]'-shaped lists; unbracketed
+    replies fall back to first-line comma parsing."""
+    import re
+
+    from ..ops.ov_metrics import string_to_list
+
+    text = text.strip()
+    for pre in _STRIP_PREFIXES:
+        if text.startswith(pre):
+            text = text[len(pre):].strip()
+    for pre in (":", "："):
+        if text.startswith(pre):
+            text = text[len(pre):].strip()
+    m = re.search(r"\[[^\]]*\]", text.replace("\n", " "))
+    if m:
+        parts = string_to_list(m.group(0))
+    else:
+        parts = text.split("\n")[0].replace(";", ",").split(",")
     labels = []
-    for part in text.replace(";", ",").split(","):
-        w = "".join(ch for ch in part.strip().lower() if ch.isalpha() or
-                    ch in " -")
-        w = w.strip()
+    for part in parts:
+        w = "".join(ch for ch in str(part).strip().lower()
+                    if ch.isalpha() or ch in " -").strip()
         if w and w not in labels:
             labels.append(w)
     return ", ".join(labels)
+
+
+def encode_prompt(tok, reason: str) -> list:
+    """Token ids for one extraction prompt. Chat/instruct models get the
+    chat template (the reference applies apply_chat_template before vLLM,
+    qwen.py:69-77); plain-LM tokenizers fall back to raw encoding."""
+    prompt = EXTRACT_PROMPT.format(reason=str(reason)[:2000])
+    if hasattr(tok, "apply_chat_template") and getattr(
+            tok, "chat_template", None):
+        return tok.apply_chat_template([{"role": "user", "content": prompt}],
+                                       tokenize=True,
+                                       add_generation_prompt=True)
+    return tok.encode(prompt)
 
 
 def load_name2reason(reason_npz=None, reason_root=None):
@@ -111,8 +155,7 @@ def main(argv=None):
                                 max_new_tokens=args.max_new_tokens)
         rids = []
         for n in names:
-            ids = tok.encode(EXTRACT_PROMPT.format(
-                reason=str(name2reason[n])[:2000]))
+            ids = encode_prompt(tok, name2reason[n])
             rids.append(eng.submit(emb_table[ids]))
         results = eng.run()
         responses = [postprocess_openset(
@@ -127,8 +170,7 @@ def main(argv=None):
     # costs a fresh XLA compile on a multi-thousand-clip sweep.
     from ..core.profiling import trace
 
-    ids_by_name = {n: tok.encode(EXTRACT_PROMPT.format(
-        reason=str(name2reason[n])[:2000])) for n in names}
+    ids_by_name = {n: encode_prompt(tok, name2reason[n]) for n in names}
     order = sorted(names, key=lambda n: len(ids_by_name[n]))
     by_name = {}
     with trace():  # active when MERTPU_TRACE_DIR is set

@@ -104,6 +104,43 @@ def test_ov_postprocess():
         "happy, excited"
     assert postprocess_openset("  sad;  angry , sad ") == "sad, angry"
     assert postprocess_openset("") == ""
+    # reference-shaped bracketed lists (prompt few-shots, qwen.py:272-281)
+    # + func_postprocess_qwen prefix stripping (:15-30)
+    assert postprocess_openset("Output: [happy, sad, angry]") == \
+        "happy, sad, angry"
+    assert postprocess_openset("[]") == ""
+    assert postprocess_openset("输出: [worried]") == "worried"
+    assert postprocess_openset(
+        "Here is the list:\n[calm, relaxed] hope that helps") == \
+        "calm, relaxed"
+
+
+def test_ov_encode_prompt_chat_template():
+    """Chat/instruct tokenizers get apply_chat_template (qwen.py:69-77);
+    plain tokenizers fall back to raw encoding."""
+    from mertools_tpu.cli.ovlabel_extraction import (EXTRACT_PROMPT,
+                                                     encode_prompt)
+
+    class PlainTok:
+        chat_template = None
+
+        def encode(self, text):
+            return [len(w) for w in text.split()]
+
+    class ChatTok(PlainTok):
+        chat_template = "{{messages}}"
+
+        def apply_chat_template(self, messages, tokenize,
+                                add_generation_prompt):
+            assert tokenize and add_generation_prompt
+            assert messages[0]["role"] == "user"
+            return [0] + [len(w) for w in messages[0]["content"].split()]
+
+    reason = "He smiles broadly"
+    plain = encode_prompt(PlainTok(), reason)
+    chat = encode_prompt(ChatTok(), reason)
+    assert chat == [0] + plain
+    assert "expert in the field of emotions" in EXTRACT_PROMPT
 
 
 def test_main_ov_mer2024(tmp_path):
