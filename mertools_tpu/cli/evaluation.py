@@ -32,22 +32,35 @@ def _read_col(path, col):
 
 def cmd_submission(args):
     data = np.load(args.result_npz, allow_pickle=True)
-    emo_probs = np.asarray(data["emo_probs"].tolist())
+    pick = lambda *keys: next((np.asarray(data[k].tolist()) for k in keys
+                               if k in data), None)
+    emo_probs = pick("emo_probs", "emoprobs")
     preds = [EMOS_MER[i] for i in emo_probs.argmax(1)]
     if args.name_csv:
         names, _ = _read_col(args.name_csv, "name")
     else:
         names = [str(n) for n in data["names"]]
     assert len(names) == len(preds), (len(names), len(preds))
+    # MER2023 submissions carry a valence column too (write_to_csv_pred,
+    # MER2023/main-release.py:445-455)
+    vals = pick("val_preds", "valpreds")
+    if vals is not None and vals.size:
+        vals = vals.reshape(-1)
+    else:
+        vals = None
     with open(args.save_csv, "w", newline="", encoding="utf-8") as f:
         w = csv.writer(f)
-        w.writerow(["name", "discrete"])
-        w.writerows(zip(names, preds))
+        if vals is not None:
+            w.writerow(["name", "discrete", "valence"])
+            w.writerows(zip(names, preds, [f"{v:.4f}" for v in vals]))
+        else:
+            w.writerow(["name", "discrete"])
+            w.writerows(zip(names, preds))
     print(f"wrote {len(names)} predictions -> {args.save_csv}")
 
 
 def cmd_score(args):
-    from sklearn.metrics import accuracy_score, f1_score
+    from sklearn.metrics import accuracy_score, f1_score, mean_squared_error
 
     names_gt, emos_gt = _read_col(args.label_csv, "discrete")
     names_p, emos_p = _read_col(args.submission_csv, "discrete")
@@ -60,6 +73,22 @@ def cmd_score(args):
         yhat.append(EMO2IDX_MER[name2pred[name]])
     waf = float(f1_score(y, yhat, average="weighted"))
     acc = float(accuracy_score(y, yhat))
+    # MER2023 test1/test2 score valence too: combined = WAF - 0.25*MSE
+    # (report_results_on_test1_test2, MER2023/main-release.py:457-494)
+    _, vals_gt = _read_col(args.label_csv, "valence")
+    _, vals_p = _read_col(args.submission_csv, "valence")
+    if any(vals_gt) and any(vals_p):
+        name2val = dict(zip(names_p, vals_p))
+        v, vhat = [], []
+        for name, val in zip(names_gt, vals_gt):
+            if name in name2val and val != "" and name2val[name] != "":
+                v.append(float(val))
+                vhat.append(float(name2val[name]))
+        mse = float(mean_squared_error(v, vhat))
+        combined = waf - 0.25 * mse
+        print(f"WAF={waf:.4f} ACC={acc:.4f} valMSE={mse:.4f} "
+              f"combined={combined:.4f} (n={len(y)})")
+        return waf, acc, mse, combined
     print(f"WAF={waf:.4f} ACC={acc:.4f} (n={len(y)})")
     return waf, acc
 

@@ -54,8 +54,8 @@ def cmd_judge(args):
     for i in range(0, len(rows), args.batch):
         group = rows[i: i + args.batch]
         samples = [{
-            "a1": (r["a1"] or "").replace("\n", " ").strip(),
-            "a2": (r["a2"] or "").replace("\n", " ").strip(),
+            "a1": (r["a1"] or "").replace("\n", " ").replace("\t", " ").strip(),
+            "a2": (r["a2"] or "").replace("\n", " ").replace("\t", " ").strip(),
             "video_feats": load_feat(args.video_feat_dir, r["name"]),
             "audio_feats": load_feat(args.audio_feat_dir, r["name"]),
         } for r in group]

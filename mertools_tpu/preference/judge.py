@@ -19,20 +19,26 @@ from typing import Callable, Sequence
 
 import numpy as np
 
+# Reference-exact prompt templates (main_dpo_sample.py:39-45,71,105-111) —
+# wording (including the reference's phrasing quirks) is what the judged
+# models were evaluated with, so it is part of the behavioral contract.
 NORMAL_PROMPT = (
     'We provide two descriptions for a given input: a1: "{a1}". a2: "{a2}". '
-    "Please determine which one is better aligned with the input content. "
+    "Please determinate which one is better aligned with the input content. "
     "If both of them equally align with the input content, please output "
-    "'same'. Therefore, the output should be a1, a2, or same. Please "
-    "directly output the answer without additional reasoning.")
+    "'same'. Therefore, the output should be a1, a2, or same. Please direct "
+    "output the answer without additional reasoning process.")
 
-DESCRIBE_PROMPT = ("Please provide a detailed description of the given "
-                   "input, especially focusing on the emotions expressed.")
+DESCRIBE_PROMPT = ("Please provide a detailed description to a given input, "
+                   "especially focusing on their emotions.")
 
 COMPARE_PROMPT = (
-    'The input is described as: "{description}". We have two candidate '
-    'descriptions: a1: "{a1}". a2: "{a2}". Which candidate is better '
-    "aligned with the description? Output a1, a2, or same only.")
+    'We provide a ground truth description: {description} We also provide '
+    'two predicted descriptions: a1: "{a1}". a2: "{a2}". Please determinate '
+    "which one is better aligned with the ground truth description. If both "
+    "of them equally align with the input content, please output 'same'. "
+    "Therefore, the output should be a1, a2, or same. Please direct output "
+    "the answer without additional reasoning process.")
 
 
 def postprocess_preference(responses: Sequence[str]) -> list[str]:
@@ -100,9 +106,12 @@ class PreferenceJudge:
         """Describe -> compare (main_dpo_sample.py:57-120). Returns
         (labels, descriptions)."""
         desc = self.caller(samples, [DESCRIBE_PROMPT] * len(samples))
+        # step 2 flattens the step-1 description (main_dpo_sample.py:100)
+        clean = [(d or "").replace("\n", " ").replace("\t", " ").strip()
+                 for d in desc]
         prompts = [COMPARE_PROMPT.format(description=d, a1=s["a1"],
                                          a2=s["a2"])
-                   for d, s in zip(desc, samples)]
+                   for d, s in zip(clean, samples)]
         return postprocess_preference(self.caller(samples, prompts)), desc
 
 

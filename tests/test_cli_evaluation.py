@@ -50,3 +50,30 @@ def test_parity_check_cli(tmp_path):
     with pytest.raises(SystemExit):
         main([f"--reference_store={ref}", f"--our_store={ours}",
               "--tol=1e-3"])
+
+
+def test_submission_and_score_with_valence(tmp_path):
+    """MER2023 format: submissions carry a valence column (main-release.py
+    :445-455) and scoring adds valMSE + the combined WAF - 0.25*MSE
+    (:457-494). Also accepts main_release's emoprobs/valpreds npz keys."""
+    from mertools_tpu.cli.evaluation import main
+
+    names = [f"c{i}" for i in range(4)]
+    probs = np.eye(6)[np.array([0, 1, 2, 3])]
+    vals = np.array([0.5, -0.5, 0.0, 1.0])
+    npz = tmp_path / "result.npz"
+    np.savez_compressed(npz, emoprobs=probs, valpreds=vals, names=names)
+
+    sub = tmp_path / "sub.csv"
+    main(["submission", f"--result_npz={npz}", f"--save_csv={sub}"])
+    text = sub.read_text(encoding="utf-8")
+    assert "name,discrete,valence" in text and "0.5000" in text
+
+    gt = tmp_path / "gt.csv"
+    rows = ["name,discrete,valence"] + [
+        f"c{i},{EMOS_MER[i]},{v}" for i, v in enumerate([0.5, -0.5, 1.0, 1.0])]
+    gt.write_text("\n".join(rows) + "\n", encoding="utf-8")
+    waf, acc, mse, combined = main(["score", f"--label_csv={gt}",
+                                    f"--submission_csv={sub}"])
+    assert acc == 1.0 and abs(mse - 0.25) < 1e-9
+    assert abs(combined - (waf - 0.25 * mse)) < 1e-12
