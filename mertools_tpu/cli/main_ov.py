@@ -46,6 +46,23 @@ def _load_pred(pred_csv=None, pred_npz=None):
                     [str(i) for i in data["fileitems"]]))
 
 
+def _parse_synonym_groups(obj) -> list:
+    """Synonym store entry -> list of groups. Reference stores the raw LLM
+    response string "[['a','b'],['c']]" (main-ov.py:47-49); pre-parsed lists
+    pass through."""
+    if isinstance(obj, str):
+        import ast as _ast
+
+        try:
+            obj = _ast.literal_eval(obj.strip())
+        except (ValueError, SyntaxError):
+            return []
+    if not isinstance(obj, (list, tuple)):
+        return []
+    return [[str(m) for m in g] for g in obj
+            if isinstance(g, (list, tuple))]
+
+
 def cmd_mer2024(args):
     name2gt = _read_csv_map(args.gt_csv, "name", "openset")
     name2pred = _load_pred(args.pred_csv, args.pred_npz)
@@ -54,7 +71,8 @@ def cmd_mer2024(args):
         path = os.path.join(args.synonym_root, f"{name}.npy")
         if not os.path.exists(path):
             continue
-        groups = np.load(path, allow_pickle=True).tolist()
+        groups = _parse_synonym_groups(
+            np.load(path, allow_pickle=True).tolist())
         name2syn[name] = [[str(m).lower() for m in g] for g in groups]
     scores = mer2024_ov_metric(name2gt, name2pred, name2syn)
     print(f"accuracy: {scores['accuracy']:.4f}")
@@ -89,6 +107,100 @@ def cmd_wheel(args):
     return out
 
 
+# reference-exact synonym-grouping prompt (get_openset_synonym,
+# MER2024/toolkit/utils/chatgpt.py:61-79); the reference calls GPT-3.5 per
+# clip — here a local LLM answers batched on TPU
+SYNONYM_PROMPT = (
+    "Please assume the role of an expert in the field of emotions. We "
+    "provide a set of emotions. Please group the emotions, with each group "
+    "containing emotions with the same meaning. Directly output the "
+    "results. The output format should be a list containing multiple "
+    "lists. Input: ['Agree', 'agreement', 'Relaxed', 'acceptance', "
+    "'pleasant', 'relaxed', 'Accept', 'positive', 'Happy'] Output: "
+    "[['Agree', 'agreement', 'Accept', 'acceptance'], ['Relaxed', "
+    "'relaxed'],['pleasant', 'positive', 'Happy']] "
+    "Input: {merged} Output:")
+
+
+def cmd_generate_synonyms(args):
+    """Per-clip synonym groups from (gt ∪ pred) label sets
+    (generate_openset_synonym_mer2024, main-ov.py:19-49) via the local LLM.
+    Stores the raw response string per ``{name}.npy`` like the reference;
+    idempotent (skips existing)."""
+    import jax
+    import jax.numpy as jnp
+    from transformers import AutoModelForCausalLM, AutoTokenizer
+
+    from ..mllm.generate import bucket_len, generate
+    from ..mllm.llm import LLMConfig, convert_torch_state
+    from .ovlabel_extraction import _STRIP_PREFIXES
+
+    name2gt = _read_csv_map(args.gt_csv, "name", "openset")
+    name2pred = _load_pred(args.pred_csv, args.pred_npz)
+    os.makedirs(args.synonym_root, exist_ok=True)
+    todo = [n for n in name2gt
+            if n in name2pred and not os.path.exists(
+                os.path.join(args.synonym_root, f"{n}.npy"))]
+    print(f"generating synonym groups for {len(todo)} clips")
+    if not todo:
+        return
+
+    hf = AutoModelForCausalLM.from_pretrained(args.model)
+    cfg = LLMConfig.from_hf(hf.config)
+    params = convert_torch_state(cfg, hf.state_dict())
+    del hf
+    tok = AutoTokenizer.from_pretrained(args.model)
+    emb_table = np.asarray(params["embed_tokens"]["embedding"])
+
+    def prompt_ids(name):
+        merged = sorted(set(x.lower() for x in
+                            string_to_list(name2gt[name])) |
+                        set(x.lower() for x in
+                            string_to_list(name2pred[name])))
+        prompt = SYNONYM_PROMPT.format(merged=merged)
+        if hasattr(tok, "apply_chat_template") and getattr(
+                tok, "chat_template", None):
+            return tok.apply_chat_template(
+                [{"role": "user", "content": prompt}], tokenize=True,
+                add_generation_prompt=True)
+        return tok.encode(prompt)
+
+    ids_by_name = {n: prompt_ids(n) for n in todo}
+    order = sorted(todo, key=lambda n: len(ids_by_name[n]))
+    done = 0
+    for i in range(0, len(order), args.batch):
+        group = order[i: i + args.batch]
+        ids_list = [ids_by_name[n] for n in group]
+        S = bucket_len(max(len(x) for x in ids_list))
+        B = args.batch
+        embeds = np.zeros((B, S, cfg.hidden_size), np.float32)
+        mask = np.zeros((B, S), np.int32)
+        for b, ids in enumerate(ids_list):
+            embeds[b, : len(ids)] = emb_table[ids]
+            mask[b, : len(ids)] = 1
+        for b in range(len(group), B):
+            mask[b, 0] = 1
+        tokens = np.asarray(generate(
+            cfg, params, jnp.asarray(embeds), jnp.asarray(mask),
+            max_new_tokens=args.max_new_tokens, temperature=0.0,
+            eos_token_id=int(tok.eos_token_id),
+            prng_key=jax.random.PRNGKey(i)))
+        for b, n in enumerate(group):
+            toks = tokens[b]
+            stop = np.nonzero(toks == tok.eos_token_id)[0]
+            text = tok.decode(toks[: stop[0]] if len(stop) else toks,
+                              skip_special_tokens=True).strip()
+            for pre in _STRIP_PREFIXES:
+                if text.startswith(pre):
+                    text = text[len(pre):].strip()
+            for pre in (":", "："):
+                if text.startswith(pre):
+                    text = text[len(pre):].strip()
+            np.save(os.path.join(args.synonym_root, f"{n}.npy"), text)
+        done += len(group)
+        print(f"  {done}/{len(todo)}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("main_ov")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -108,6 +220,16 @@ def main(argv=None):
     w.add_argument("--wheel_root", default=None,
                    help="dir of wheel*.{csv,xlsx} (reference layout)")
     w.set_defaults(fn=cmd_wheel)
+
+    g = sub.add_parser("generate-synonyms")
+    g.add_argument("--gt_csv", required=True)
+    g.add_argument("--pred_csv", default=None)
+    g.add_argument("--pred_npz", default=None)
+    g.add_argument("--synonym_root", required=True)
+    g.add_argument("--model", required=True, help="HF causal-LM checkpoint")
+    g.add_argument("--batch", type=int, default=8)
+    g.add_argument("--max_new_tokens", type=int, default=256)
+    g.set_defaults(fn=cmd_generate_synonyms)
 
     args = p.parse_args(argv)
     return args.fn(args)

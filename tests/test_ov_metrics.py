@@ -139,3 +139,16 @@ def test_wheel_mapping_npz_roundtrip(tmp_path):
                                     whole["wheel1"]["level1"],
                                     metric="case3_wheel1_level1")
     assert acc == 0.0 and rec == 0.0
+
+
+def test_parse_synonym_groups_reference_string_store():
+    """Reference synonym stores hold the raw LLM response STRING
+    (main-ov.py:47-49) — both that and pre-parsed lists must read back."""
+    from mertools_tpu.cli.main_ov import _parse_synonym_groups
+
+    s = "[['Agree', 'agreement'], ['Relaxed', 'relaxed']]"
+    assert _parse_synonym_groups(s) == [["Agree", "agreement"],
+                                        ["Relaxed", "relaxed"]]
+    assert _parse_synonym_groups([["a", "b"]]) == [["a", "b"]]
+    assert _parse_synonym_groups("not a list") == []
+    assert _parse_synonym_groups("") == []
