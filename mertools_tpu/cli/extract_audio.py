@@ -105,6 +105,11 @@ def main(argv=None):
     p.add_argument("--gpu", type=int, default=0, help="ignored (TPU)")
     p.add_argument("--profile", type=str, default=None,
                    help="write a jax.profiler trace to this dir")
+    p.add_argument("--finetuned_ckpt", type=str, default=None,
+                   help="orbax dir of a fine-tuned backbone saved by "
+                        "main_release --savemodel; replaces the converted "
+                        "HF weights (reference extract_sun_videomae.py "
+                        "workflow)")
     args = p.parse_args(argv)
 
     from ..core.config import resolve_dataset_args
@@ -146,6 +151,12 @@ def main(argv=None):
     else:
         cfg, params = load_encoder(args.model_name, args.pretrain_dir,
                                    args.random_init, args.encoder_size)
+        if args.finetuned_ckpt:
+            import orbax.checkpoint as ocp
+
+            params = ocp.PyTreeCheckpointer().restore(
+                os.path.abspath(args.finetuned_ckpt))
+            print(f"loaded fine-tuned backbone from {args.finetuned_ckpt}")
         ex = AudioExtractor(cfg, params,
                             sample_budget=args.batch_budget_sec * 16000,
                             compute_dtype=args.compute_dtype,

@@ -40,6 +40,9 @@ def main(argv=None):
     p.add_argument("--gpu", type=int, default=0, help="ignored (TPU)")
     p.add_argument("--profile", type=str, default=None,
                    help="jax.profiler trace dir for the extraction loop")
+    p.add_argument("--finetuned_ckpt", type=str, default=None,
+                   help="orbax dir of a fine-tuned backbone saved by "
+                        "main_release --savemodel (BERT-family path)")
     args = p.parse_args(argv)
 
     from ..core.config import resolve_dataset_args
@@ -93,6 +96,14 @@ def main(argv=None):
                            encoder_cls=encoder_cls)
     else:
         cfg, params = from_hf_torch(AutoModel.from_pretrained(path))
+        if args.finetuned_ckpt:
+            # orbax tree saved by main_release --savemodel (fine-tuned e2e
+            # text backbone) replaces the converted HF weights
+            import orbax.checkpoint as ocp
+
+            params = ocp.PyTreeCheckpointer().restore(
+                os.path.abspath(args.finetuned_ckpt))
+            print(f"loaded fine-tuned backbone from {args.finetuned_ckpt}")
         ex = TextExtractor(cfg, params, layer_ids=layer_ids,
                            compute_dtype=args.compute_dtype)
     return _run_extraction(args, tokenizer, ex, cfg)

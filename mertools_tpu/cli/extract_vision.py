@@ -26,6 +26,19 @@ import time
 import numpy as np
 
 
+def _finetuned_override(args, params):
+    """--finetuned_ckpt: orbax tree saved by main_release --savemodel
+    (fine-tuned e2e / videomae_pretrain backbone) replaces the converted
+    HF weights (reference extract_sun_videomae.py workflow)."""
+    if getattr(args, "finetuned_ckpt", None):
+        import orbax.checkpoint as ocp
+
+        params = ocp.PyTreeCheckpointer().restore(
+            os.path.abspath(args.finetuned_ckpt))
+        print(f"loaded fine-tuned backbone from {args.finetuned_ckpt}")
+    return params
+
+
 def build_extractor(args):
     """Dispatch model_name -> (extractor, needs checkpoint dir)."""
     name = args.model_name.lower()
@@ -38,7 +51,7 @@ def build_extractor(args):
         from ..encoders.vit import from_hf_videomae
         from ..features.vision_zoo import VideoMAEExtractor
         cfg, params = from_hf_videomae(VideoMAEModel.from_pretrained(path))
-        return VideoMAEExtractor(cfg, params,
+        return VideoMAEExtractor(cfg, _finetuned_override(args, params),
                                  compute_dtype=args.compute_dtype)
     if "dinov2" in name or "dino2" in name:
         import dataclasses
@@ -139,7 +152,8 @@ def build_extractor(args):
     cfg, params = from_hf_torch(CLIPVisionModelWithProjection.from_pretrained(path))
     if args.tome_r:   # ToMe production mode (CLS contract unchanged)
         cfg = dataclasses.replace(cfg, tome_r=args.tome_r)
-    return VisionExtractor(cfg, params, max_frames=args.max_frames,
+    return VisionExtractor(cfg, _finetuned_override(args, params),
+                           max_frames=args.max_frames,
                            compute_dtype=args.compute_dtype)
 
 
@@ -168,6 +182,9 @@ def main(argv=None):
     p.add_argument("--gpu", type=int, default=0, help="ignored (TPU)")
     p.add_argument("--profile", type=str, default=None,
                    help="jax.profiler trace dir for the extraction loop")
+    p.add_argument("--finetuned_ckpt", type=str, default=None,
+                   help="orbax dir of a fine-tuned backbone saved by "
+                        "main_release --savemodel (videomae/clip paths)")
     args = p.parse_args(argv)
 
     from ..core.config import resolve_dataset_args

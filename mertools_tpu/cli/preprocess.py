@@ -53,6 +53,21 @@ def cmd_split_audio(args):
     print(f"split {done}/{len(files)} videos -> {args.save_root}")
 
 
+def cmd_find_false_audio(args):
+    """List videos whose split wav is missing (func_find_false_audio,
+    functions.py:280-286) — the audio-split failure scan."""
+    files = sorted(glob.glob(os.path.join(args.video_root, "*")))
+    missing = []
+    for f in files:
+        name = os.path.splitext(os.path.basename(f))[0]
+        wav = os.path.join(args.audio_root, name + ".wav")
+        if not os.path.exists(wav):
+            missing.append(wav)
+            print(wav)
+    print(f"{len(missing)} missing of {len(files)} videos")
+    return missing
+
+
 def cmd_make_labels(args):
     from ..data.labels import write_label_archive
 
@@ -238,6 +253,12 @@ def main(argv=None):
     s.add_argument("--video_root", required=True)
     s.add_argument("--save_root", required=True)
     s.set_defaults(fn=cmd_split_audio)
+
+    fa = sub.add_parser("find-false-audio",
+                        help="list videos whose split wav is missing")
+    fa.add_argument("--video_root", required=True)
+    fa.add_argument("--audio_root", required=True)
+    fa.set_defaults(fn=cmd_find_false_audio)
 
     m = sub.add_parser("make-labels")
     m.add_argument("--label_csv", required=True)

@@ -224,6 +224,25 @@ def run_cv(args: Args, train_set: FeatureDataset,
         best = int(np.argmax(epoch_metrics))
         best_epochs.append(best)
         fold_best.append(epoch_stores[best])
+        if args.get("savemodel") and "backbone" in state.params:
+            # reference --savemodel: persist the fine-tuned e2e backbone so
+            # it can serve as a feature extractor afterwards (the
+            # sun_videomae workflow; main-release.py:72-75). Saved in the
+            # encoder's native param layout -> extract CLIs load it via
+            # --finetuned_ckpt.
+            import os
+
+            import orbax.checkpoint as ocp
+
+            root = os.path.join(str(args.get("save_root") or "."), "model")
+            path = os.path.abspath(
+                os.path.join(root, f"fold{fold_i}_backbone"))
+            ocp.PyTreeCheckpointer().save(
+                path, jax.tree_util.tree_map(np.asarray,
+                                             state.params["backbone"]),
+                force=True)
+            if verbose:
+                print(f"  saved fine-tuned backbone -> {path}")
         if verbose:
             print(f"fold {fold_i + 1}/{num_folds}: best epoch {best + 1}, "
                   f"{metric_name}={epoch_metrics[best]:.4f}")

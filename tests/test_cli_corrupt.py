@@ -17,8 +17,16 @@ pytestmark = pytest.mark.skipif(not vio.available(),
 
 def test_corrupt_end_to_end(tmp_path):
     code = textwrap.dedent("""
+        import os
         import sys
         sys.path.insert(0, "/root/repo")
+        # pin cpu BEFORE any jax-importing module: the axon plugin prepends
+        # itself to jax_platforms regardless of the env var, and its backend
+        # init blocks forever when the tunnel is down (conftest.py recipe —
+        # the child process doesn't run conftest's config.update)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
         import numpy as np
         from mertools_tpu.io import video as vio
         from mertools_tpu.cli.main_corrupt import main

@@ -88,3 +88,18 @@ def test_check_features(tmp_path):
     res = main(["check-features", f"--feature_root={feat}",
                 f"--label_npz={npz}"])
     assert res["missing"] == ["b"] and res["dims"] == [8]
+
+
+def test_find_false_audio(tmp_path, capsys):
+    """Audio-split failure scan (func_find_false_audio, functions.py:280-286)."""
+    from mertools_tpu.cli.preprocess import main
+
+    vdir = tmp_path / "video"; adir = tmp_path / "audio"
+    vdir.mkdir(); adir.mkdir()
+    for n in ("a", "b", "c"):
+        (vdir / f"{n}.mp4").write_bytes(b"x")
+    (adir / "a.wav").write_bytes(b"x")
+    missing = main(["find-false-audio", f"--video_root={vdir}",
+                    f"--audio_root={adir}"])
+    assert len(missing) == 2
+    assert all(m.endswith(("b.wav", "c.wav")) for m in missing)

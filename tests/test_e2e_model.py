@@ -132,10 +132,23 @@ def test_e2e_cli_end_to_end(tmp_path, rng):
         "--dataset=MER2025", "--model=e2e_model", "--e2e_name=tiny-audio",
         f"--raw_audio_root={audio}", "--lr=1e-3", "--batch_size=8",
         "--epochs=4", "--seed=0", "--e2e_nseg=2", "--e2e_seglen=2000",
+        "--savemodel",
         f"--save_root={tmp_path / 'saved'}",
         f"--features_root={tmp_path}", f"--label_path={tmp_path / 'labels.npz'}",
     ])
     assert result.cv["emofscore"] > 0.6  # tones are trivially separable
+
+    # --savemodel persisted the fine-tuned backbone per fold in the
+    # encoder's native layout (main-release.py:72-75 workflow)
+    import glob as _glob
+
+    import orbax.checkpoint as ocp
+
+    saved = sorted(_glob.glob(str(tmp_path / "saved*" / "model" /
+                                  "fold*_backbone")))
+    assert saved, "no fine-tuned backbone checkpoints written"
+    tree = ocp.PyTreeCheckpointer().restore(saved[0])
+    assert isinstance(tree, dict) and tree
 
 
 def test_videomae_pretrain_cli(tmp_path, rng):
