@@ -46,6 +46,8 @@ def cmd_submission(args):
     vals = pick("val_preds", "valpreds")
     if vals is not None and vals.size:
         vals = vals.reshape(-1)
+        assert len(vals) == len(preds), \
+            f"valence count {len(vals)} != prediction count {len(preds)}"
     else:
         vals = None
     with open(args.save_csv, "w", newline="", encoding="utf-8") as f:
@@ -84,6 +86,10 @@ def cmd_score(args):
             if name in name2val and val != "" and name2val[name] != "":
                 v.append(float(val))
                 vhat.append(float(name2val[name]))
+        if not v:  # valence columns exist but never pair up by name
+            print(f"WAF={waf:.4f} ACC={acc:.4f} (n={len(y)}; no paired "
+                  f"valence values)")
+            return waf, acc
         mse = float(mean_squared_error(v, vhat))
         combined = waf - 0.25 * mse
         print(f"WAF={waf:.4f} ACC={acc:.4f} valMSE={mse:.4f} "

@@ -127,11 +127,9 @@ def cmd_generate_synonyms(args):
     (generate_openset_synonym_mer2024, main-ov.py:19-49) via the local LLM.
     Stores the raw response string per ``{name}.npy`` like the reference;
     idempotent (skips existing)."""
-    import jax
-    import jax.numpy as jnp
     from transformers import AutoModelForCausalLM, AutoTokenizer
 
-    from ..mllm.generate import bucket_len, generate
+    from ..mllm.generate import batch_generate_texts
     from ..mllm.llm import LLMConfig, convert_torch_state
     from .ovlabel_extraction import _STRIP_PREFIXES
 
@@ -166,39 +164,18 @@ def cmd_generate_synonyms(args):
         return tok.encode(prompt)
 
     ids_by_name = {n: prompt_ids(n) for n in todo}
-    order = sorted(todo, key=lambda n: len(ids_by_name[n]))
-    done = 0
-    for i in range(0, len(order), args.batch):
-        group = order[i: i + args.batch]
-        ids_list = [ids_by_name[n] for n in group]
-        S = bucket_len(max(len(x) for x in ids_list))
-        B = args.batch
-        embeds = np.zeros((B, S, cfg.hidden_size), np.float32)
-        mask = np.zeros((B, S), np.int32)
-        for b, ids in enumerate(ids_list):
-            embeds[b, : len(ids)] = emb_table[ids]
-            mask[b, : len(ids)] = 1
-        for b in range(len(group), B):
-            mask[b, 0] = 1
-        tokens = np.asarray(generate(
-            cfg, params, jnp.asarray(embeds), jnp.asarray(mask),
-            max_new_tokens=args.max_new_tokens, temperature=0.0,
-            eos_token_id=int(tok.eos_token_id),
-            prng_key=jax.random.PRNGKey(i)))
-        for b, n in enumerate(group):
-            toks = tokens[b]
-            stop = np.nonzero(toks == tok.eos_token_id)[0]
-            text = tok.decode(toks[: stop[0]] if len(stop) else toks,
-                              skip_special_tokens=True).strip()
-            for pre in _STRIP_PREFIXES:
-                if text.startswith(pre):
-                    text = text[len(pre):].strip()
-            for pre in (":", "："):
-                if text.startswith(pre):
-                    text = text[len(pre):].strip()
-            np.save(os.path.join(args.synonym_root, f"{n}.npy"), text)
-        done += len(group)
-        print(f"  {done}/{len(todo)}")
+    texts = batch_generate_texts(
+        cfg, params, emb_table, ids_by_name, tok, batch=args.batch,
+        max_new_tokens=args.max_new_tokens, progress=print)
+    for n, text in texts.items():
+        text = text.strip()
+        for pre in _STRIP_PREFIXES:
+            if text.startswith(pre):
+                text = text[len(pre):].strip()
+        for pre in (":", "："):
+            if text.startswith(pre):
+                text = text[len(pre):].strip()
+        np.save(os.path.join(args.synonym_root, f"{n}.npy"), text)
 
 
 def main(argv=None):

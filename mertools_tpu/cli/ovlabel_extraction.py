@@ -56,9 +56,11 @@ def postprocess_openset(text: str) -> str:
     for pre in (":", "："):
         if text.startswith(pre):
             text = text[len(pre):].strip()
-    m = re.search(r"\[[^\]]*\]", text.replace("\n", " "))
-    if m:
-        parts = string_to_list(m.group(0))
+    # the answer list is the LAST bracketed group: chatty models echo the
+    # few-shot examples or use brackets in a preamble before answering
+    matches = re.findall(r"\[[^\]]*\]", text.replace("\n", " "))
+    if matches:
+        parts = string_to_list(matches[-1])
     else:
         parts = text.split("\n")[0].replace(";", ",").split(",")
     labels = []
@@ -127,10 +129,9 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
     from transformers import AutoModelForCausalLM, AutoTokenizer
 
-    from ..mllm.generate import bucket_len, generate
+    from ..mllm.generate import batch_generate_texts
     from ..mllm.llm import LLMConfig, convert_torch_state
 
     hf = AutoModelForCausalLM.from_pretrained(args.model)
@@ -163,45 +164,17 @@ def main(argv=None):
         _store(args, names, responses)
         return
 
-    # Pre-tokenize once, process in length-sorted order, and bucket the
-    # padded prompt length: vLLM-style scheduling that (a) minimizes padding
-    # waste inside a batch and (b) bounds the number of distinct (B, S)
-    # shapes — unbucketed, every batch's max length is unique and each one
-    # costs a fresh XLA compile on a multi-thousand-clip sweep.
     from ..core.profiling import trace
 
     ids_by_name = {n: encode_prompt(tok, name2reason[n]) for n in names}
-    order = sorted(names, key=lambda n: len(ids_by_name[n]))
-    by_name = {}
     with trace():  # active when MERTPU_TRACE_DIR is set
-        for i in range(0, len(order), args.batch):
-            group = order[i: i + args.batch]
-            ids_list = [ids_by_name[n] for n in group]
-            S = bucket_len(max(len(x) for x in ids_list))
-            B = args.batch  # pad ragged final group: one compile per (batch, S)
-            embeds = np.zeros((B, S, cfg.hidden_size), np.float32)
-            mask = np.zeros((B, S), np.int32)
-            for b, ids in enumerate(ids_list):
-                embeds[b, : len(ids)] = emb_table[ids]
-                mask[b, : len(ids)] = 1
-            for b in range(len(group), B):
-                mask[b, 0] = 1  # dummy rows decode garbage that is discarded
-            tokens = np.asarray(generate(
-                cfg, params, jnp.asarray(embeds), jnp.asarray(mask),
-                max_new_tokens=args.max_new_tokens,
-                temperature=args.temperature, top_p=args.top_p,
-                repetition_penalty=args.repetition_penalty,
-                eos_token_id=int(tok.eos_token_id),
-                prng_key=jax.random.PRNGKey(i), kv_int8=args.kv_int8))
-            for b, n in enumerate(group):
-                toks = tokens[b]
-                stop = np.nonzero(toks == tok.eos_token_id)[0]
-                text = tok.decode(toks[: stop[0]] if len(stop) else toks,
-                                  skip_special_tokens=True)
-                by_name[n] = postprocess_openset(text)
-            print(f"  {len(by_name)}/{len(names)}")
+        texts = batch_generate_texts(
+            cfg, params, emb_table, ids_by_name, tok, batch=args.batch,
+            max_new_tokens=args.max_new_tokens, temperature=args.temperature,
+            top_p=args.top_p, repetition_penalty=args.repetition_penalty,
+            kv_int8=args.kv_int8, progress=print)
 
-    _store(args, names, [by_name[n] for n in names])
+    _store(args, names, [postprocess_openset(texts[n]) for n in names])
 
 
 def _store(args, names, responses):

@@ -42,11 +42,9 @@ def main(argv=None):
     p.add_argument("--max_new_tokens", type=int, default=128)
     args = p.parse_args(argv)
 
-    import jax
-    import jax.numpy as jnp
     from transformers import AutoModelForCausalLM, AutoTokenizer
 
-    from ..mllm.generate import bucket_len, generate
+    from ..mllm.generate import batch_generate_texts
     from ..mllm.llm import LLMConfig, convert_torch_state
 
     hf = AutoModelForCausalLM.from_pretrained(args.model)
@@ -62,34 +60,13 @@ def main(argv=None):
     texts = [(r.get(src_col) or "").strip() for r in rows]
 
     out_texts = [""] * len(rows)
-    # length-sorted + bucketed batches: minimal padding waste and a bounded
-    # set of compiled shapes over arbitrarily many rows (see
-    # ovlabel_extraction; generate is pad-invariant)
     ids_by_idx = {i: tok.encode(PROMPTS[args.direction].format(
         text=texts[i][:1000])) for i, t in enumerate(texts) if t}
-    todo = sorted(ids_by_idx, key=lambda i: len(ids_by_idx[i]))
-    for i in range(0, len(todo), args.batch):
-        idxs = todo[i: i + args.batch]
-        ids_list = [ids_by_idx[j] for j in idxs]
-        S = bucket_len(max(len(x) for x in ids_list))
-        B = args.batch
-        embeds = np.zeros((B, S, cfg.hidden_size), np.float32)
-        mask = np.zeros((B, S), np.int32)
-        for b, ids in enumerate(ids_list):
-            embeds[b, : len(ids)] = emb_table[ids]
-            mask[b, : len(ids)] = 1
-        for b in range(len(idxs), B):
-            mask[b, 0] = 1  # ragged final batch: dummy rows, discarded
-        tokens = np.asarray(generate(
-            cfg, params, jnp.asarray(embeds), jnp.asarray(mask),
-            max_new_tokens=args.max_new_tokens, temperature=0.0,
-            eos_token_id=int(tok.eos_token_id)))
-        for b, j in enumerate(idxs):
-            t = tokens[b]
-            stop = np.nonzero(t == tok.eos_token_id)[0]
-            out_texts[j] = tok.decode(t[: stop[0]] if len(stop) else t,
-                                      skip_special_tokens=True).strip()
-        print(f"  {min(i + args.batch, len(todo))}/{len(todo)}")
+    decoded = batch_generate_texts(
+        cfg, params, emb_table, ids_by_idx, tok, batch=args.batch,
+        max_new_tokens=args.max_new_tokens, progress=print)
+    for i, t in decoded.items():
+        out_texts[i] = t.strip()
 
     fields = list(rows[0].keys()) if rows else ["name", src_col]
     if dst_col not in fields:

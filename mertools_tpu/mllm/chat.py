@@ -148,8 +148,13 @@ class Chat:
             post_ids = self.tok.encode(post, add_special_tokens=False)
             start = len(pre_ids)
             ids = pre_ids + [0] * n_av + post_ids
-            ids = ids[: self.max_len]
-            start = min(start, max(self.max_len - n_av, 0))
+            if len(ids) > self.max_len:
+                # tail truncation would silently cut the CURRENT question
+                # and assistant cue (reachable via long ChatSession
+                # histories) — fail loudly like the stream path does
+                raise ValueError(
+                    f"prompt length {len(ids)} exceeds max_len "
+                    f"{self.max_len}; raise max_len or trim the history")
             ids_list.append(ids)
             starts.append(start)
         # bucket the padded length: one compile per 64-token class instead of

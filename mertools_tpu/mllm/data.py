@@ -119,13 +119,6 @@ _QA_REQUIRED_KEY = {
     "caption_audio": "caption", "preference": "p", "reward": "reward",
 }
 
-# kept for callers that only need the question text
-QUESTION_BY_LABEL_TYPE = {
-    "description": ("Please infer the person's emotional state and provide "
-                    "your reasoning process."),
-    "ovlabel": ("Please recognize all possible emotional states of the "
-                "character."),
-}
 
 
 def _read_csv(path):
@@ -171,10 +164,17 @@ class CaptionDataset:
         """reason_csv=None covers the ovlabel-only datasets (MER2026-T2
         Human_Dataset / MER2026OV join just openset + subtitle and set
         label_type_candidates=['ovlabel'] — human_dataset.py:40-60)."""
-        name2openset = {}
+        # one pass over the openset csv collects both the labels and any
+        # extra QA columns (onehot/valence/.../reward) riding on it
+        extra_cols = ("onehot", "valence", "sentiment", "caption",
+                      "question", "answer", "a1", "a2", "p", "reward")
+        name2openset, name2extra = {}, {}
         for r in _read_csv(openset_csv):
             labels = string_to_list(r.get("openset", "")) or ["neutral"]
             name2openset[r["name"]] = ", ".join(labels)
+            extra = {k: r[k] for k in extra_cols if r.get(k)}
+            if extra:
+                name2extra[r["name"]] = extra
         name2reason = ({r["name"]: (r.get("reason") or "")
                         for r in _read_csv(reason_csv)} if reason_csv
                        else {})
@@ -186,16 +186,6 @@ class CaptionDataset:
                 name2sub[r["name"]] = (r.get("english") or
                                        r.get("sentence") or
                                        r.get("chinese") or "")
-        # optional extra QA columns riding on the openset csv (onehot /
-        # valence / sentiment / caption / question / answer / a1 / a2 / p /
-        # reward) feed the other build_qa types
-        extra_cols = ("onehot", "valence", "sentiment", "caption",
-                      "question", "answer", "a1", "a2", "p", "reward")
-        name2extra = {}
-        for r in _read_csv(openset_csv):
-            extra = {k: r[k] for k in extra_cols if r.get(k)}
-            if extra:
-                name2extra[r["name"]] = extra
         annotations = []
         for name, openset in name2openset.items():
             if not os.path.exists(os.path.join(video_feat_dir, name + ".npy")):
@@ -228,6 +218,11 @@ class CaptionDataset:
             cands = self.label_type_candidates or tuple(
                 t for t in ("description", "ovlabel", "sentiment", "valence")
                 if ann.get(_QA_REQUIRED_KEY[t]))
+            if not cands:
+                raise ValueError(
+                    f"label_type={self.label_type!r} but annotation "
+                    f"{ann.get('name')!r} carries none of the candidate "
+                    f"columns (description/ovlabel/valence)")
             label_type = cands[int(rng.integers(0, len(cands)))]
         else:
             label_type = self.label_type

@@ -32,6 +32,54 @@ _W8_KERNELS = ("q_proj", "k_proj", "v_proj", "o_proj",
                "gate_proj", "up_proj", "down_proj")
 
 
+def batch_generate_texts(cfg, params, emb_table, ids_by_key: dict, tok, *,
+                         batch: int = 8, max_new_tokens: int = 64,
+                         temperature: float = 0.0, top_p: float = 0.9,
+                         repetition_penalty: float = 1.0,
+                         kv_int8: bool = False,
+                         progress=None) -> dict:
+    """Length-sorted, bucket-padded batched decoding of many prompts.
+
+    The vLLM-style scheduling shared by the OV-extraction / translation /
+    synonym CLIs: process keys in prompt-length order (minimal padding
+    waste), round the padded length up to a 64-token bucket and pad ragged
+    final batches with dummy rows (one compile per (batch, bucket) class —
+    unbucketed, every distinct batch max-length costs a fresh XLA compile).
+    Returns {key: decoded text} with EOS stripped.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    order = sorted(ids_by_key, key=lambda k: len(ids_by_key[k]))
+    out = {}
+    for i in range(0, len(order), batch):
+        group = order[i: i + batch]
+        ids_list = [ids_by_key[k] for k in group]
+        S = bucket_len(max(len(x) for x in ids_list))
+        B = batch
+        embeds = np.zeros((B, S, cfg.hidden_size), np.float32)
+        mask = np.zeros((B, S), np.int32)
+        for b, ids in enumerate(ids_list):
+            embeds[b, : len(ids)] = emb_table[ids]
+            mask[b, : len(ids)] = 1
+        for b in range(len(group), B):
+            mask[b, 0] = 1  # dummy rows decode garbage that is discarded
+        tokens = np.asarray(generate(
+            cfg, params, jnp.asarray(embeds), jnp.asarray(mask),
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            top_p=top_p, repetition_penalty=repetition_penalty,
+            eos_token_id=int(tok.eos_token_id), kv_int8=kv_int8,
+            prng_key=jax.random.PRNGKey(i)))
+        for b, k in enumerate(group):
+            toks = tokens[b]
+            stop = np.nonzero(toks == tok.eos_token_id)[0]
+            out[k] = tok.decode(toks[: stop[0]] if len(stop) else toks,
+                                skip_special_tokens=True)
+        if progress:
+            progress(f"  {len(out)}/{len(ids_by_key)}")
+    return out
+
+
 def bucket_len(n: int, mult: int = 64, cap: int | None = None) -> int:
     """Round a ragged length up to a bucket (multiple of ``mult``) so batches
     of varying prompt/feature lengths reuse a handful of compiled shapes

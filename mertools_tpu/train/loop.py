@@ -195,6 +195,7 @@ def run_cv(args: Args, train_set: FeatureDataset,
 
         eval_plan = epoch_plan(eval_idx, batch_size)
         epoch_stores, epoch_metrics = [], []
+        best_backbone = None  # snapshot at the best eval epoch (--savemodel)
         for epoch in range(epochs):
             key, ekey = jax.random.split(key)
             tr_idx, tr_mask = epoch_plan(train_idx, batch_size, rng_np)
@@ -217,6 +218,13 @@ def run_cv(args: Args, train_set: FeatureDataset,
             epoch_metrics.append(metrics.gain_metric(
                 {k.replace("eval_", ""): v for k, v in store.items()
                  if k.startswith("eval_")}, metric_name))
+            if (args.get("savemodel") and "backbone" in state.params
+                    and epoch_metrics[-1] >= max(epoch_metrics)):
+                # keep the BEST-epoch backbone (the reported fold scores are
+                # the best epoch's — saving the last epoch would silently
+                # ship an overfit extractor)
+                best_backbone = jax.tree_util.tree_map(
+                    np.asarray, state.params["backbone"])
             if verbose and (epoch + 1) % max(1, epochs // 4) == 0:
                 print(f"  fold {fold_i + 1} epoch {epoch + 1}: "
                       f"{metric_name}={epoch_metrics[-1]:.4f}")
@@ -224,7 +232,7 @@ def run_cv(args: Args, train_set: FeatureDataset,
         best = int(np.argmax(epoch_metrics))
         best_epochs.append(best)
         fold_best.append(epoch_stores[best])
-        if args.get("savemodel") and "backbone" in state.params:
+        if best_backbone is not None:
             # reference --savemodel: persist the fine-tuned e2e backbone so
             # it can serve as a feature extractor afterwards (the
             # sun_videomae workflow; main-release.py:72-75). Saved in the
@@ -237,12 +245,10 @@ def run_cv(args: Args, train_set: FeatureDataset,
             root = os.path.join(str(args.get("save_root") or "."), "model")
             path = os.path.abspath(
                 os.path.join(root, f"fold{fold_i}_backbone"))
-            ocp.PyTreeCheckpointer().save(
-                path, jax.tree_util.tree_map(np.asarray,
-                                             state.params["backbone"]),
-                force=True)
+            ocp.PyTreeCheckpointer().save(path, best_backbone, force=True)
             if verbose:
-                print(f"  saved fine-tuned backbone -> {path}")
+                print(f"  saved fine-tuned backbone (epoch {best + 1}) "
+                      f"-> {path}")
         if verbose:
             print(f"fold {fold_i + 1}/{num_folds}: best epoch {best + 1}, "
                   f"{metric_name}={epoch_metrics[best]:.4f}")

@@ -113,6 +113,12 @@ def test_ov_postprocess():
     assert postprocess_openset(
         "Here is the list:\n[calm, relaxed] hope that helps") == \
         "calm, relaxed"
+    # the LAST bracketed group is the answer: models echo few-shot examples
+    # or bracket a preamble before answering
+    assert postprocess_openset(
+        "Based on the [provided] clues: [happy, sad]") == "happy, sad"
+    assert postprocess_openset(
+        "Input: x; Output: [] Input: y; Output: [angry]") == "angry"
 
 
 def test_ov_encode_prompt_chat_template():
