@@ -116,16 +116,77 @@ def main(argv=None):
     resolve_dataset_args(args, audio_dir="audio", save_dir="features")
 
     level = "UTT" if args.feature_level == "UTTERANCE" else "FRA"
-    out_dir = os.path.join(args.save_dir, f"{args.model_name}-{level}")
+    _l = args.model_name.lower()
+    if _l.startswith("wav2vec") and not _l.startswith("wav2vec2"):
+        # reference writes feature-encoder and context features to two
+        # stores: {model}-z-{level} / {model}-c-{level}
+        # (extract_wav2vec_embedding.py:36-43)
+        out_dir = os.path.join(args.save_dir, f"{args.model_name}-z-{level}")
+        out_dir_c = os.path.join(args.save_dir,
+                                 f"{args.model_name}-c-{level}")
+        os.makedirs(out_dir_c, exist_ok=True)
+    else:
+        out_dir = os.path.join(args.save_dir, f"{args.model_name}-{level}")
+        out_dir_c = None
     os.makedirs(out_dir, exist_ok=True)
 
-    if "whisper" in args.model_name.lower():
+    lname = args.model_name.lower()
+    w2v1 = lname.startswith("wav2vec") and not lname.startswith("wav2vec2")
+    if "whisper" in lname:
         from ..features.audio import WhisperAudioExtractor
 
         cfg, params = load_whisper(args.model_name, args.pretrain_dir,
                                    args.random_init)
         ex = WhisperAudioExtractor(cfg, params,
                                    transfer_dtype=args.transfer_dtype)
+    elif "vggish" in lname:
+        # TF1-VGGish equivalent (extract_vggish_embedding.py); weights via
+        # the torchvggish state dict
+        import jax
+
+        from ..encoders.audio_zoo import VGGish, vggish_from_torch
+        from ..features.audio import VGGishExtractor
+
+        if args.random_init:
+            params = VGGish().init(jax.random.PRNGKey(0),
+                                   np.zeros((1, 96, 64), np.float32))["params"]
+        else:
+            import torch
+
+            path = (os.path.join(args.pretrain_dir, args.model_name)
+                    if args.pretrain_dir else args.model_name)
+            if not path.endswith((".pt", ".pth")):
+                path = path + ".pt"
+            sd = torch.load(path, map_location="cpu", weights_only=True)
+            params = vggish_from_torch(dict(sd))
+        ex = VGGishExtractor(params)
+    elif w2v1:
+        # fairseq wav2vec-1.0 (extract_wav2vec_embedding.py): z AND c
+        # features into two stores
+        import jax
+
+        from ..encoders.audio_zoo import (Wav2Vec1, Wav2Vec1Config,
+                                          wav2vec1_from_fairseq)
+        from ..features.audio import Wav2Vec1Extractor
+
+        if args.random_init:
+            w2v_cfg = Wav2Vec1Config(
+                enc_layers=((32, 10, 5), (32, 8, 4)),
+                ctx_layers=((32, 3), (32, 3)))
+            params = Wav2Vec1(w2v_cfg).init(
+                jax.random.PRNGKey(0), np.zeros((1, 4000), np.float32))["params"]
+        else:
+            import torch
+
+            path = (os.path.join(args.pretrain_dir, args.model_name)
+                    if args.pretrain_dir else args.model_name)
+            if not path.endswith(".pt"):
+                path = path + ".pt"
+            ckpt = torch.load(path, map_location="cpu", weights_only=False)
+            sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+            w2v_cfg = Wav2Vec1Config()
+            params = wav2vec1_from_fairseq(dict(sd), w2v_cfg)
+        ex = Wav2Vec1Extractor(params, w2v_cfg)
     elif "imagebind" in args.model_name.lower():
         import jax
 
@@ -196,9 +257,15 @@ def main(argv=None):
                    if ci + 1 < len(chunks) else None)
             if not wavs:
                 continue
-            feats = ex.extract(wavs, level=level)
-            for name, feat in feats.items():
-                np.save(os.path.join(out_dir, name + ".npy"), feat)
+            if out_dir_c is not None:  # wav2vec-1.0 dual z/c output
+                zs, cs = ex.extract_zc(wavs, level=level)
+                for name in zs:
+                    np.save(os.path.join(out_dir, name + ".npy"), zs[name])
+                    np.save(os.path.join(out_dir_c, name + ".npy"), cs[name])
+            else:
+                feats = ex.extract(wavs, level=level)
+                for name, feat in feats.items():
+                    np.save(os.path.join(out_dir, name + ".npy"), feat)
             done += len(wavs)
             rate = done / (time.time() - t0)
             print(f"  {done} clips, {rate:.2f} clips/sec")

@@ -165,38 +165,74 @@ class _W2V1Block(nn.Module):
     pad: int = 0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, n_valid=None):
         x = nn.Conv(self.dim, (self.kernel,), strides=(self.stride,),
                     padding=[(self.pad, self.pad)], name="conv",
                     precision=_PRECISION)(x)
-        # fairseq norm: instance norm over time (Fp32GroupNorm with 1 group)
-        mean = x.mean(axis=1, keepdims=True)
-        var = ((x - mean) ** 2).mean(axis=1, keepdims=True)
+        # fairseq norm: instance norm over time (Fp32GroupNorm with 1 group).
+        # The statistics span the WHOLE time axis, so right-padded batching
+        # needs masked moments to bit-match per-clip execution (n_valid =
+        # per-sample valid frames on this layer's time scale).
+        if n_valid is None:
+            m = None
+            mean = x.mean(axis=1, keepdims=True)
+            var = ((x - mean) ** 2).mean(axis=1, keepdims=True)
+        else:
+            t = jnp.arange(x.shape[1])[None, :, None]
+            m = (t < n_valid[:, None, None]).astype(x.dtype)
+            cnt = jnp.maximum(n_valid.astype(x.dtype), 1.0)[:, None, None]
+            mean = (x * m).sum(axis=1, keepdims=True) / cnt
+            var = (((x - mean) * m) ** 2).sum(axis=1, keepdims=True) / cnt
         x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
         x = x * self.param("norm_scale", nn.initializers.ones, (self.dim,))
         x = x + self.param("norm_bias", nn.initializers.zeros, (self.dim,))
-        return nn.relu(x)
+        x = nn.relu(x)
+        if m is not None:
+            # zero the pad lanes AFTER the affine+relu so the next conv's
+            # boundary frames read exactly what conv zero-padding provides
+            # on an unpadded clip
+            x = x * m
+        return x
 
 
 class Wav2Vec1(nn.Module):
     """(B, T) wav -> dict(z=(B, Tz, 512), c=(B, Tz, 512)).
 
     The reference saves BOTH outputs into separate feature dirs
-    (extract_wav2vec_embedding.py:30-52).
+    (extract_wav2vec_embedding.py:30-52). ``lengths`` enables right-padded
+    batching: per-layer valid frame counts drive masked instance norms so
+    rows [0, z_len_i) match unpadded per-clip execution; use
+    :func:`w2v1_out_lengths` to trim.
     """
     cfg: Wav2Vec1Config = Wav2Vec1Config()
 
     @nn.compact
-    def __call__(self, wav):
+    def __call__(self, wav, lengths=None):
         x = wav[..., None]
+        n = lengths
         for i, (dim, k, s) in enumerate(self.cfg.enc_layers):
-            x = _W2V1Block(dim, k, s, name=f"enc_{i}")(x)
+            if n is not None:
+                n = jnp.maximum((n - k) // s + 1, 1)
+            x = _W2V1Block(dim, k, s, name=f"enc_{i}")(x, n)
         if self.cfg.log_compression:
             x = jnp.log(1.0 + jnp.abs(x))
         z = x
         for i, (dim, k) in enumerate(self.cfg.ctx_layers):
-            x = _W2V1Block(dim, k, 1, pad=k // 2, name=f"ctx_{i}")(x)
+            # pad k//2, stride 1: the time scale (and valid count) is
+            # unchanged, but edge frames near the valid/pad boundary read
+            # zeroed pad lanes exactly like unpadded edges read conv padding
+            x = _W2V1Block(dim, k, 1, pad=k // 2, name=f"ctx_{i}")(x, n)
         return {"z": z, "c": x}
+
+
+def w2v1_out_lengths(n: np.ndarray,
+                     cfg: Wav2Vec1Config | None = None) -> np.ndarray:
+    """Input sample counts -> z/c frame counts (valid-conv shrinkage)."""
+    cfg = cfg or Wav2Vec1Config()
+    n = np.asarray(n)
+    for _, k, s in cfg.enc_layers:
+        n = np.maximum((n - k) // s + 1, 1)
+    return n
 
 
 def wav2vec1_from_fairseq(sd: dict, cfg: Wav2Vec1Config | None = None) -> dict:

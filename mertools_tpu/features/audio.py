@@ -447,3 +447,124 @@ class ImageBindAudioExtractor:
                 out[n] = (feat.mean(0) if level.upper().startswith("UTT")
                           else feat)
         return out
+
+
+class VGGishExtractor:
+    """VGGish AudioSet path (extract_vggish_embedding.py + the vendored
+    vggish/ TF1 code): wav -> 0.96 s log-mel patches (96, 64) -> VGG stack
+    -> (P, 128) FRA / mean UTT. Clips batch at bucketed lengths; each
+    clip's output trims to its true patch count (frames are causal, so the
+    kept patches are pad-invariant)."""
+
+    def __init__(self, params, batch_size: int = 8,
+                 buckets: tuple = DEFAULT_BUCKETS):
+        import jax
+
+        from ..encoders.audio_zoo import vggish_extract
+
+        self.batch_size = batch_size
+        self.buckets = buckets
+        self._params = jax.device_put(params)
+        self._fwd = jax.jit(vggish_extract)
+
+    def _bucket(self, n):
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def extract(self, wavs: dict[str, np.ndarray], level: str = "FRA"
+                ) -> dict[str, np.ndarray]:
+        import jax.numpy as jnp
+
+        _WIN, _HOP, _PF = 400, 160, 96
+        by_bucket: dict[int, list] = {}
+        for name, w in wavs.items():
+            w = np.asarray(w, np.float32)[: self.buckets[-1]]
+            by_bucket.setdefault(self._bucket(len(w)), []).append((name, w))
+        out = {}
+        pending = []
+        for bucket, items in sorted(by_bucket.items()):
+            B = self.batch_size
+            for i in range(0, len(items), B):
+                group = items[i: i + B]
+                batch = np.zeros((B, bucket), np.float32)
+                for r, (_, w) in enumerate(group):
+                    batch[r, : len(w)] = w
+                pending.append((group, self._fwd(self._params,
+                                                 jnp.asarray(batch))))
+        for group, res in pending:
+            emb = np.asarray(res)               # (B, P_bucket, 128)
+            for r, (name, w) in enumerate(group):
+                n_frames = max(1 + (len(w) - _WIN) // _HOP, 1)
+                p_true = max(n_frames // _PF, 1)
+                feat = emb[r, :p_true]
+                out[name] = (feat.mean(0) if level.upper().startswith("UTT")
+                             else feat)
+        return out
+
+
+class Wav2Vec1Extractor:
+    """fairseq wav2vec-1.0 path (extract_wav2vec_embedding.py:30-52): wav ->
+    z (feature encoder) AND c (context network) features, saved to two
+    stores. Clips batch at bucketed lengths; masked instance norms keep
+    right-padded rows bit-equal to per-clip execution (audio_zoo.Wav2Vec1)."""
+
+    def __init__(self, params, cfg=None, batch_size: int = 8,
+                 buckets: tuple = DEFAULT_BUCKETS):
+        import jax
+
+        from ..encoders.audio_zoo import Wav2Vec1, Wav2Vec1Config
+
+        self.cfg = cfg or Wav2Vec1Config()
+        self.batch_size = batch_size
+        self.buckets = buckets
+        self._params = jax.device_put(params)
+        model = Wav2Vec1(self.cfg)
+
+        @jax.jit
+        def fwd(p, wav, lengths):
+            return model.apply({"params": p}, wav, lengths)
+
+        self._fwd = fwd
+
+    def _bucket(self, n):
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def extract_zc(self, wavs: dict[str, np.ndarray], level: str = "FRA"
+                   ) -> tuple[dict, dict]:
+        """Returns (z_feats, c_feats) dicts."""
+        import jax.numpy as jnp
+
+        from ..encoders.audio_zoo import w2v1_out_lengths
+
+        by_bucket: dict[int, list] = {}
+        for name, w in wavs.items():
+            w = np.asarray(w, np.float32)[: self.buckets[-1]]
+            by_bucket.setdefault(self._bucket(len(w)), []).append((name, w))
+        zs, cs = {}, {}
+        pending = []
+        for bucket, items in sorted(by_bucket.items()):
+            B = self.batch_size
+            for i in range(0, len(items), B):
+                group = items[i: i + B]
+                batch = np.zeros((B, bucket), np.float32)
+                lens = np.full(B, bucket, np.int32)
+                for r, (_, w) in enumerate(group):
+                    batch[r, : len(w)] = w
+                    lens[r] = len(w)
+                pending.append((group, lens, self._fwd(
+                    self._params, jnp.asarray(batch), jnp.asarray(lens))))
+        utt = level.upper().startswith("UTT")
+        for group, lens, res in pending:
+            z = np.asarray(res["z"])
+            c = np.asarray(res["c"])
+            out_lens = w2v1_out_lengths(lens, self.cfg)
+            for r, (name, _) in enumerate(group):
+                zr, cr = z[r, : out_lens[r]], c[r, : out_lens[r]]
+                zs[name] = zr.mean(0) if utt else zr
+                cs[name] = cr.mean(0) if utt else cr
+        return zs, cs

@@ -93,3 +93,94 @@ def test_wav2vec1_shapes(rng):
     assert np.isfinite(np.asarray(out["c"])).all()
     # z is log-compressed: nonnegative
     assert (np.asarray(out["z"]) >= 0).all()
+
+
+def test_wav2vec1_masked_norm_pad_invariance(rng):
+    """Right-padded batched execution must bit-match per-clip execution:
+    the fairseq instance norms span the whole time axis, so the masked
+    moments + post-relu pad zeroing must reproduce unpadded statistics."""
+    import jax
+    import jax.numpy as jnp
+
+    from mertools_tpu.encoders.audio_zoo import (Wav2Vec1, Wav2Vec1Config,
+                                                 w2v1_out_lengths)
+
+    cfg = Wav2Vec1Config(enc_layers=((16, 10, 5), (16, 8, 4)),
+                         ctx_layers=((16, 3), (16, 3)))
+    model = Wav2Vec1(cfg)
+    wavs = [rng.normal(size=(n,)).astype(np.float32) for n in (3000, 4096)]
+    params = model.init(jax.random.PRNGKey(0), wavs[0][None])["params"]
+
+    T = 4096
+    batch = np.zeros((2, T), np.float32)
+    lens = np.array([3000, 4096], np.int32)
+    for r, w in enumerate(wavs):
+        batch[r, : len(w)] = w
+    out = model.apply({"params": params}, jnp.asarray(batch),
+                      jnp.asarray(lens))
+    out_lens = w2v1_out_lengths(lens, cfg)
+    for r, w in enumerate(wavs):
+        ref = model.apply({"params": params}, jnp.asarray(w[None]))
+        for key in ("z", "c"):
+            got = np.asarray(out[key][r, : out_lens[r]])
+            want = np.asarray(ref[key][0])
+            assert got.shape == want.shape, (key, got.shape, want.shape)
+            np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_vggish_extractor_trims_to_true_patches(rng):
+    """Bucketed batching: per-clip patch counts derive from the TRUE wav
+    length and the kept patches match unpadded execution."""
+    import jax
+
+    from mertools_tpu.encoders.audio_zoo import VGGish, vggish_extract
+    from mertools_tpu.features.audio import VGGishExtractor
+
+    params = VGGish().init(jax.random.PRNGKey(0),
+                           np.zeros((1, 96, 64), np.float32))["params"]
+    wavs = {"a": rng.normal(size=(16000,)).astype(np.float32),
+            "b": rng.normal(size=(31000,)).astype(np.float32)}
+    ex = VGGishExtractor(params, buckets=(32000,))
+    feats = ex.extract(wavs, level="FRA")
+    assert feats["a"].shape == (1, 128)   # 0.96 s patches at 16 kHz
+    assert feats["b"].shape == (2, 128)
+    ref = np.asarray(vggish_extract(params, wavs["a"][None]))[0]
+    np.testing.assert_allclose(feats["a"], ref[:1], atol=2e-5, rtol=1e-4)
+    utt = ex.extract(wavs, level="UTTERANCE")
+    assert utt["b"].shape == (128,)
+    np.testing.assert_allclose(utt["b"], feats["b"].mean(0), rtol=1e-6)
+
+
+def test_extract_audio_cli_vggish_and_wav2vec1(tmp_path, rng):
+    """CLI dispatch: vggish single store; wav2vec-1.0 z/c dual stores."""
+    import struct
+
+    from mertools_tpu.cli.extract_audio import main
+
+    audio = tmp_path / "audio"
+    audio.mkdir()
+
+    def write_wav(path, wav, sr=16000):
+        pcm = (np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes()
+        with open(path, "wb") as f:
+            f.write(b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE")
+            f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2,
+                                          2, 16))
+            f.write(b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+    for n in ("c0", "c1"):
+        write_wav(str(audio / f"{n}.wav"),
+                  rng.normal(size=(18000,)).astype(np.float32) * 0.1)
+
+    main(["--model_name=vggish", "--random_init",
+          f"--audio_dir={audio}", f"--save_dir={tmp_path}/f",
+          "--feature_level=UTTERANCE"])
+    a = np.load(tmp_path / "f" / "vggish-UTT" / "c0.npy")
+    assert a.shape == (128,)
+
+    main(["--model_name=wav2vec-large", "--random_init",
+          f"--audio_dir={audio}", f"--save_dir={tmp_path}/f",
+          "--feature_level=FRAME"])
+    z = np.load(tmp_path / "f" / "wav2vec-large-z-FRA" / "c0.npy")
+    c = np.load(tmp_path / "f" / "wav2vec-large-c-FRA" / "c0.npy")
+    assert z.ndim == 2 and c.shape == z.shape
