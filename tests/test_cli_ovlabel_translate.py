@@ -1,0 +1,108 @@
+"""End-to-end CLI coverage for the batched-LLM utilities: OV label
+extraction (static + continuous engines) and transcript translation, over a
+real tiny HF qwen2 checkpoint on disk (the mains' full load->convert->
+schedule->decode->store path)."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_hf_llm(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("tiny_qwen"))
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import (PreTrainedTokenizerFast, Qwen2Config,
+                              Qwen2ForCausalLM)
+
+    vocab = {"<eos>": 0, "<pad>": 1}
+    words = ("the a happy sad angry calm person is emotional state list "
+             "output input describe emotion label").split()
+    for i, w in enumerate(words):
+        vocab[w] = i + 2
+    for ch in ("abcdefghijklmnopqrstuvwxyz"
+               "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789[],.:;'-_ "):
+        vocab.setdefault(ch, len(vocab))
+    tok = Tokenizer(models.BPE(vocab=vocab, merges=[], unk_token="<pad>"))
+    tok.pre_tokenizer = pre_tokenizers.Split(" ", behavior="removed")
+    fast = PreTrainedTokenizerFast(tokenizer_object=tok, eos_token="<eos>",
+                                   pad_token="<pad>")
+    fast.save_pretrained(d)
+    cfg = Qwen2Config(vocab_size=len(vocab), hidden_size=32,
+                      num_hidden_layers=1, num_attention_heads=4,
+                      num_key_value_heads=2, intermediate_size=64,
+                      max_position_embeddings=1024)
+    Qwen2ForCausalLM(cfg).save_pretrained(d)
+    return d
+
+
+def test_ovlabel_cli_static_end_to_end(tiny_hf_llm, tmp_path):
+    from mertools_tpu.cli.ovlabel_extraction import main
+
+    reasons = {f"c{i}": f"the person is {'happy' if i % 2 else 'sad'} "
+                        f"and talks" for i in range(5)}
+    npz = tmp_path / "name2reason.npz"
+    np.savez_compressed(npz, name2reason=np.array(reasons, dtype=object))
+    store = tmp_path / "openset.npz"
+    main([f"--reason_npz={npz}", f"--store_npz={store}",
+          f"--model={tiny_hf_llm}", "--batch=2", "--max_new_tokens=4",
+          "--temperature=0.0"])
+    out = np.load(store, allow_pickle=True)
+    names = [str(n) for n in out["filenames"]]
+    assert sorted(names) == sorted(reasons)  # order restored after sorting
+    assert len(out["fileitems"]) == 5  # postprocessed strings (may be '')
+
+
+def test_ovlabel_cli_continuous_end_to_end(tiny_hf_llm, tmp_path):
+    from mertools_tpu.cli.ovlabel_extraction import main
+
+    reasons = {f"c{i}": "a calm emotional state" for i in range(3)}
+    npz = tmp_path / "name2reason.npz"
+    np.savez_compressed(npz, name2reason=np.array(reasons, dtype=object))
+    store = tmp_path / "openset_root"
+    main([f"--reason_npz={npz}", f"--store_root={store}",
+          f"--model={tiny_hf_llm}", "--batch=2", "--max_new_tokens=4",
+          "--engine=continuous"])
+    assert sorted(os.listdir(store)) == ["c0.npy", "c1.npy", "c2.npy"]
+
+
+def test_translate_cli_end_to_end(tiny_hf_llm, tmp_path):
+    from mertools_tpu.cli.translate import main
+
+    src = tmp_path / "transcription.csv"
+    with open(src, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(["name", "chinese"])
+        w.writerow(["c0", "the happy person"])
+        w.writerow(["c1", ""])          # empty rows stay empty
+        w.writerow(["c2", "a sad state"])
+    dst = tmp_path / "transcription-eng.csv"
+    main([f"--trans_path={src}", f"--save_path={dst}",
+          "--direction=chi2eng", f"--model={tiny_hf_llm}", "--batch=2",
+          "--max_new_tokens=4"])
+    with open(dst, newline="", encoding="utf-8") as f:
+        rows = list(csv.DictReader(f))
+    assert [r["name"] for r in rows] == ["c0", "c1", "c2"]
+    assert rows[1]["english"] == ""
+    assert "english" in rows[0]
+
+
+def test_generate_synonyms_cli_end_to_end(tiny_hf_llm, tmp_path):
+    from mertools_tpu.cli.main_ov import main
+
+    gt = tmp_path / "gt.csv"
+    gt.write_text('name,openset\nc0,"[\'happy\']"\nc1,"[\'sad\']"\n',
+                  encoding="utf-8")
+    pred = tmp_path / "pred.csv"
+    pred.write_text('name,openset\nc0,"[\'calm\']"\nc1,"[\'angry\']"\n',
+                    encoding="utf-8")
+    root = tmp_path / "synonyms"
+    main(["generate-synonyms", f"--gt_csv={gt}", f"--pred_csv={pred}",
+          f"--synonym_root={root}", f"--model={tiny_hf_llm}", "--batch=2",
+          "--max_new_tokens=4"])
+    assert sorted(os.listdir(root)) == ["c0.npy", "c1.npy"]
+    # idempotent: second run skips everything
+    main(["generate-synonyms", f"--gt_csv={gt}", f"--pred_csv={pred}",
+          f"--synonym_root={root}", f"--model={tiny_hf_llm}"])
