@@ -294,7 +294,8 @@ def main(argv=None):
                        help="raw dataset distribution -> normalized layout "
                             "(toolkit/preprocess/* equivalents)")
     n.add_argument("--dataset", required=True,
-                   choices=["mer2023", "mer2024", "meld", "sims", "simsv2",
+                   choices=["mer2023", "mer2024", "mer2025", "mer2026",
+                            "meld", "sims", "simsv2",
                             "cmumosi", "cmumosei", "iemocap"])
     n.add_argument("--data_root", default=None,
                    help="raw distribution root (CSV layouts)")

@@ -294,9 +294,66 @@ def normalize_iemocap(label_pkl: str, save_root: str,
     return out
 
 
+def _normalize_track1(data_root: str, save_root: str, train_csv: str,
+                      test_csv: str, candidate_csv: str,
+                      copy_videos: bool = False,
+                      with_gt: bool | None = None) -> str:
+    """Shared MER2025-T1 / MER2026-T1 layout (toolkit/preprocess/
+    mer2025.py:31-66 / mer2026.py:33-66): train csv (name,discrete) ->
+    train corpus; test csv with gt OR the candidate csv labeled neutral ->
+    test1 corpus; label npz = track1_label_6way.npz; the subtitle csv
+    passes through as track1_subtitle_chieng.csv."""
+    os.makedirs(save_root, exist_ok=True)
+    train = {r["name"]: {"emo": r["discrete"]}
+             for r in _read_csv(os.path.join(data_root, train_csv))}
+    if with_gt is None:
+        with_gt = os.path.exists(os.path.join(data_root, test_csv))
+    if with_gt:
+        test = {r["name"]: {"emo": r["discrete"]}
+                for r in _read_csv(os.path.join(data_root, test_csv))}
+    else:  # no labels pre-release: every candidate is 'neutral'
+        test = {r["name"]: {"emo": "neutral"}
+                for r in _read_csv(os.path.join(data_root, candidate_csv))}
+    sub_src = os.path.join(data_root, "subtitle_chieng.csv")
+    if os.path.exists(sub_src):
+        shutil.copy(sub_src, os.path.join(save_root,
+                                          "track1_subtitle_chieng.csv"))
+    if copy_videos:
+        vdir_src = os.path.join(data_root, "video")
+        vdir = os.path.join(save_root, "video")
+        if os.path.isdir(vdir_src):
+            os.makedirs(vdir, exist_ok=True)
+            for src in glob.glob(os.path.join(vdir_src, "*")):
+                shutil.copy(src, os.path.join(vdir, os.path.basename(src)))
+    out = os.path.join(save_root, "track1_label_6way.npz")
+    _save_corpus(out, {"train": train, "test1": test})
+    return out
+
+
+def normalize_mer2025(data_root: str, save_root: str,
+                      copy_videos: bool = False) -> str:
+    """MER2025-T1 (toolkit/preprocess/mer2025.py:31-66)."""
+    return _normalize_track1(data_root, save_root,
+                             "track1_train_disdim.csv", "track1_test_dis.csv",
+                             "track_all_candidates.csv",
+                             copy_videos=copy_videos)
+
+
+def normalize_mer2026(data_root: str, save_root: str,
+                      copy_videos: bool = False) -> str:
+    """MER2026-T1 interlocutor track (toolkit/preprocess/mer2026.py:33-66) —
+    the listener-emotion labels are pure data; the layout is identical."""
+    return _normalize_track1(data_root, save_root,
+                             "track1_train.csv", "track1_test.csv",
+                             "track1_track2_candidate.csv",
+                             copy_videos=copy_videos)
+
+
 NORMALIZERS = {
     "mer2023": normalize_mer2023,
     "mer2024": normalize_mer2024,
+    "mer2025": normalize_mer2025,
+    "mer2026": normalize_mer2026,
     "meld": normalize_meld,
     "sims": normalize_sims,
     "simsv2": normalize_simsv2,

@@ -180,3 +180,36 @@ def test_normalize_mer2024_and_scan_faces(tmp_path):
     assert os.path.isdir(faces / "ok")
     assert not os.path.isdir(faces / "short")
     assert not os.path.isdir(faces / "broken")
+
+
+def test_normalize_mer2025_and_mer2026(tmp_path):
+    """Track1 layouts (mer2025.py:31-66 / mer2026.py:33-66): train csv +
+    candidate csv (neutral pre-release) or gt test csv -> track1_label_6way
+    npz + subtitle passthrough."""
+    from mertools_tpu.data.normalize import (normalize_mer2025,
+                                             normalize_mer2026)
+
+    def read_corpus(path):
+        lab = np.load(path, allow_pickle=True)
+        return {k[:-len("_corpus")]: lab[k].item() for k in lab.files
+                if k.endswith("_corpus")}
+
+    d25 = tmp_path / "raw25"; d25.mkdir()
+    (d25 / "track1_train_disdim.csv").write_text(
+        "name,discrete,valence\nt0,happy,0.5\nt1,sad,-0.5\n")
+    (d25 / "track_all_candidates.csv").write_text("name\nc0\nc1\nc2\n")
+    (d25 / "subtitle_chieng.csv").write_text(
+        "name,chinese,english\nt0,x,hello\n")
+    out = normalize_mer2025(str(d25), str(tmp_path / "p25"))
+    corpus = read_corpus(out)
+    assert corpus["train"]["t0"]["emo"] == "happy"
+    assert corpus["test1"]["c2"]["emo"] == "neutral"  # no gt pre-release
+    assert (tmp_path / "p25" / "track1_subtitle_chieng.csv").exists()
+
+    d26 = tmp_path / "raw26"; d26.mkdir()
+    (d26 / "track1_train.csv").write_text("name,discrete\ni0,angry\n")
+    (d26 / "track1_test.csv").write_text("name,discrete\nj0,worried\n")
+    out = normalize_mer2026(str(d26), str(tmp_path / "p26"))
+    corpus = read_corpus(out)
+    assert corpus["train"]["i0"]["emo"] == "angry"
+    assert corpus["test1"]["j0"]["emo"] == "worried"  # gt test csv wins
