@@ -128,6 +128,82 @@ def _rect_sums(ii, ys, xs, rects):
             - ii[ry + rh, rx] + ii[ry, rx])
 
 
+# ---------------------------------------------------------------------------
+# native evaluator (native/merhaar.cpp): per-window staged short-circuiting —
+# most windows die within the first stages, which the vectorized numpy path
+# cannot exploit (it evaluates every stage feature for every live window)
+# ---------------------------------------------------------------------------
+_NATIVE = None
+_NATIVE_CHECKED = False
+
+
+def _native_lib():
+    global _NATIVE, _NATIVE_CHECKED
+    if _NATIVE_CHECKED:
+        return _NATIVE
+    _NATIVE_CHECKED = True
+    import ctypes
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "native", "libmerhaar.so")
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    c_dp = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    c_lp = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    c_fp = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.mer_haar_detect.restype = ctypes.c_long
+    lib.mer_haar_detect.argtypes = [
+        c_dp, c_dp, ctypes.c_long, ctypes.c_long,       # ii, sq, H1, W1
+        ctypes.c_long, ctypes.c_long,                   # window, stride
+        c_lp, c_dp, ctypes.c_long,                      # stage off/thr/n
+        c_lp, c_fp, c_fp,                               # feat_idx/thr/leaves
+        c_lp, c_fp,                                     # rects, weights
+        c_lp, ctypes.c_long]                            # out, max_out
+    _NATIVE = lib
+    return lib
+
+
+def _flat_cascade(casc: Cascade):
+    """Flatten stages into contiguous stump arrays (cached on the object)."""
+    flat = getattr(casc, "_flat", None)
+    if flat is None:
+        off = np.zeros(len(casc.stages) + 1, np.int64)
+        fi, thr, lv, sthr = [], [], [], []
+        for i, st in enumerate(casc.stages):
+            off[i + 1] = off[i] + len(st.feat_idx)
+            fi.append(st.feat_idx.astype(np.int64))
+            thr.append(st.stump_thr.astype(np.float32))
+            lv.append(st.leaves.astype(np.float32))
+            sthr.append(float(st.threshold))
+        flat = (off, np.asarray(sthr, np.float64),
+                np.ascontiguousarray(np.concatenate(fi)),
+                np.ascontiguousarray(np.concatenate(thr)),
+                np.ascontiguousarray(np.concatenate(lv).reshape(-1, 2)),
+                np.ascontiguousarray(casc.rects.astype(np.int64)),
+                np.ascontiguousarray(casc.weights.astype(np.float32)))
+        casc._flat = flat
+    return flat
+
+
+def _detect_single_scale_native(ii, sq, casc: Cascade, stride: int):
+    lib = _native_lib()
+    W = casc.window
+    H_i, W_i = ii.shape[0] - 1, ii.shape[1] - 1
+    if H_i < W or W_i < W:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    off, sthr, fi, thr, lv, rects, wts = _flat_cascade(casc)
+    n_max = ((H_i - W) // stride + 1) * ((W_i - W) // stride + 1)
+    out = np.zeros((max(n_max, 1), 2), np.int64)
+    n = lib.mer_haar_detect(
+        np.ascontiguousarray(ii), np.ascontiguousarray(sq),
+        ii.shape[0], ii.shape[1], W, stride,
+        off, sthr, len(casc.stages), fi, thr, lv,
+        rects.reshape(-1), wts.reshape(-1), out.reshape(-1), n_max)
+    return out[:n, 0].copy(), out[:n, 1].copy()
+
+
 def _detect_single_scale(ii, sq, casc: Cascade, stride: int):
     """All surviving window origins (y, x) at this pyramid level."""
     W = casc.window
@@ -198,11 +274,19 @@ def group_rectangles(boxes: np.ndarray, min_neighbors: int = 3,
 def detect_multiscale(gray: np.ndarray, casc: Cascade,
                       scale_factor: float = 1.1, min_neighbors: int = 3,
                       min_size: int = 40, max_size: int | None = None,
-                      stride: int = 1) -> np.ndarray:
+                      stride: int = 1, backend: str = "auto") -> np.ndarray:
     """Detect objects in a grayscale uint8/float image.
 
     Returns (M, 5) [x, y, w, h, neighbors] in input-pixel coordinates,
-    sorted by neighbor count (strongest first)."""
+    sorted by neighbor count (strongest first). ``backend``: 'native' uses
+    the short-circuiting C++ evaluator (native/merhaar.cpp), 'numpy' the
+    vectorized python path, 'auto' native-when-built."""
+    if backend == "auto":
+        backend = "native" if _native_lib() is not None else "numpy"
+    elif backend == "native" and _native_lib() is None:
+        raise RuntimeError("libmerhaar.so not built (make -C native)")
+    single = (_detect_single_scale_native if backend == "native"
+              else _detect_single_scale)
     gray = np.asarray(gray, np.float64)
     H, W = gray.shape
     raw = []
@@ -221,7 +305,7 @@ def detect_multiscale(gray: np.ndarray, casc: Cascade,
         xi = np.clip(np.round(xx).astype(int), 0, W - 1)
         level = gray[np.ix_(yi, xi)]
         ii, sq = _integral(level)
-        ys, xs = _detect_single_scale(ii, sq, casc, stride)
+        ys, xs = single(ii, sq, casc, stride)
         for y, x in zip(ys, xs):
             raw.append([x / scale, y / scale, win_orig, win_orig])
         scale /= scale_factor

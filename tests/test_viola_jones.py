@@ -97,6 +97,10 @@ def test_single_scale_matches_naive_evaluator():
     ys, xs = vj._detect_single_scale(ii, sq, casc, stride=1)
     got = sorted(zip(ys.tolist(), xs.tolist()))
     assert got == _naive_survivors(img, casc)
+    if vj._native_lib() is not None:
+        # native short-circuit evaluator (native/merhaar.cpp): exact match
+        yn, xn = vj._detect_single_scale_native(ii, sq, casc, stride=1)
+        assert sorted(zip(yn.tolist(), xn.tolist())) == got
 
 
 @needs_cascades
@@ -105,6 +109,10 @@ def test_synthetic_face_detected_and_noise_rejected():
     img = _draw_face()
     boxes = vj.detect_multiscale(img, casc, min_neighbors=1, min_size=60)
     assert len(boxes) >= 1
+    if vj._native_lib() is not None:
+        nb = vj.detect_multiscale(img, casc, min_neighbors=1, min_size=60,
+                                  backend="native")
+        np.testing.assert_allclose(nb, boxes)
     x, y, w, h = boxes[0, :4]
     assert 60 <= w <= 200
     assert x < 100 < x + w and y < 100 < y + h   # box covers face center
