@@ -118,7 +118,7 @@ def main(argv=None):
     p.add_argument("--engine", type=str, default="static",
                    choices=["static", "continuous"],
                    help="continuous: slot-based continuous batching "
-                        "(greedy; ignores temperature/top_p)")
+                        "(honors temperature/top_p/repetition_penalty)")
     p.add_argument("--w8", action="store_true",
                    help="weight-only int8 serving mode: halves the HBM "
                         "weight traffic that bounds small-batch decode "
@@ -153,7 +153,10 @@ def main(argv=None):
 
         eng = ContinuousBatcher(cfg, params, n_slots=args.batch,
                                 max_len=1024, eos_token_id=int(tok.eos_token_id),
-                                max_new_tokens=args.max_new_tokens)
+                                max_new_tokens=args.max_new_tokens,
+                                temperature=args.temperature,
+                                top_p=args.top_p,
+                                repetition_penalty=args.repetition_penalty)
         rids = []
         for n in names:
             ids = encode_prompt(tok, name2reason[n])

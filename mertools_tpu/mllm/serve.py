@@ -12,8 +12,9 @@ TPU-native equivalent: a slot-based engine where
   between decode steps (per-bucket prefill compile),
 
 so ragged request streams keep the chip busy without re-padding the whole
-batch to the longest request — the continuous-batching property. Greedy
-decoding (temperature 0) for deterministic extraction workloads.
+batch to the longest request — the continuous-batching property. Greedy at
+temperature 0 (deterministic extraction); on-device top-p sampling +
+repetition penalty otherwise (the reference's SamplingParams).
 """
 
 from __future__ import annotations
@@ -26,9 +27,35 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.quant import w8_einsum
-from .generate import _lora_dense, _mlp, _qkv, _rms, _rotary
+from .generate import _lora_dense, _mlp, _qkv, _rms, _rotary, _sample
 
 _P = jax.lax.Precision.HIGHEST
+
+
+@functools.partial(jax.jit, static_argnames=("temperature", "top_p",
+                                             "repetition_penalty"))
+def _sample_step(logits, key, seen, slots, temperature: float, top_p: float,
+                 repetition_penalty: float):
+    """Sample next tokens for every slot on device and scatter-update the
+    per-slot seen-token counts (generate._sample semantics: greedy at
+    temperature 0, else top-p; HF-style repetition penalty over tokens
+    already generated in the slot)."""
+    toks = _sample(logits, key, temperature, top_p, seen, repetition_penalty)
+    seen = seen.at[slots, toks].add(1)
+    return toks, seen
+
+
+@functools.partial(jax.jit, static_argnames=("temperature", "top_p",
+                                             "repetition_penalty"))
+def _admit_sample(logits, key, seen, slots, temperature: float, top_p: float,
+                  repetition_penalty: float):
+    """First-token sampling for freshly admitted slots: reset their
+    seen-token rows, sample, record."""
+    seen = seen.at[slots].set(0)
+    toks = _sample(logits, key, temperature, top_p, seen[slots],
+                   repetition_penalty)
+    seen = seen.at[slots, toks].add(1)
+    return toks, seen
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -102,14 +129,25 @@ class _Request:
 
 
 class ContinuousBatcher:
-    """Greedy continuous-batching engine over the converted LLM params."""
+    """Continuous-batching engine over the converted LLM params. Greedy at
+    temperature 0 (default); otherwise on-device top-p sampling with the
+    HF-style repetition penalty — the reference's vLLM SamplingParams
+    (temperature=0.7, top_p=0.8, repetition_penalty=1.05,
+    evaluation.py:16-21)."""
 
     def __init__(self, cfg, params, n_slots: int = 8, max_len: int = 512,
                  eos_token_id: int = 2, max_new_tokens: int = 128,
                  prefill_buckets: tuple = (32, 64, 128, 256),
-                 admit_batched: bool = True):
+                 admit_batched: bool = True, temperature: float = 0.0,
+                 top_p: float = 0.9, repetition_penalty: float = 1.0,
+                 seed: int = 0):
         self.cfg = cfg
         self.params = jax.device_put(params)
+        self.temperature = float(temperature)
+        self.top_p = float(top_p)
+        self.repetition_penalty = float(repetition_penalty)
+        self.seen = jnp.zeros((n_slots, cfg.vocab_size), jnp.int32)
+        self._key = jax.random.PRNGKey(seed)
         self.n_slots = n_slots
         self.max_len = max_len
         self.eos = eos_token_id
@@ -195,7 +233,11 @@ class ContinuousBatcher:
         # scatter the group's KV prefixes into their slots' cache regions
         self.k_cache = self.k_cache.at[:, slots, :bucket].set(k[:, : len(grp)])
         self.v_cache = self.v_cache.at[:, slots, :bucket].set(v[:, : len(grp)])
-        first = np.asarray(logits[: len(grp)].argmax(-1))
+        self._key, k1 = jax.random.split(self._key)
+        toks, self.seen = _admit_sample(
+            logits[: len(grp)], k1, self.seen, jnp.asarray(slots),
+            self.temperature, self.top_p, self.repetition_penalty)
+        first = np.asarray(toks)
         for b, (slot, rid, emb, _) in enumerate(grp):
             S = len(emb)
             self.kv_mask[slot] = False
@@ -235,7 +277,11 @@ class ContinuousBatcher:
             self.cfg, self.params, toks, positions, write_idx,
             jnp.asarray(mask), self.k_cache, self.v_cache,
             jnp.asarray(self.active))
-        nxt = np.asarray(logits.argmax(-1)).astype(np.int32)
+        self._key, k1 = jax.random.split(self._key)
+        toks2, self.seen = _sample_step(
+            logits, k1, self.seen, jnp.arange(self.n_slots),
+            self.temperature, self.top_p, self.repetition_penalty)
+        nxt = np.asarray(toks2).astype(np.int32)
         for slot in range(self.n_slots):
             if not self.active[slot]:
                 continue

@@ -99,3 +99,30 @@ def test_engine_w8_packed_params(engine_llm, rng):
     out = eng.run()
     for rid, ref in zip(rids, refs):
         assert out[rid] == ref, (rid, out[rid], ref)
+
+
+def test_engine_sampling_reproducible(engine_llm, rng):
+    """temperature>0: on-device top-p sampling + repetition penalty in the
+    engine (reference vLLM SamplingParams); same seed -> same tokens,
+    different seed -> (almost surely) different."""
+    cfg, params = engine_llm
+    eos = 88
+    prompts = [rng.normal(size=(n, 32)).astype(np.float32) * 0.1
+               for n in (5, 9, 12)]
+
+    def run(seed):
+        eng = ContinuousBatcher(cfg, params, n_slots=2, max_len=64,
+                                eos_token_id=eos, max_new_tokens=8,
+                                prefill_buckets=(8, 16, 32),
+                                temperature=0.8, top_p=0.9,
+                                repetition_penalty=1.05, seed=seed)
+        rids = [eng.submit(p) for p in prompts]
+        out = eng.run()
+        return [out[r] for r in rids]
+
+    a, b = run(0), run(0)
+    assert a == b                      # same seed reproduces
+    for toks in a:
+        assert all(0 <= t < cfg.vocab_size for t in toks)
+    c = run(123)
+    assert a != c                      # sampling actually samples
