@@ -199,20 +199,31 @@ def main(argv=None):
                     out[f"{s}_feats"] = load_feat(stream_dir[s], n, cap)
             return out
 
+        from concurrent.futures import ThreadPoolExecutor
+
         from ..core.profiling import trace
 
-        with trace():  # active when MERTPU_TRACE_DIR is set
-            for i in range(0, len(todo), args.batch):
-                group = todo[i: i + args.batch]
-                if raw_mode:
-                    vfeats, afeats = raw_feats(group)
-                    samples = [{**feat_keys(n, vfeats, afeats),
-                                "subtitle": subtitles.get(n, ""),
-                                "question": args.question} for n in group]
-                else:
-                    samples = [{**feat_keys(n),
-                                "subtitle": subtitles.get(n, ""),
-                                "question": args.question} for n in group]
+        def load_group(group):
+            """Feature reads for one batch (npy IO releases the GIL, so
+            this overlaps with the device generating the previous batch —
+            same prefetch pattern as the extraction CLIs)."""
+            if raw_mode:
+                vfeats, afeats = raw_feats(group)
+                return [{**feat_keys(n, vfeats, afeats),
+                         "subtitle": subtitles.get(n, ""),
+                         "question": args.question} for n in group]
+            return [{**feat_keys(n),
+                     "subtitle": subtitles.get(n, ""),
+                     "question": args.question} for n in group]
+
+        groups = [todo[i: i + args.batch]
+                  for i in range(0, len(todo), args.batch)]
+        with trace(), ThreadPoolExecutor(max_workers=1) as pool:
+            nxt = pool.submit(load_group, groups[0]) if groups else None
+            for gi, group in enumerate(groups):
+                samples = nxt.result()
+                nxt = (pool.submit(load_group, groups[gi + 1])
+                       if gi + 1 < len(groups) else None)
                 answers = chat.answer_batch(samples)
                 for n, a in zip(group, answers):
                     name2reason[n] = a

@@ -106,3 +106,67 @@ def test_generate_synonyms_cli_end_to_end(tiny_hf_llm, tmp_path):
     # idempotent: second run skips everything
     main(["generate-synonyms", f"--gt_csv={gt}", f"--pred_csv={pred}",
           f"--synonym_root={root}", f"--model={tiny_hf_llm}"])
+
+
+def test_inference_mllm_cli_end_to_end(tiny_hf_llm, tmp_path):
+    """Full inference sweep CLI: restore_model -> feature store -> batched
+    prefetch loop -> name2reason npz (inference_hybird.py equivalent)."""
+    import jax
+    from transformers import AutoTokenizer
+
+    from mertools_tpu.cli.inference_mllm import main
+    from mertools_tpu.mllm import (AffectGPT, AffectGPTConfig, LLMConfig,
+                                   QFormerConfig)
+    from mertools_tpu.mllm.runner import save_model
+
+    tok = AutoTokenizer.from_pretrained(tiny_hf_llm)
+    cfg = AffectGPTConfig(
+        llm=LLMConfig(vocab_size=len(tok), hidden_size=32, num_layers=1,
+                      num_heads=4, num_kv_heads=4, intermediate_size=64,
+                      lora_r=2),
+        video_qformer=QFormerConfig(num_queries=4, hidden_size=16,
+                                    num_layers=1, num_heads=2,
+                                    intermediate_size=32),
+        audio_qformer=QFormerConfig(num_queries=2, hidden_size=16,
+                                    num_layers=1, num_heads=2,
+                                    intermediate_size=32),
+        video_dim=12, audio_dim=10, max_video_frames=8, max_audio_frames=8)
+    rng = np.random.default_rng(0)
+    model = AffectGPT(cfg)
+    batch = {"video_feats": rng.normal(size=(1, 4, 12)).astype(np.float32),
+             "audio_feats": rng.normal(size=(1, 3, 10)).astype(np.float32),
+             "video_mask": np.ones((1, 4), np.int32),
+             "audio_mask": np.ones((1, 3), np.int32),
+             "input_ids": rng.integers(3, len(tok), (1, 16)).astype(np.int32),
+             "splice_start": np.array([2], np.int32),
+             "attention_mask": np.ones((1, 16), np.int32),
+             "labels": np.full((1, 16), 7, np.int64)}
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+    ckpt = str(tmp_path / "model")
+    save_model(ckpt, model, params)
+
+    vdir = tmp_path / "v"; adir = tmp_path / "a"
+    vdir.mkdir(); adir.mkdir()
+    names = [f"c{i}" for i in range(5)]
+    for n in names:
+        np.save(vdir / f"{n}.npy", rng.normal(size=(5, 12)).astype(np.float32))
+        np.save(adir / f"{n}.npy", rng.normal(size=(3, 10)).astype(np.float32))
+    (tmp_path / "sub.csv").write_text(
+        "name,english\n" + "\n".join(f"{n},hello there" for n in names) + "\n")
+
+    save_path = tmp_path / "name2reason.npz"
+    main([f"--ckpt={ckpt}", f"--tokenizer={tiny_hf_llm}",
+          f"--video_feat_dir={vdir}", f"--audio_feat_dir={adir}",
+          f"--subtitle_csv={tmp_path / 'sub.csv'}",
+          f"--save_path={save_path}", "--batch=2", "--max_new_tokens=3",
+          "--question=What emotion?"])
+    out = np.load(save_path, allow_pickle=True)["name2reason"].item()
+    assert sorted(out) == names
+    assert all(isinstance(v, str) for v in out.values())
+
+    # idempotent resume: re-run processes nothing new but keeps results
+    main([f"--ckpt={ckpt}", f"--tokenizer={tiny_hf_llm}",
+          f"--video_feat_dir={vdir}", f"--audio_feat_dir={adir}",
+          f"--save_path={save_path}"])
+    out2 = np.load(save_path, allow_pickle=True)["name2reason"].item()
+    assert out2 == out
