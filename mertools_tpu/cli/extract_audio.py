@@ -71,6 +71,29 @@ def load_encoder(model_name: str, pretrain_dir: str | None, random_init: bool,
     return from_hf_torch(model)
 
 
+
+def _check_finetuned_tree(restored, reference, source: str):
+    """Restored fine-tuned tree must match the --model_name architecture
+    (same structure and leaf shapes) — fail clearly instead of a cryptic
+    shape error at the first forward."""
+    import jax
+
+    s1 = jax.tree_util.tree_structure(restored)
+    s2 = jax.tree_util.tree_structure(reference)
+    if s1 != s2:
+        raise ValueError(
+            f"{source}: checkpoint tree does not match the selected "
+            f"model architecture (structure mismatch)")
+    bad = [
+        (a.shape, b.shape)
+        for a, b in zip(jax.tree_util.tree_leaves(restored),
+                        jax.tree_util.tree_leaves(reference))
+        if getattr(a, "shape", None) != getattr(b, "shape", None)]
+    if bad:
+        raise ValueError(
+            f"{source}: checkpoint leaf shapes do not match the selected "
+            f"model architecture (e.g. {bad[0][0]} vs {bad[0][1]})")
+
 def main(argv=None):
     from ..core.cache import enable_persistent_cache
     enable_persistent_cache()
@@ -215,8 +238,10 @@ def main(argv=None):
         if args.finetuned_ckpt:
             import orbax.checkpoint as ocp
 
-            params = ocp.PyTreeCheckpointer().restore(
+            restored = ocp.PyTreeCheckpointer().restore(
                 os.path.abspath(args.finetuned_ckpt))
+            _check_finetuned_tree(restored, params, "--finetuned_ckpt")
+            params = restored
             print(f"loaded fine-tuned backbone from {args.finetuned_ckpt}")
         ex = AudioExtractor(cfg, params,
                             sample_budget=args.batch_budget_sec * 16000,

@@ -101,8 +101,12 @@ def main(argv=None):
             # text backbone) replaces the converted HF weights
             import orbax.checkpoint as ocp
 
-            params = ocp.PyTreeCheckpointer().restore(
+            from .extract_audio import _check_finetuned_tree
+
+            restored = ocp.PyTreeCheckpointer().restore(
                 os.path.abspath(args.finetuned_ckpt))
+            _check_finetuned_tree(restored, params, "--finetuned_ckpt")
+            params = restored
             print(f"loaded fine-tuned backbone from {args.finetuned_ckpt}")
         ex = TextExtractor(cfg, params, layer_ids=layer_ids,
                            compute_dtype=args.compute_dtype)

@@ -33,8 +33,12 @@ def _finetuned_override(args, params):
     if getattr(args, "finetuned_ckpt", None):
         import orbax.checkpoint as ocp
 
-        params = ocp.PyTreeCheckpointer().restore(
+        from .extract_audio import _check_finetuned_tree
+
+        restored = ocp.PyTreeCheckpointer().restore(
             os.path.abspath(args.finetuned_ckpt))
+        _check_finetuned_tree(restored, params, "--finetuned_ckpt")
+        params = restored
         print(f"loaded fine-tuned backbone from {args.finetuned_ckpt}")
     return params
 

@@ -49,3 +49,21 @@ def test_extract_audio_cli_end_to_end(tmp_path, monkeypatch):
           "--feature_level", "UTTERANCE"])
     for f in files:
         assert os.path.getmtime(out_dir / f) == mtimes[f]
+
+
+def test_check_finetuned_tree_mismatch():
+    """--finetuned_ckpt architecture validation fails loudly on structure
+    or shape mismatches and passes on a like tree."""
+    import numpy as np
+    import pytest
+
+    from mertools_tpu.cli.extract_audio import _check_finetuned_tree
+
+    ref = {"a": {"kernel": np.zeros((4, 8)), "bias": np.zeros(8)}}
+    ok = {"a": {"kernel": np.ones((4, 8)), "bias": np.ones(8)}}
+    _check_finetuned_tree(ok, ref, "--finetuned_ckpt")
+    with pytest.raises(ValueError, match="structure"):
+        _check_finetuned_tree({"a": {"kernel": np.ones((4, 8))}}, ref, "x")
+    with pytest.raises(ValueError, match="shapes"):
+        _check_finetuned_tree(
+            {"a": {"kernel": np.ones((4, 9)), "bias": np.ones(8)}}, ref, "x")
