@@ -42,7 +42,34 @@ def _measure(ex, wavs, n_clips):
     return n_clips / (time.perf_counter() - t0)
 
 
+def _probe_backend(timeout_s: int = 180) -> bool:
+    """The TPU plugin's backend init BLOCKS indefinitely when its tunnel is
+    unreachable (observed multi-hour outages on the dev platform). Probe
+    device discovery in a subprocess with a timeout so the bench fails with
+    a diagnostic JSON line instead of hanging the driver."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices())"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_backend():
+        import json
+
+        print(json.dumps({
+            "metric": "clips/sec/chip feature extraction",
+            "value": 0.0, "unit": "clips/sec", "vs_baseline": 0.0,
+            "error": "accelerator backend init timed out (device tunnel "
+                     "unreachable); see STATUS.md for the last measured "
+                     "numbers (96-116 clips/s, 6.4-9x)"}))
+        raise SystemExit(1)
     from mertools_tpu.core.cache import enable_persistent_cache
     enable_persistent_cache()
     import jax
