@@ -43,6 +43,37 @@ def cmd_judge(args):
                 temperature=0.0)
     judge = PreferenceJudge(mllm_caller(chat))
 
+    text_caller = None
+    if args.pipeline in ("cot2", "cot3"):
+        # the text-LLM variants judge with a separate language model
+        # (cot_step3/4/5 route through get_completion_qwen_bacth)
+        from transformers import AutoModelForCausalLM
+
+        from ..mllm.generate import batch_generate_texts
+        from ..mllm.llm import LLMConfig, convert_torch_state
+
+        assert args.llm, f"--pipeline={args.pipeline} needs --llm"
+        hf = AutoModelForCausalLM.from_pretrained(args.llm)
+        lcfg = LLMConfig.from_hf(hf.config)
+        lparams = convert_torch_state(lcfg, hf.state_dict())
+        del hf
+        ltok = AutoTokenizer.from_pretrained(args.llm)
+        lemb = np.asarray(lparams["embed_tokens"]["embedding"])
+
+        def text_caller(prompts):
+            def enc(prm):
+                if getattr(ltok, "chat_template", None):
+                    return ltok.apply_chat_template(
+                        [{"role": "user", "content": prm}], tokenize=True,
+                        add_generation_prompt=True)
+                return ltok.encode(prm)
+
+            ids = {i: enc(prm) for i, prm in enumerate(prompts)}
+            out = batch_generate_texts(lcfg, lparams, lemb, ids, ltok,
+                                       batch=args.batch,
+                                       max_new_tokens=args.max_new_tokens)
+            return [out[i] for i in range(len(prompts))]
+
     with open(args.label_csv, newline="", encoding="utf-8") as f:
         rows = list(csv.DictReader(f))
 
@@ -61,6 +92,12 @@ def cmd_judge(args):
         } for r in group]
         if args.pipeline == "cot":
             labels, desc = judge.judge_cot(samples)
+            descriptions.extend(desc)
+        elif args.pipeline == "cot2":
+            labels, desc = judge.judge_cot2(samples, text_caller)
+            descriptions.extend(desc)
+        elif args.pipeline == "cot3":
+            labels, desc = judge.judge_cot3(samples, text_caller)
             descriptions.extend(desc)
         else:
             labels = judge.judge_normal(samples)
@@ -96,7 +133,14 @@ def main(argv=None):
     j.add_argument("--video_feat_dir", required=True)
     j.add_argument("--audio_feat_dir", required=True)
     j.add_argument("--save_npz", required=True)
-    j.add_argument("--pipeline", default="normal", choices=["normal", "cot"])
+    j.add_argument("--pipeline", default="normal",
+                   choices=["normal", "cot", "cot2", "cot3"],
+                   help="reference prompt settings S1-S4 "
+                        "(main_dpo_sample.py:17-241): normal=direct, "
+                        "cot=MLLM describe+compare, cot2=text-LLM compare, "
+                        "cot3=text-LLM reason then extract")
+    j.add_argument("--llm", default=None,
+                   help="HF causal-LM checkpoint for cot2/cot3 text judging")
     j.add_argument("--batch", type=int, default=8)
     j.add_argument("--max_new_tokens", type=int, default=64)
     j.set_defaults(fn=cmd_judge)

@@ -40,6 +40,22 @@ COMPARE_PROMPT = (
     "Therefore, the output should be a1, a2, or same. Please direct output "
     "the answer without additional reasoning process.")
 
+# cot3 step 4 (:183-189): answer WITH the reasoning process
+REASONING_PROMPT = (
+    'We provide a ground truth description: {description} We also provide '
+    'two predicted descriptions: a1: "{a1}". a2: "{a2}". Please determinate '
+    "which one is better aligned with the ground truth description. If both "
+    "of them equally align with the input content, please output 'same'. "
+    "Please output the answer along with the reasoning process.")
+
+# cot3 step 5 (:226-227); the reference's f-string keeps the continuation
+# line's indentation (and the 'decription' spelling) inside the prompt
+EXTRACT_ANSWER_PROMPT = (
+    'Based on the provided decription:  "{reason}", please determinate '
+    "which one is better aligned with the ground truth description. "
+    "        The output should be a1, a2, or same. Please direct output "
+    "the answer without additional reasoning process.")
+
 
 def postprocess_preference(responses: Sequence[str]) -> list[str]:
     """Normalize free-text judgments to {a1, a2, same}
@@ -113,6 +129,37 @@ class PreferenceJudge:
                                          a2=s["a2"])
                    for d, s in zip(clean, samples)]
         return postprocess_preference(self.caller(samples, prompts)), desc
+
+    def judge_cot2(self, samples: list[dict], text_caller
+                   ) -> tuple[list[str], list[str]]:
+        """cot2 / 'S3': MLLM describes, a TEXT LLM compares
+        (cot_step3_description_batchcalling, main_dpo_sample.py:123-163 —
+        same compare prompt as step 2, answered by the text model).
+        text_caller(prompts: list[str]) -> list[str]."""
+        desc = self.caller(samples, [DESCRIBE_PROMPT] * len(samples))
+        clean = [(d or "").replace("\n", " ").replace("\t", " ").strip()
+                 for d in desc]
+        prompts = [COMPARE_PROMPT.format(description=d, a1=s["a1"],
+                                         a2=s["a2"])
+                   for d, s in zip(clean, samples)]
+        return postprocess_preference(text_caller(prompts)), desc
+
+    def judge_cot3(self, samples: list[dict], text_caller
+                   ) -> tuple[list[str], list[str]]:
+        """cot3 / 'S4': MLLM describes, the text LLM answers WITH its
+        reasoning (cot_step4, :166-204), then a final text pass extracts
+        the bare answer from that reasoning (cot_step5, :206-241)."""
+        desc = self.caller(samples, [DESCRIBE_PROMPT] * len(samples))
+        clean = [(d or "").replace("\n", " ").replace("\t", " ").strip()
+                 for d in desc]
+        prompts = [REASONING_PROMPT.format(description=d, a1=s["a1"],
+                                           a2=s["a2"])
+                   for d, s in zip(clean, samples)]
+        reasons = text_caller(prompts)
+        rclean = [(r or "").replace("\n", " ").replace("\t", " ").strip()
+                  for r in reasons]
+        prompts = [EXTRACT_ANSWER_PROMPT.format(reason=r) for r in rclean]
+        return postprocess_preference(text_caller(prompts)), reasons
 
 
 def mllm_caller(chat) -> Callable[[list, list], list]:

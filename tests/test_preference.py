@@ -67,3 +67,43 @@ def test_dpo_score_cli(tmp_path):
     np.testing.assert_allclose(acc, 0.5)
     f3, acc3 = main(["score", f"--result_npz={npz}", "--metric=threeclass"])
     np.testing.assert_allclose(acc3, 2 / 3)
+
+
+def test_judge_cot2_cot3_text_llm_variants():
+    """cot2/'S3' (text LLM compares) and cot3/'S4' (text LLM reasons then a
+    final pass extracts the answer) — main_dpo_sample.py:123-241."""
+    from mertools_tpu.preference.judge import (EXTRACT_ANSWER_PROMPT,
+                                               REASONING_PROMPT,
+                                               PreferenceJudge)
+
+    def mllm(samples, prompts):
+        return [f"describes {s['a1'][:4]}" for s in samples]
+
+    text_calls = []
+
+    def text_llm(prompts):
+        text_calls.append(prompts)
+        out = []
+        for p in prompts:
+            if "reasoning process." in p and "along with" in p:
+                out.append("Thinking hard... the answer is a1 because x.")
+            elif "Based on the provided decription" in p:
+                out.append("a1")
+            else:
+                out.append("same honestly")
+        return out
+
+    judge = PreferenceJudge(mllm)
+    samples = [{"a1": "happy person", "a2": "sad person"}]
+
+    labels, desc = judge.judge_cot2(samples, text_llm)
+    assert labels == ["same"]
+    assert "describes happ" in text_calls[-1][0]   # description threaded in
+
+    labels, reasons = judge.judge_cot3(samples, text_llm)
+    assert labels == ["a1"]
+    assert "answer is a1" in reasons[0]
+    # step-5 prompt embeds the flattened step-4 reasoning
+    assert "Thinking hard" in text_calls[-1][0]
+    assert EXTRACT_ANSWER_PROMPT.startswith("Based on the provided decription")
+    assert "along with the reasoning process." in REASONING_PROMPT
