@@ -40,8 +40,7 @@ def cmd_judge(args):
     model, params = restore_model(args.ckpt)
     tok = AutoTokenizer.from_pretrained(args.tokenizer)
     chat = Chat(model, params, tok, max_new_tokens=args.max_new_tokens,
-                temperature=0.0)
-    judge = PreferenceJudge(mllm_caller(chat))
+                temperature=args.temperature)
 
     text_caller = None
     if args.pipeline in ("cot2", "cot3"):
@@ -81,34 +80,47 @@ def cmd_judge(args):
         x = np.load(os.path.join(d, name + ".npy")).astype(np.float32)
         return x[None] if x.ndim == 1 else x
 
-    gt_labels, pred_labels, descriptions = [], [], []
-    for i in range(0, len(rows), args.batch):
-        group = rows[i: i + args.batch]
-        samples = [{
-            "a1": (r["a1"] or "").replace("\n", " ").replace("\t", " ").strip(),
-            "a2": (r["a2"] or "").replace("\n", " ").replace("\t", " ").strip(),
-            "video_feats": load_feat(args.video_feat_dir, r["name"]),
-            "audio_feats": load_feat(args.audio_feat_dir, r["name"]),
-        } for r in group]
-        if args.pipeline == "cot":
-            labels, desc = judge.judge_cot(samples)
-            descriptions.extend(desc)
-        elif args.pipeline == "cot2":
-            labels, desc = judge.judge_cot2(samples, text_caller)
-            descriptions.extend(desc)
-        elif args.pipeline == "cot3":
-            labels, desc = judge.judge_cot3(samples, text_caller)
-            descriptions.extend(desc)
+    for rnd in range(1, args.rounds + 1):
+        if args.rounds > 1:
+            base, ext = os.path.splitext(args.save_npz)
+            save_npz = f"{base}-round{rnd}{ext or '.npz'}"
+            if os.path.exists(save_npz):   # idempotent per round
+                print(f"round {rnd}: {save_npz} exists, skipping")
+                continue
         else:
-            labels = judge.judge_normal(samples)
-        pred_labels.extend(labels)
-        gt_labels.extend(r.get("preference", "tie") for r in group)
-        print(f"  {len(pred_labels)}/{len(rows)}")
+            save_npz = args.save_npz
+        # a fresh PRNG stream per round (meaningful with --temperature > 0)
+        judge = PreferenceJudge(mllm_caller(chat, seed=rnd))
+        gt_labels, pred_labels, descriptions = [], [], []
+        for i in range(0, len(rows), args.batch):
+            group = rows[i: i + args.batch]
+            samples = [{
+                "a1": (r["a1"] or "").replace("\n", " ")
+                    .replace("\t", " ").strip(),
+                "a2": (r["a2"] or "").replace("\n", " ")
+                    .replace("\t", " ").strip(),
+                "video_feats": load_feat(args.video_feat_dir, r["name"]),
+                "audio_feats": load_feat(args.audio_feat_dir, r["name"]),
+            } for r in group]
+            if args.pipeline == "cot":
+                labels, desc = judge.judge_cot(samples)
+                descriptions.extend(desc)
+            elif args.pipeline == "cot2":
+                labels, desc = judge.judge_cot2(samples, text_caller)
+                descriptions.extend(desc)
+            elif args.pipeline == "cot3":
+                labels, desc = judge.judge_cot3(samples, text_caller)
+                descriptions.extend(desc)
+            else:
+                labels = judge.judge_normal(samples)
+            pred_labels.extend(labels)
+            gt_labels.extend(r.get("preference", "tie") for r in group)
+            print(f"  round {rnd}: {len(pred_labels)}/{len(rows)}")
 
-    np.savez_compressed(args.save_npz, gt_labels=gt_labels,
-                        pred_labels=pred_labels,
-                        descriptions=descriptions)
-    print(f"wrote {args.save_npz}")
+        np.savez_compressed(save_npz, gt_labels=gt_labels,
+                            pred_labels=pred_labels,
+                            descriptions=descriptions)
+        print(f"wrote {save_npz}")
 
 
 def cmd_score(args):
@@ -143,6 +155,11 @@ def main(argv=None):
                    help="HF causal-LM checkpoint for cot2/cot3 text judging")
     j.add_argument("--batch", type=int, default=8)
     j.add_argument("--max_new_tokens", type=int, default=64)
+    j.add_argument("--temperature", type=float, default=0.0,
+                   help="sampled judging; >0 makes --rounds meaningful")
+    j.add_argument("--rounds", type=int, default=1,
+                   help="repeat calling times (reference --totalround; "
+                        "round-tagged npz outputs, idempotent per round)")
     j.set_defaults(fn=cmd_judge)
 
     s = sub.add_parser("score")

@@ -162,12 +162,20 @@ class PreferenceJudge:
         return postprocess_preference(text_caller(prompts)), reasons
 
 
-def mllm_caller(chat) -> Callable[[list, list], list]:
+def mllm_caller(chat, seed: int = 0) -> Callable[[list, list], list]:
     """Batched caller backed by the AffectGPT Chat wrapper (mllm/chat.py):
-    samples carry video_feats/audio_feats/subtitle."""
+    samples carry video_feats/audio_feats/subtitle. ``seed`` differentiates
+    sampled judging rounds (reference --totalround repeat calling): each
+    call advances the PRNG stream."""
+    import itertools
+
+    import jax
+
+    counter = itertools.count()
 
     def call(samples, prompts):
         items = [{**s, "question": p} for s, p in zip(samples, prompts)]
-        return chat.answer_batch(items)
+        key = jax.random.PRNGKey(seed * 100003 + next(counter))
+        return chat.answer_batch(items, prng_key=key)
 
     return call
