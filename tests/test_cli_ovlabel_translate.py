@@ -170,3 +170,71 @@ def test_inference_mllm_cli_end_to_end(tiny_hf_llm, tmp_path):
           f"--save_path={save_path}"])
     out2 = np.load(save_path, allow_pickle=True)["name2reason"].item()
     assert out2 == out
+
+
+def test_main_dpo_judge_cli_rounds(tiny_hf_llm, tmp_path):
+    """main_dpo judge end-to-end with --rounds/--temperature: per-round
+    npz outputs, idempotent re-run (reference --totalround gating)."""
+    import jax
+    from transformers import AutoTokenizer
+
+    from mertools_tpu.cli.main_dpo import main
+    from mertools_tpu.mllm import (AffectGPT, AffectGPTConfig, LLMConfig,
+                                   QFormerConfig)
+    from mertools_tpu.mllm.runner import save_model
+
+    tok = AutoTokenizer.from_pretrained(tiny_hf_llm)
+    cfg = AffectGPTConfig(
+        llm=LLMConfig(vocab_size=len(tok), hidden_size=32, num_layers=1,
+                      num_heads=4, num_kv_heads=4, intermediate_size=64,
+                      lora_r=2),
+        video_qformer=QFormerConfig(num_queries=4, hidden_size=16,
+                                    num_layers=1, num_heads=2,
+                                    intermediate_size=32),
+        audio_qformer=QFormerConfig(num_queries=2, hidden_size=16,
+                                    num_layers=1, num_heads=2,
+                                    intermediate_size=32),
+        video_dim=12, audio_dim=10, max_video_frames=8, max_audio_frames=8)
+    rng = np.random.default_rng(0)
+    model = AffectGPT(cfg)
+    batch = {"video_feats": rng.normal(size=(1, 4, 12)).astype(np.float32),
+             "audio_feats": rng.normal(size=(1, 3, 10)).astype(np.float32),
+             "video_mask": np.ones((1, 4), np.int32),
+             "audio_mask": np.ones((1, 3), np.int32),
+             "input_ids": rng.integers(3, len(tok), (1, 16)).astype(np.int32),
+             "splice_start": np.array([2], np.int32),
+             "attention_mask": np.ones((1, 16), np.int32),
+             "labels": np.full((1, 16), 7, np.int64)}
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+    ckpt = str(tmp_path / "model")
+    save_model(ckpt, model, params)
+
+    vdir = tmp_path / "v"; adir = tmp_path / "a"
+    vdir.mkdir(); adir.mkdir()
+    for n in ("c0", "c1"):
+        np.save(vdir / f"{n}.npy", rng.normal(size=(4, 12)).astype(np.float32))
+        np.save(adir / f"{n}.npy", rng.normal(size=(3, 10)).astype(np.float32))
+    label_csv = tmp_path / "labels.csv"
+    label_csv.write_text(
+        "name,a1,a2,preference\nc0,happy one,sad one,a1\n"
+        "c1,calm talk,angry talk,a2\n", encoding="utf-8")
+
+    save_npz = tmp_path / "judge.npz"
+    main(["judge", f"--label_csv={label_csv}", f"--ckpt={ckpt}",
+          f"--tokenizer={tiny_hf_llm}", f"--video_feat_dir={vdir}",
+          f"--audio_feat_dir={adir}", f"--save_npz={save_npz}",
+          "--batch=2", "--max_new_tokens=2", "--temperature=0.7",
+          "--rounds=2"])
+    r1 = tmp_path / "judge-round1.npz"
+    r2 = tmp_path / "judge-round2.npz"
+    assert r1.exists() and r2.exists()
+    d1 = np.load(r1, allow_pickle=True)
+    assert [str(x) for x in d1["gt_labels"]] == ["a1", "a2"]
+    assert all(str(x) in ("a1", "a2", "same") for x in d1["pred_labels"])
+    mtimes = (r1.stat().st_mtime_ns, r2.stat().st_mtime_ns)
+    # idempotent: per-round npz gating skips existing rounds
+    main(["judge", f"--label_csv={label_csv}", f"--ckpt={ckpt}",
+          f"--tokenizer={tiny_hf_llm}", f"--video_feat_dir={vdir}",
+          f"--audio_feat_dir={adir}", f"--save_npz={save_npz}",
+          "--rounds=2"])
+    assert (r1.stat().st_mtime_ns, r2.stat().st_mtime_ns) == mtimes
