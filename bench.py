@@ -50,6 +50,9 @@ def _probe_backend(timeout_s: int = 180) -> bool:
     import subprocess
     import sys
 
+    # Healthy runs pay one extra backend init (~tens of seconds) for the
+    # guarantee that a dead tunnel produces a diagnostic line instead of an
+    # indefinite driver hang — the right trade for an unattended benchmark.
     try:
         r = subprocess.run(
             [sys.executable, "-c", "import jax; print(jax.devices())"],

@@ -72,27 +72,8 @@ def load_encoder(model_name: str, pretrain_dir: str | None, random_init: bool,
 
 
 
-def _check_finetuned_tree(restored, reference, source: str):
-    """Restored fine-tuned tree must match the --model_name architecture
-    (same structure and leaf shapes) — fail clearly instead of a cryptic
-    shape error at the first forward."""
-    import jax
+from ..core.trees import check_tree_like as _check_finetuned_tree
 
-    s1 = jax.tree_util.tree_structure(restored)
-    s2 = jax.tree_util.tree_structure(reference)
-    if s1 != s2:
-        raise ValueError(
-            f"{source}: checkpoint tree does not match the selected "
-            f"model architecture (structure mismatch)")
-    bad = [
-        (a.shape, b.shape)
-        for a, b in zip(jax.tree_util.tree_leaves(restored),
-                        jax.tree_util.tree_leaves(reference))
-        if getattr(a, "shape", None) != getattr(b, "shape", None)]
-    if bad:
-        raise ValueError(
-            f"{source}: checkpoint leaf shapes do not match the selected "
-            f"model architecture (e.g. {bad[0][0]} vs {bad[0][1]})")
 
 def main(argv=None):
     from ..core.cache import enable_persistent_cache
@@ -139,8 +120,9 @@ def main(argv=None):
     resolve_dataset_args(args, audio_dir="audio", save_dir="features")
 
     level = "UTT" if args.feature_level == "UTTERANCE" else "FRA"
-    _l = args.model_name.lower()
-    if _l.startswith("wav2vec") and not _l.startswith("wav2vec2"):
+    lname = args.model_name.lower()
+    w2v1 = lname.startswith("wav2vec") and not lname.startswith("wav2vec2")
+    if w2v1:
         # reference writes feature-encoder and context features to two
         # stores: {model}-z-{level} / {model}-c-{level}
         # (extract_wav2vec_embedding.py:36-43)
@@ -153,8 +135,6 @@ def main(argv=None):
         out_dir_c = None
     os.makedirs(out_dir, exist_ok=True)
 
-    lname = args.model_name.lower()
-    w2v1 = lname.startswith("wav2vec") and not lname.startswith("wav2vec2")
     if "whisper" in lname:
         from ..features.audio import WhisperAudioExtractor
 
@@ -210,7 +190,7 @@ def main(argv=None):
             w2v_cfg = Wav2Vec1Config()
             params = wav2vec1_from_fairseq(dict(sd), w2v_cfg)
         ex = Wav2Vec1Extractor(params, w2v_cfg)
-    elif "imagebind" in args.model_name.lower():
+    elif "imagebind" in lname:
         import jax
 
         from ..encoders.imagebind import (ImageBindAudioConfig,
@@ -261,7 +241,12 @@ def main(argv=None):
         for f in batch_files:
             name = os.path.splitext(os.path.basename(f))[0]
             out_path = os.path.join(out_dir, name + ".npy")
-            if os.path.exists(out_path):  # idempotent skip (reference behavior)
+            done_z = os.path.exists(out_path)
+            # dual-output runs resume only when BOTH stores have the clip
+            # (an interrupted run may have written z but not c)
+            done_c = (out_dir_c is None or
+                      os.path.exists(os.path.join(out_dir_c, name + ".npy")))
+            if done_z and done_c:  # idempotent skip (reference behavior)
                 continue
             wavs[name] = wav_io.read_wav_16k(f)
         return wavs

@@ -101,7 +101,7 @@ def main(argv=None):
             # text backbone) replaces the converted HF weights
             import orbax.checkpoint as ocp
 
-            from .extract_audio import _check_finetuned_tree
+            from ..core.trees import check_tree_like as _check_finetuned_tree
 
             restored = ocp.PyTreeCheckpointer().restore(
                 os.path.abspath(args.finetuned_ckpt))

@@ -33,7 +33,7 @@ def _finetuned_override(args, params):
     if getattr(args, "finetuned_ckpt", None):
         import orbax.checkpoint as ocp
 
-        from .extract_audio import _check_finetuned_tree
+        from ..core.trees import check_tree_like as _check_finetuned_tree
 
         restored = ocp.PyTreeCheckpointer().restore(
             os.path.abspath(args.finetuned_ckpt))

@@ -160,7 +160,7 @@ def main(argv=None):
         rids = []
         for n in names:
             ids = encode_prompt(tok, name2reason[n])
-            rids.append(eng.submit(emb_table[ids]))
+            rids.append(eng.submit(emb_table[ids], prompt_ids=ids))
         results = eng.run()
         responses = [postprocess_openset(
             tok.decode(results[r], skip_special_tokens=True)) for r in rids]

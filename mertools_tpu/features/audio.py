@@ -449,6 +449,29 @@ class ImageBindAudioExtractor:
         return out
 
 
+# Whole-clip buckets for the single-forward extractors: the reference's
+# vggish / wav2vec-1.0 scripts run the ENTIRE waveform through one forward
+# (no 10 s segmenting), and wav2vec-1.0's instance norms are global over
+# time so chunking would change the statistics. Clips beyond the last
+# bucket truncate with a loud warning.
+WHOLECLIP_BUCKETS = DEFAULT_BUCKETS + (240000, 320000, 480000, 960000)
+
+
+def _bucket_groups(wavs: dict, buckets: tuple, what: str) -> dict:
+    """name->wav dict -> {bucket_len: [(name, wav), ...]} with truncation
+    warnings past the last bucket."""
+    by_bucket: dict[int, list] = {}
+    for name, w in wavs.items():
+        w = np.asarray(w, np.float32)
+        if len(w) > buckets[-1]:
+            print(f"WARNING: {what}: clip {name!r} is {len(w)} samples; "
+                  f"truncating to {buckets[-1]} ({buckets[-1] / 16000:.0f} s)")
+            w = w[: buckets[-1]]
+        bucket = next((b for b in buckets if len(w) <= b), buckets[-1])
+        by_bucket.setdefault(bucket, []).append((name, w))
+    return by_bucket
+
+
 class VGGishExtractor:
     """VGGish AudioSet path (extract_vggish_embedding.py + the vendored
     vggish/ TF1 code): wav -> 0.96 s log-mel patches (96, 64) -> VGG stack
@@ -457,7 +480,7 @@ class VGGishExtractor:
     kept patches are pad-invariant)."""
 
     def __init__(self, params, batch_size: int = 8,
-                 buckets: tuple = DEFAULT_BUCKETS):
+                 buckets: tuple = WHOLECLIP_BUCKETS):
         import jax
 
         from ..encoders.audio_zoo import vggish_extract
@@ -467,21 +490,12 @@ class VGGishExtractor:
         self._params = jax.device_put(params)
         self._fwd = jax.jit(vggish_extract)
 
-    def _bucket(self, n):
-        for b in self.buckets:
-            if n <= b:
-                return b
-        return self.buckets[-1]
-
     def extract(self, wavs: dict[str, np.ndarray], level: str = "FRA"
                 ) -> dict[str, np.ndarray]:
         import jax.numpy as jnp
 
         _WIN, _HOP, _PF = 400, 160, 96
-        by_bucket: dict[int, list] = {}
-        for name, w in wavs.items():
-            w = np.asarray(w, np.float32)[: self.buckets[-1]]
-            by_bucket.setdefault(self._bucket(len(w)), []).append((name, w))
+        by_bucket = _bucket_groups(wavs, self.buckets, "vggish")
         out = {}
         pending = []
         for bucket, items in sorted(by_bucket.items()):
@@ -511,7 +525,7 @@ class Wav2Vec1Extractor:
     right-padded rows bit-equal to per-clip execution (audio_zoo.Wav2Vec1)."""
 
     def __init__(self, params, cfg=None, batch_size: int = 8,
-                 buckets: tuple = DEFAULT_BUCKETS):
+                 buckets: tuple = WHOLECLIP_BUCKETS):
         import jax
 
         from ..encoders.audio_zoo import Wav2Vec1, Wav2Vec1Config
@@ -528,12 +542,6 @@ class Wav2Vec1Extractor:
 
         self._fwd = fwd
 
-    def _bucket(self, n):
-        for b in self.buckets:
-            if n <= b:
-                return b
-        return self.buckets[-1]
-
     def extract_zc(self, wavs: dict[str, np.ndarray], level: str = "FRA"
                    ) -> tuple[dict, dict]:
         """Returns (z_feats, c_feats) dicts."""
@@ -541,10 +549,7 @@ class Wav2Vec1Extractor:
 
         from ..encoders.audio_zoo import w2v1_out_lengths
 
-        by_bucket: dict[int, list] = {}
-        for name, w in wavs.items():
-            w = np.asarray(w, np.float32)[: self.buckets[-1]]
-            by_bucket.setdefault(self._bucket(len(w)), []).append((name, w))
+        by_bucket = _bucket_groups(wavs, self.buckets, "wav2vec-1.0")
         zs, cs = {}, {}
         pending = []
         for bucket, items in sorted(by_bucket.items()):

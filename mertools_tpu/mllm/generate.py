@@ -59,9 +59,11 @@ def batch_generate_texts(cfg, params, emb_table, ids_by_key: dict, tok, *,
         B = batch
         embeds = np.zeros((B, S, cfg.hidden_size), np.float32)
         mask = np.zeros((B, S), np.int32)
+        pids = np.zeros((B, S), np.int64)
         for b, ids in enumerate(ids_list):
             embeds[b, : len(ids)] = emb_table[ids]
             mask[b, : len(ids)] = 1
+            pids[b, : len(ids)] = ids
         for b in range(len(group), B):
             mask[b, 0] = 1  # dummy rows decode garbage that is discarded
         tokens = np.asarray(generate(
@@ -69,7 +71,9 @@ def batch_generate_texts(cfg, params, emb_table, ids_by_key: dict, tok, *,
             max_new_tokens=max_new_tokens, temperature=temperature,
             top_p=top_p, repetition_penalty=repetition_penalty,
             eos_token_id=int(tok.eos_token_id), kv_int8=kv_int8,
-            prng_key=jax.random.PRNGKey(i)))
+            prng_key=jax.random.PRNGKey(i),
+            prompt_token_ids=(jnp.asarray(pids)
+                              if repetition_penalty != 1.0 else None)))
         for b, k in enumerate(group):
             toks = tokens[b]
             stop = np.nonzero(toks == tok.eos_token_id)[0]
@@ -333,13 +337,18 @@ def _sample(logits, key, temperature, top_p, seen_counts=None,
 def generate(cfg, params, inputs_embeds, attention_mask, *,
              max_new_tokens: int = 64, temperature: float = 0.0,
              top_p: float = 0.9, eos_token_id: int = 2, prng_key=None,
-             repetition_penalty: float = 1.0, kv_int8: bool = False):
+             repetition_penalty: float = 1.0, kv_int8: bool = False,
+             prompt_token_ids=None):
     """Batched generation from (possibly AV-spliced) prompt embeddings.
 
     inputs_embeds (B, S, H) right-padded, attention_mask (B, S).
     Returns (B, max_new_tokens) int32, EOS-padded after first EOS.
     ``kv_int8``: per-token-per-head int8 KV cache — half the cache memory
     and read bandwidth (the long-context decode bound); ~1e-2 logit class.
+    ``prompt_token_ids`` (B, S) seeds the repetition penalty with the
+    prompt tokens (vLLM/HF semantics penalize prompt + output); without
+    them only generated tokens are penalized (AV-spliced prompts have no
+    token ids for the spliced positions).
     """
     B, S, _ = inputs_embeds.shape
     L = S + max_new_tokens
@@ -352,6 +361,10 @@ def generate(cfg, params, inputs_embeds, attention_mask, *,
 
     B_ = inputs_embeds.shape[0]
     seen0 = jnp.zeros((B_, cfg.vocab_size), jnp.int32)
+    if prompt_token_ids is not None and repetition_penalty != 1.0:
+        rows = jnp.arange(B_)[:, None]
+        seen0 = seen0.at[rows, prompt_token_ids].add(
+            attention_mask.astype(jnp.int32))
 
     k0, key = jax.random.split(key)
     first = _sample(logits0, k0, temperature, top_p, seen0,

@@ -38,21 +38,39 @@ def _sample_step(logits, key, seen, slots, temperature: float, top_p: float,
                  repetition_penalty: float):
     """Sample next tokens for every slot on device and scatter-update the
     per-slot seen-token counts (generate._sample semantics: greedy at
-    temperature 0, else top-p; HF-style repetition penalty over tokens
-    already generated in the slot)."""
+    temperature 0, else top-p; vLLM/HF repetition penalty over prompt +
+    generated tokens)."""
     toks = _sample(logits, key, temperature, top_p, seen, repetition_penalty)
     seen = seen.at[slots, toks].add(1)
     return toks, seen
 
 
+@functools.partial(jax.jit, static_argnames=("temperature", "top_p"))
+def _sample_plain(logits, key, temperature: float, top_p: float):
+    """No-penalty sampling: skips the (n_slots, vocab) seen-count churn
+    entirely (the greedy/no-penalty hot path)."""
+    return _sample(logits, key, temperature, top_p)
+
+
 @functools.partial(jax.jit, static_argnames=("temperature", "top_p",
                                              "repetition_penalty"))
-def _admit_sample(logits, key, seen, slots, temperature: float, top_p: float,
+def _admit_sample(logits, key, seen, slots, prompt_ids, prompt_counts_mask,
+                  temperature: float, top_p: float,
                   repetition_penalty: float):
     """First-token sampling for freshly admitted slots: reset their
-    seen-token rows, sample, record."""
-    seen = seen.at[slots].set(0)
-    toks = _sample(logits, key, temperature, top_p, seen[slots],
+    seen-token rows, seed them with the PROMPT tokens (vLLM's
+    repetition_penalty covers prompt + output), sample, record.
+
+    Padded dummy rows carry slot index == n_slots (out of bounds): their
+    scatter writes drop, and their gathered seen rows clip harmlessly —
+    the sampled tokens for those rows are discarded by the caller. Shapes
+    stay at the pow2-padded admission batch, so compiles stay bounded."""
+    valid = (slots < seen.shape[0])
+    safe = jnp.minimum(slots, seen.shape[0] - 1)
+    seen = seen.at[slots].set(0)                       # OOB rows drop
+    counts = prompt_counts_mask * valid[:, None].astype(jnp.int32)
+    seen = seen.at[slots[:, None], prompt_ids].add(counts)
+    toks = _sample(logits, key, temperature, top_p, seen[safe],
                    repetition_penalty)
     seen = seen.at[slots, toks].add(1)
     return toks, seen
@@ -146,7 +164,8 @@ class ContinuousBatcher:
         self.temperature = float(temperature)
         self.top_p = float(top_p)
         self.repetition_penalty = float(repetition_penalty)
-        self.seen = jnp.zeros((n_slots, cfg.vocab_size), jnp.int32)
+        self.seen = (jnp.zeros((n_slots, cfg.vocab_size), jnp.int32)
+                     if repetition_penalty != 1.0 else None)
         self._key = jax.random.PRNGKey(seed)
         self.n_slots = n_slots
         self.max_len = max_len
@@ -171,11 +190,15 @@ class ContinuousBatcher:
         self.finished: dict = {}
 
     # -- request admission ---------------------------------------------------
-    def submit(self, prompt_embeds: np.ndarray) -> int:
-        """prompt_embeds: (S, H). Returns request id."""
+    def submit(self, prompt_embeds: np.ndarray, prompt_ids=None) -> int:
+        """prompt_embeds: (S, H). ``prompt_ids`` (S,) seeds the repetition
+        penalty with the prompt tokens (vLLM semantics); omit for
+        penalty-free serving. Returns request id."""
         rid = self._next_rid
         self._next_rid += 1
-        self.queue.append((rid, np.asarray(prompt_embeds, np.float32)))
+        self.queue.append((rid, np.asarray(prompt_embeds, np.float32),
+                           None if prompt_ids is None
+                           else np.asarray(prompt_ids, np.int64)))
         return rid
 
     def _bucket(self, n):
@@ -189,24 +212,25 @@ class ContinuousBatcher:
         if not (free and self.queue):
             return
         take = min(len(free), len(self.queue))
-        pending = []  # (slot, rid, emb (S,H) truncated, bucket)
+        pending = []  # (slot, rid, emb (S,H) truncated, ids|None, bucket)
         for slot in free[:take]:
-            rid, emb = self.queue.pop(0)
+            rid, emb, pids = self.queue.pop(0)
             S = min(len(emb), self.max_len - self.max_new)
             pad = self._bucket(S)
             S = min(S, pad)  # prompts beyond the largest bucket truncate
-            pending.append((slot, rid, emb[:S], pad))
+            pending.append((slot, rid, emb[:S],
+                            None if pids is None else pids[:S], pad))
         if self.admit_batched:
             # one prefill per bucket for ALL admitted requests: B=1 serial
             # prefills leave the MXU idle exactly when the queue is deepest
             # (the submit-all-then-run extraction workload). B pads to a
             # power of two so compile count stays O(buckets x log n_slots).
-            for bucket in sorted({p[3] for p in pending}):
-                grp = [p for p in pending if p[3] == bucket]
+            for bucket in sorted({p[4] for p in pending}):
+                grp = [p for p in pending if p[4] == bucket]
                 self._admit_group(grp, bucket)
         else:
             for p in pending:
-                self._admit_group([p], p[3])
+                self._admit_group([p], p[4])
 
     @staticmethod
     def _pow2(n: int) -> int:
@@ -222,9 +246,14 @@ class ContinuousBatcher:
         B = self._pow2(len(grp)) if self.admit_batched else 1
         e = np.zeros((B, bucket, H), np.float32)
         m = np.zeros((B, bucket), np.int32)
-        for b, (_, _, emb, _) in enumerate(grp):
+        ids = np.zeros((B, bucket), np.int64)
+        cmask = np.zeros((B, bucket), np.int32)
+        for b, (_, _, emb, pids, _) in enumerate(grp):
             e[b, : len(emb)] = emb
             m[b, : len(emb)] = 1
+            if pids is not None:
+                ids[b, : len(pids)] = pids
+                cmask[b, : len(pids)] = 1
         for b in range(len(grp), B):
             m[b, 0] = 1  # dummy padding rows (discarded)
         logits, k, v, _ = _prefill_full(self.cfg, self.params,
@@ -234,11 +263,18 @@ class ContinuousBatcher:
         self.k_cache = self.k_cache.at[:, slots, :bucket].set(k[:, : len(grp)])
         self.v_cache = self.v_cache.at[:, slots, :bucket].set(v[:, : len(grp)])
         self._key, k1 = jax.random.split(self._key)
-        toks, self.seen = _admit_sample(
-            logits[: len(grp)], k1, self.seen, jnp.asarray(slots),
-            self.temperature, self.top_p, self.repetition_penalty)
-        first = np.asarray(toks)
-        for b, (slot, rid, emb, _) in enumerate(grp):
+        if self.repetition_penalty != 1.0:
+            # padded rows get slot index n_slots (out of bounds -> dropped)
+            slots_pad = np.full(B, self.n_slots, np.int64)
+            slots_pad[: len(grp)] = slots
+            toks, self.seen = _admit_sample(
+                logits, k1, self.seen, jnp.asarray(slots_pad),
+                jnp.asarray(ids), jnp.asarray(cmask),
+                self.temperature, self.top_p, self.repetition_penalty)
+        else:
+            toks = _sample_plain(logits, k1, self.temperature, self.top_p)
+        first = np.asarray(toks)[: len(grp)]
+        for b, (slot, rid, emb, pids, _) in enumerate(grp):
             S = len(emb)
             self.kv_mask[slot] = False
             self.kv_mask[slot, :S] = True
@@ -278,9 +314,12 @@ class ContinuousBatcher:
             jnp.asarray(mask), self.k_cache, self.v_cache,
             jnp.asarray(self.active))
         self._key, k1 = jax.random.split(self._key)
-        toks2, self.seen = _sample_step(
-            logits, k1, self.seen, jnp.arange(self.n_slots),
-            self.temperature, self.top_p, self.repetition_penalty)
+        if self.repetition_penalty != 1.0:
+            toks2, self.seen = _sample_step(
+                logits, k1, self.seen, jnp.arange(self.n_slots),
+                self.temperature, self.top_p, self.repetition_penalty)
+        else:  # no-penalty hot path: skip the seen-count churn entirely
+            toks2 = _sample_plain(logits, k1, self.temperature, self.top_p)
         nxt = np.asarray(toks2).astype(np.int32)
         for slot in range(self.n_slots):
             if not self.active[slot]:

@@ -230,8 +230,12 @@ def _detect_single_scale(ii, sq, casc: Cascade, stride: int):
         wts = casc.weights[st.feat_idx]            # (K, 3)
         sums = _rect_sums(ii, ys, xs, rects)       # (K, 3, P)
         fv = np.einsum("kr,krp->kp", wts, sums) * vnf[None]
+        # float64 stage sums: np.where(bool, f32, f32) would sum in float32
+        # while the native evaluator accumulates in double — keep both paths
+        # in f64 so they only differ by summation order (~1e-16)
         contrib = np.where(fv < st.stump_thr[:, None],
-                           st.leaves[:, 0][:, None], st.leaves[:, 1][:, None])
+                           st.leaves[:, 0][:, None].astype(np.float64),
+                           st.leaves[:, 1][:, None].astype(np.float64))
         keep = contrib.sum(0) >= st.threshold
         ys, xs, vnf = ys[keep], xs[keep], vnf[keep]
     return ys, xs
