@@ -126,3 +126,36 @@ def test_engine_sampling_reproducible(engine_llm, rng):
         assert all(0 <= t < cfg.vocab_size for t in toks)
     c = run(123)
     assert a != c                      # sampling actually samples
+
+
+def test_engine_prompt_ids_seed_repetition_penalty(engine_llm, rng):
+    """submit(prompt_ids=...) seeds the penalty with the PROMPT tokens
+    (vLLM semantics): a strong penalty on the greedy token flips the first
+    sampled token when that token appeared in the prompt."""
+    cfg, params = engine_llm
+    eos = 88
+    emb = rng.normal(size=(6, 32)).astype(np.float32) * 0.1
+
+    # baseline greedy token without any penalty
+    eng = ContinuousBatcher(cfg, params, n_slots=2, max_len=64,
+                            eos_token_id=eos, max_new_tokens=1,
+                            prefill_buckets=(8, 16))
+    rid = eng.submit(emb)
+    base = eng.run()[rid][0]
+
+    # penalizing a token NOT in the prompt changes nothing
+    other = (base + 1) % cfg.vocab_size
+    eng = ContinuousBatcher(cfg, params, n_slots=2, max_len=64,
+                            eos_token_id=eos, max_new_tokens=1,
+                            prefill_buckets=(8, 16), temperature=0.0,
+                            repetition_penalty=1e6)
+    rid = eng.submit(emb, prompt_ids=[other] * 6)
+    assert eng.run()[rid][0] == base
+
+    # a massive penalty on the greedy token (present in the prompt) flips it
+    eng = ContinuousBatcher(cfg, params, n_slots=2, max_len=64,
+                            eos_token_id=eos, max_new_tokens=1,
+                            prefill_buckets=(8, 16), temperature=0.0,
+                            repetition_penalty=1e6)
+    rid = eng.submit(emb, prompt_ids=[base] * 6)
+    assert eng.run()[rid][0] != base
