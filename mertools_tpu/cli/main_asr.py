@@ -8,9 +8,11 @@
 Subcommands mirror the reference entry points:
 - ``generate``: wav dir -> transcription.csv (name,sentence) — wenet decode
   loop replaced by batched Whisper on TPU (main-asr.py:11-33).
-- ``punctuate``: punctuation refinement of an existing CSV
-  (paddlespeech TextExecutor replacement, main-asr.py:37-59) via simple
-  rule-based segmentation (LLM pass optional, see mllm/).
+- ``punctuate``: punctuation restoration of an existing CSV
+  (paddlespeech TextExecutor replacement, main-asr.py:37-59) via a batched
+  local-LLM pass (``--model``); content-preservation is enforced — any
+  model output whose punctuation-stripped text differs from the input falls
+  back to the rule-based segmentation (period append).
 - ``merge``: prefer human-checked transcripts (main-asr.py:63-93).
 """
 
@@ -61,19 +63,82 @@ def cmd_generate(args):
     print(f"wrote {len(names)} transcripts -> {args.save_path}")
 
 
+PUNCT_PROMPT = (
+    "Add punctuation marks to the following transcript. Do not add, remove "
+    "or change any words — only insert punctuation. Answer with the "
+    "punctuated transcript only.\nTranscript: {text}\nPunctuated:")
+
+_PUNCT_CHARS = set("。，、！？；：.,!?;: \t\"'“”‘’（）()[]【】-—…~·")
+
+
+def _strip_punct(s: str) -> str:
+    return "".join(c for c in s if c not in _PUNCT_CHARS).lower()
+
+
+def _rule_punctuate(s: str) -> str:
+    s = (s or "").strip()
+    if s and s[-1] not in "。.!?！？":
+        s = s + "。"
+    return s
+
+
+def restore_punctuation(sentences: list[str], decoded: dict) -> tuple[list[str], int]:
+    """Merge LLM punctuation outputs with a content-preservation check
+    (the reference's paddlespeech TextExecutor never alters the words,
+    main-asr.py:37-59 — enforce the same contract on the LLM). Returns
+    (refined sentences, #rows where the LLM output was accepted)."""
+    out, accepted = [], 0
+    for i, s in enumerate(sentences):
+        s = (s or "").strip()
+        if not s:            # reference keeps NaN rows empty
+            out.append("")
+            continue
+        cand = (decoded.get(i) or "").strip()
+        if cand and _strip_punct(cand) == _strip_punct(s):
+            out.append(cand)
+            accepted += 1
+        else:
+            out.append(_rule_punctuate(s))
+    return out, accepted
+
+
 def cmd_punctuate(args):
-    """Rule-based sentence segmentation: insert a comma at long pauses is not
-    recoverable from text alone, so fall back to appending a period and
-    normalizing whitespace; an LLM pass (mllm/) can replace this."""
+    """Punctuation restoration (reference: paddlespeech TextExecutor per row,
+    main-asr.py:37-59). With ``--model``: batched local-LLM restoration via
+    the shared KV-cached decode scheduler; outputs that fail the
+    content-preservation check fall back to rule-based segmentation.
+    Without ``--model``: rule-based only."""
     names, rows = _read_csv_col(args.old_path, "name")
     sents, _ = _read_csv_col(args.old_path, "sentence")
-    out = []
-    for n, s in zip(names, sents):
-        s = (s or "").strip()
-        if s and s[-1] not in "。.!?！？":
-            s = s + "。"
-        out.append((n, s))
-    _write_csv(args.new_path, ["name", "sentence"], out)
+    sents = [(s or "").strip() for s in sents]
+
+    decoded = {}
+    if args.model:
+        from ..core.cache import enable_persistent_cache
+        enable_persistent_cache()
+        import numpy as np
+        from transformers import AutoModelForCausalLM, AutoTokenizer
+
+        from ..mllm.generate import batch_generate_texts
+        from ..mllm.llm import LLMConfig, convert_torch_state
+
+        hf = AutoModelForCausalLM.from_pretrained(args.model)
+        cfg = LLMConfig.from_hf(hf.config)
+        params = convert_torch_state(cfg, hf.state_dict())
+        del hf
+        tok = AutoTokenizer.from_pretrained(args.model)
+        emb_table = np.asarray(params["embed_tokens"]["embedding"])
+        ids_by_idx = {i: tok.encode(PUNCT_PROMPT.format(text=s[:1000]))
+                      for i, s in enumerate(sents) if s}
+        decoded = batch_generate_texts(
+            cfg, params, emb_table, ids_by_idx, tok, batch=args.batch,
+            max_new_tokens=args.max_new_tokens, progress=print)
+
+    out, accepted = restore_punctuation(sents, decoded)
+    if args.model:
+        print(f"LLM punctuation accepted on {accepted}/"
+              f"{sum(bool(s) for s in sents)} rows (rest rule-based)")
+    _write_csv(args.new_path, ["name", "sentence"], zip(names, out))
     print(f"wrote {len(out)} refined transcripts -> {args.new_path}")
 
 
@@ -104,6 +169,11 @@ def main(argv=None):
     r = sub.add_parser("punctuate")
     r.add_argument("--old_path", required=True)
     r.add_argument("--new_path", required=True)
+    r.add_argument("--model", default=None,
+                   help="HF causal-LM checkpoint for the punctuation pass "
+                        "(omit for rule-based segmentation only)")
+    r.add_argument("--batch", type=int, default=8)
+    r.add_argument("--max_new_tokens", type=int, default=192)
     r.set_defaults(fn=cmd_punctuate)
 
     m = sub.add_parser("merge")

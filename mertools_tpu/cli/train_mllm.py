@@ -265,6 +265,15 @@ def main(argv=None):
         print(f"batch_size {run_cfg.batch_size} not divisible by data axis "
               f"{n_data}; running single-device")
     runner = Runner(run_cfg, model, params, mesh=mesh)
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        from jax.sharding import PartitionSpec as P
+
+        n_sharded = sum(
+            1 for leaf in jax.tree_util.tree_leaves(runner.state.params)
+            if getattr(getattr(leaf, "sharding", None), "spec", P()) != P())
+        assert n_sharded > 0, "--n_model > 1 but no param leaf is sharded"
+        print(f"tensor parallel: {n_sharded} param leaves sharded over the "
+              f"'model' axis (n_model={args.n_model}, n_data={n_data})")
     os.makedirs(run_cfg.output_dir, exist_ok=True)
 
     start_epoch = 0

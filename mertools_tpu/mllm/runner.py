@@ -87,15 +87,46 @@ class Runner:
             labels_fn=lambda p: trainable_labels(p, cfg.frozen))
         if cfg.accum_grad_iters > 1:
             tx = optax.MultiSteps(tx, cfg.accum_grad_iters)
-        self.state = MLLMTrainState.create(
-            apply_fn=model.apply, params=params, tx=tx)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            self.state = jax.device_put(self.state, NamedSharding(mesh, P()))
+            n_model = mesh.shape.get("model", 1)
+            if n_model > 1:
+                # PRODUCTION tensor parallelism: shard the LLM's attention/MLP
+                # kernels over the 'model' axis (Megatron layout, parallel/tp)
+                # and build the optimizer state UNDER JIT so GSPMD propagates
+                # the param shardings into adamw's m/v — optimizer memory
+                # scales 1/n_model too. (The reference's only distributed
+                # production path is the DDP wrap at runner_base.py:100; TP
+                # is the TPU-native addition for LLMs too big to replicate.)
+                from ..parallel.tp import llm_param_specs
+
+                specs = llm_param_specs(params)
+                params = jax.tree_util.tree_map(
+                    lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
+                    params, specs)
+                make_state = lambda p: MLLMTrainState.create(
+                    apply_fn=model.apply, params=p, tx=tx)
+                # adamw's m/v are zeros_like(params) — constants under jit,
+                # so sharding must be REQUESTED, not propagated. The spec
+                # rules are path-name based, so they apply to the m/v trees
+                # (structurally copies of params) inside the abstract state.
+                abstract = jax.eval_shape(make_state, params)
+                out_sh = jax.tree_util.tree_map(
+                    lambda s: NamedSharding(mesh, s),
+                    llm_param_specs(abstract))
+                self.state = jax.jit(
+                    make_state, out_shardings=out_sh)(params)
+            else:
+                self.state = MLLMTrainState.create(
+                    apply_fn=model.apply, params=params, tx=tx)
+                self.state = jax.device_put(
+                    self.state, NamedSharding(mesh, P()))
             self._batch_sharding = lambda v: NamedSharding(
                 mesh, P("data", *([None] * (np.asarray(v).ndim - 1))))
         else:
+            self.state = MLLMTrainState.create(
+                apply_fn=model.apply, params=params, tx=tx)
             self._batch_sharding = None
         self._history: list[dict] = []
 
@@ -184,7 +215,13 @@ class Runner:
         loaded = restored["params"]
 
         def merge(cur, new):
-            return cur if new is None else jnp.asarray(new)
+            if new is None:
+                return cur
+            arr = jnp.asarray(new)
+            sh = getattr(cur, "sharding", None)
+            # keep the live leaf's sharding (TP/replicated) so the donated
+            # train_step input keeps a consistent layout after resume
+            return jax.device_put(arr, sh) if sh is not None else arr
 
         params = jax.tree_util.tree_map(
             merge, self.state.params, loaded,
