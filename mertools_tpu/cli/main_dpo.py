@@ -9,10 +9,14 @@ equivalent).
     python -m mertools_tpu.cli.main_dpo score --result_npz=result.npz \
         [--metric=twoclass|threeclass]
 
-label_csv columns: name, a1, a2[, preference]. Judging runs the
-AffectGPT-backed batched judge; scoring reproduces the 2/3-class WAF+ACC
-metrics (utils/common.py:67-107). Idempotent: existing save_npz is skipped
-(main_dpo_sample.py:19-20).
+label_csv columns: name, a1, a2[, preference]. ``--judge`` selects the
+model family (the reference's per-model ``utils/*.py`` wrappers):
+``affectgpt`` (our trained MLLM over feature stores, batched on TPU),
+``qwen2audio`` (TPU-converted HF checkpoint over raw wavs,
+utils/qwen2audio.py), ``gpt``/``gemini`` (API callers with the reference's
+retry semantics, utils/{gpt,gemini}.py). Scoring reproduces the 2/3-class
+WAF+ACC metrics (utils/common.py:67-107). Idempotent: existing save_npz is
+skipped (main_dpo_sample.py:19-20).
 """
 
 from __future__ import annotations
@@ -24,6 +28,61 @@ import os
 import numpy as np
 
 
+def _make_caller_factory(args):
+    """Returns (caller_factory(round) -> caller, sample_builder(row) -> dict).
+
+    ``--judge`` selects the model family (the reference's 21 utils/*.py
+    wrappers behind one flag): affectgpt (our trained MLLM over feature
+    stores), qwen2audio (HF checkpoint, raw wavs), gpt / gemini (API
+    callers over raw media)."""
+    def load_feat(d, name):
+        x = np.load(os.path.join(d, name + ".npy")).astype(np.float32)
+        return x[None] if x.ndim == 1 else x
+
+    if args.judge == "affectgpt":
+        from transformers import AutoTokenizer
+
+        from ..mllm.chat import Chat
+        from ..mllm.runner import restore_model
+        from ..preference.judge import mllm_caller
+
+        assert args.ckpt and args.video_feat_dir and args.audio_feat_dir
+        model, params = restore_model(args.ckpt)
+        tok = AutoTokenizer.from_pretrained(args.tokenizer)
+        chat = Chat(model, params, tok, max_new_tokens=args.max_new_tokens,
+                    temperature=args.temperature)
+        sample = lambda r: {
+            "video_feats": load_feat(args.video_feat_dir, r["name"]),
+            "audio_feats": load_feat(args.audio_feat_dir, r["name"])}
+        return (lambda rnd: mllm_caller(chat, seed=rnd)), sample
+
+    if args.judge == "qwen2audio":
+        from ..preference.qwen2audio import Qwen2AudioCaller
+
+        assert args.ckpt and args.audio_dir, "--judge qwen2audio needs " \
+            "--ckpt (HF checkpoint) and --audio_dir (16 kHz wavs)"
+        caller = Qwen2AudioCaller(args.ckpt, batch=args.batch,
+                                  max_new_tokens=args.max_new_tokens)
+        sample = lambda r: {
+            "audio_path": os.path.join(args.audio_dir, r["name"] + ".wav")}
+        return (lambda rnd: caller), sample
+
+    if args.judge in ("gpt", "gemini"):
+        from ..preference.api_callers import GeminiCaller, GPTCaller
+
+        cls = GPTCaller if args.judge == "gpt" else GeminiCaller
+        caller = cls(args.model_name)
+        sample = lambda r: {
+            "audio_path": (os.path.join(args.audio_dir, r["name"] + ".wav")
+                           if args.audio_dir else None),
+            "video_path": (os.path.join(args.video_dir, r["name"] + ".mp4")
+                           if args.video_dir else None),
+            "input_type": args.input_type}
+        return (lambda rnd: caller), sample
+
+    raise ValueError(args.judge)
+
+
 def cmd_judge(args):
     from ..core.cache import enable_persistent_cache
     enable_persistent_cache()
@@ -31,22 +90,15 @@ def cmd_judge(args):
         print(f"{args.save_npz} exists, skip (idempotent)")
         return
 
-    from transformers import AutoTokenizer
+    from ..preference.judge import PreferenceJudge
 
-    from ..mllm.chat import Chat
-    from ..mllm.runner import restore_model
-    from ..preference.judge import PreferenceJudge, mllm_caller
-
-    model, params = restore_model(args.ckpt)
-    tok = AutoTokenizer.from_pretrained(args.tokenizer)
-    chat = Chat(model, params, tok, max_new_tokens=args.max_new_tokens,
-                temperature=args.temperature)
+    caller_factory, build_sample = _make_caller_factory(args)
 
     text_caller = None
     if args.pipeline in ("cot2", "cot3"):
         # the text-LLM variants judge with a separate language model
         # (cot_step3/4/5 route through get_completion_qwen_bacth)
-        from transformers import AutoModelForCausalLM
+        from transformers import AutoModelForCausalLM, AutoTokenizer
 
         from ..mllm.generate import batch_generate_texts
         from ..mllm.llm import LLMConfig, convert_torch_state
@@ -76,10 +128,6 @@ def cmd_judge(args):
     with open(args.label_csv, newline="", encoding="utf-8") as f:
         rows = list(csv.DictReader(f))
 
-    def load_feat(d, name):
-        x = np.load(os.path.join(d, name + ".npy")).astype(np.float32)
-        return x[None] if x.ndim == 1 else x
-
     for rnd in range(1, args.rounds + 1):
         if args.rounds > 1:
             base, ext = os.path.splitext(args.save_npz)
@@ -90,7 +138,7 @@ def cmd_judge(args):
         else:
             save_npz = args.save_npz
         # a fresh PRNG stream per round (meaningful with --temperature > 0)
-        judge = PreferenceJudge(mllm_caller(chat, seed=rnd))
+        judge = PreferenceJudge(caller_factory(rnd))
         gt_labels, pred_labels, descriptions = [], [], []
         for i in range(0, len(rows), args.batch):
             group = rows[i: i + args.batch]
@@ -99,8 +147,7 @@ def cmd_judge(args):
                     .replace("\t", " ").strip(),
                 "a2": (r["a2"] or "").replace("\n", " ")
                     .replace("\t", " ").strip(),
-                "video_feats": load_feat(args.video_feat_dir, r["name"]),
-                "audio_feats": load_feat(args.audio_feat_dir, r["name"]),
+                **build_sample(r),
             } for r in group]
             if args.pipeline == "cot":
                 labels, desc = judge.judge_cot(samples)
@@ -140,10 +187,24 @@ def main(argv=None):
 
     j = sub.add_parser("judge")
     j.add_argument("--label_csv", required=True)
-    j.add_argument("--ckpt", required=True)
-    j.add_argument("--tokenizer", required=True)
-    j.add_argument("--video_feat_dir", required=True)
-    j.add_argument("--audio_feat_dir", required=True)
+    j.add_argument("--judge", default="affectgpt",
+                   choices=["affectgpt", "qwen2audio", "gpt", "gemini"],
+                   help="judge model family (the reference's per-model "
+                        "utils/*.py wrappers)")
+    j.add_argument("--ckpt", default=None,
+                   help="affectgpt: trained checkpoint dir; qwen2audio: "
+                        "HF checkpoint path")
+    j.add_argument("--tokenizer", default=None)
+    j.add_argument("--video_feat_dir", default=None)
+    j.add_argument("--audio_feat_dir", default=None)
+    j.add_argument("--audio_dir", default=None,
+                   help="raw 16 kHz wavs (qwen2audio / gpt audio judging)")
+    j.add_argument("--video_dir", default=None,
+                   help="raw mp4s (gpt / gemini video judging)")
+    j.add_argument("--model_name", default="gpt-4.1-mini",
+                   help="API model name for --judge gpt/gemini")
+    j.add_argument("--input_type", default="video",
+                   choices=["video", "audio"])
     j.add_argument("--save_npz", required=True)
     j.add_argument("--pipeline", default="normal",
                    choices=["normal", "cot", "cot2", "cot3"],

@@ -73,11 +73,11 @@ class _EncLayer(nn.Module):
     precision: object = _PRECISION
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, bias=None):
         c = self.cfg
-        ln = lambda n: nn.LayerNorm(name=n)
+        ln = lambda n: nn.LayerNorm(epsilon=1e-5, name=n)  # torch default eps
         h = ln("self_attn_layer_norm")(x)
-        x = x + _attn(c, "self_attn", h, h, None, self.precision)
+        x = x + _attn(c, "self_attn", h, h, bias, self.precision)
         h = ln("final_layer_norm")(x)
         h = jax.nn.gelu(nn.Dense(c.ffn_dim, name="fc1", precision=self.precision)(h),
                         approximate=False)
@@ -91,7 +91,7 @@ class _DecLayer(nn.Module):
     @nn.compact
     def __call__(self, x, enc, causal_bias):
         c = self.cfg
-        ln = lambda n: nn.LayerNorm(name=n)
+        ln = lambda n: nn.LayerNorm(epsilon=1e-5, name=n)  # torch default eps
         h = ln("self_attn_layer_norm")(x)
         x = x + _attn(c, "self_attn", h, h, causal_bias, self.precision)
         h = ln("encoder_attn_layer_norm")(x)
@@ -122,7 +122,7 @@ class WhisperEncoder(nn.Module):
         x = x + pos[None, : x.shape[1]]
         for i in range(c.encoder_layers):
             x = _EncLayer(c, self.precision, name=f"layer_{i}")(x)
-        return nn.LayerNorm(name="layer_norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="layer_norm")(x)
 
 
 class WhisperDecoder(nn.Module):
@@ -142,7 +142,7 @@ class WhisperDecoder(nn.Module):
             jnp.arange(S)[:, None] >= jnp.arange(S)[None, :], 0.0, -1e30)
         for i in range(c.decoder_layers):
             x = _DecLayer(c, self.precision, name=f"layer_{i}")(x, enc, causal)
-        return nn.LayerNorm(name="layer_norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="layer_norm")(x)
 
 
 class WhisperModel(nn.Module):

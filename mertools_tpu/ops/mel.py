@@ -57,14 +57,13 @@ def mel_filter_bank(n_freqs: int = N_FFT // 2 + 1, n_mels: int = N_MELS,
     return (fb * enorm[:, None]).astype(np.float32)
 
 
-_MEL_FB = None
+_MEL_FB: dict = {}
 
 
-def _get_fb():
-    global _MEL_FB
-    if _MEL_FB is None:
-        _MEL_FB = mel_filter_bank()
-    return _MEL_FB
+def _get_fb(n_mels: int = N_MELS):
+    if n_mels not in _MEL_FB:
+        _MEL_FB[n_mels] = mel_filter_bank(n_mels=n_mels)
+    return _MEL_FB[n_mels]
 
 
 def pad_or_trim(wav: np.ndarray, length: int = CHUNK_SAMPLES) -> np.ndarray:
@@ -76,11 +75,12 @@ def pad_or_trim(wav: np.ndarray, length: int = CHUNK_SAMPLES) -> np.ndarray:
     return out
 
 
-def log_mel_spectrogram(wav: jnp.ndarray) -> jnp.ndarray:
-    """(B, 480000) float32 -> (B, 80, 3000) Whisper log-mel features.
+def log_mel_spectrogram(wav: jnp.ndarray, n_mels: int = N_MELS) -> jnp.ndarray:
+    """(B, 480000) float32 -> (B, n_mels, 3000) Whisper log-mel features.
 
     Matches WhisperFeatureExtractor: reflect-pad n_fft//2, Hann window, power
     spectrum, mel matmul, log10, clamp to (max - 8), (x + 4) / 4.
+    ``n_mels=128`` is the Qwen2-Audio / whisper-large-v3 feature extractor.
     """
     B, T = wav.shape
     pad = N_FFT // 2
@@ -92,7 +92,7 @@ def log_mel_spectrogram(wav: jnp.ndarray) -> jnp.ndarray:
     window = jnp.asarray(np.hanning(N_FFT + 1)[:-1].astype(np.float32))
     spec = jnp.fft.rfft(frames * window, axis=-1)
     power = (spec.real ** 2 + spec.imag ** 2).astype(jnp.float32)  # (B, F, 201)
-    fb = jnp.asarray(_get_fb())  # (80, 201)
+    fb = jnp.asarray(_get_fb(n_mels))  # (n_mels, 201)
     mel = jnp.einsum("bfk,mk->bmf", power, fb,
                      precision=jax.lax.Precision.HIGHEST)  # (B, 80, F)
     log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
