@@ -13,8 +13,9 @@ label_csv columns: name, a1, a2[, preference]. ``--judge`` selects the
 model family (the reference's per-model ``utils/*.py`` wrappers):
 ``affectgpt`` (our trained MLLM over feature stores, batched on TPU),
 ``qwen2audio`` (TPU-converted HF checkpoint over raw wavs,
-utils/qwen2audio.py), ``gpt``/``gemini`` (API callers with the reference's
-retry semantics, utils/{gpt,gemini}.py). Scoring reproduces the 2/3-class
+utils/qwen2audio.py), ``qwen25vl`` (TPU-converted HF checkpoint over raw
+videos, utils/qwen25vl.py), ``gpt``/``gemini`` (API callers with the
+reference's retry semantics, utils/{gpt,gemini}.py). Scoring reproduces the 2/3-class
 WAF+ACC metrics (utils/common.py:67-107). Idempotent: existing save_npz is
 skipped (main_dpo_sample.py:19-20).
 """
@@ -65,6 +66,17 @@ def _make_caller_factory(args):
                                   max_new_tokens=args.max_new_tokens)
         sample = lambda r: {
             "audio_path": os.path.join(args.audio_dir, r["name"] + ".wav")}
+        return (lambda rnd: caller), sample
+
+    if args.judge == "qwen25vl":
+        from ..preference.qwen25vl import Qwen25VLCaller
+
+        assert args.ckpt and args.video_dir, "--judge qwen25vl needs " \
+            "--ckpt (HF checkpoint) and --video_dir (mp4s)"
+        caller = Qwen25VLCaller(args.ckpt, batch=args.batch,
+                                max_new_tokens=args.max_new_tokens)
+        sample = lambda r: {
+            "video_path": os.path.join(args.video_dir, r["name"] + ".mp4")}
         return (lambda rnd: caller), sample
 
     if args.judge in ("gpt", "gemini"):
@@ -188,7 +200,8 @@ def main(argv=None):
     j = sub.add_parser("judge")
     j.add_argument("--label_csv", required=True)
     j.add_argument("--judge", default="affectgpt",
-                   choices=["affectgpt", "qwen2audio", "gpt", "gemini"],
+                   choices=["affectgpt", "qwen2audio", "qwen25vl", "gpt",
+                            "gemini"],
                    help="judge model family (the reference's per-model "
                         "utils/*.py wrappers)")
     j.add_argument("--ckpt", default=None,

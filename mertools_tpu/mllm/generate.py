@@ -146,10 +146,16 @@ def _lora_dense(p, x, alpha=16.0):
     return y
 
 
-def _rotary(x, positions, theta):
+def _rotary(x, positions, theta, mrope_section=None):
+    """positions: (B, S) / (B,) standard, or (B, S, 3) / (B, 3) M-RoPE
+    t/h/w ids (Qwen2.5-VL; frequency bands split per mrope_section)."""
     hd = x.shape[-1]
     inv_freq = 1.0 / (theta ** (np.arange(0, hd, 2, dtype=np.float32) / hd))
-    ang = positions[..., None].astype(jnp.float32) * inv_freq
+    if mrope_section is not None and positions.ndim == x.ndim - 1:
+        comp = np.repeat(np.arange(3), mrope_section)
+        ang = positions[..., comp].astype(jnp.float32) * inv_freq
+    else:
+        ang = positions[..., None].astype(jnp.float32) * inv_freq
     cos, sin = jnp.cos(ang), jnp.sin(ang)
     if x.ndim == 4:  # (B, S, N, hd)
         cos, sin = cos[:, :, None, :], sin[:, :, None, :]
@@ -179,18 +185,21 @@ def _mlp(lp, x, alpha=16.0):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "cache_len", "kv_int8"))
 def prefill(cfg, params, inputs_embeds, attention_mask, cache_len: int,
-            kv_int8: bool = False):
+            kv_int8: bool = False, positions=None):
     """One forward over the (right-padded) prompt, capturing KV caches.
 
     Returns (last_logits (B, V), k_cache, v_cache (layers, B, L, nkv, hd),
     n_valid (B,)). With ``kv_int8`` the caches are ``(int8 codes, scale)``
     tuples (per-token-per-head quantization; decode reads half the bytes).
+    ``positions`` overrides the cumsum default — (B, S, 3) for M-RoPE
+    models (cfg.mrope_section).
     """
     B, S, H = inputs_embeds.shape
     nh, nkv = cfg.num_heads, cfg.num_kv_heads
     hd = H // nh
     mask = attention_mask.astype(jnp.int32)
-    positions = jnp.clip(jnp.cumsum(mask, axis=1) - 1, 0, None)
+    if positions is None:
+        positions = jnp.clip(jnp.cumsum(mask, axis=1) - 1, 0, None)
     n_valid = jnp.sum(mask, axis=1)
 
     causal = (jnp.arange(S)[:, None] >= jnp.arange(S)[None, :])
@@ -203,8 +212,8 @@ def prefill(cfg, params, inputs_embeds, attention_mask, cache_len: int,
         lp = params[f"layer_{i}"]
         xn = _rms(lp["input_layernorm"], x, cfg.rms_norm_eps)
         q, k, v = _qkv(cfg, lp, xn)
-        q = _rotary(q, positions, cfg.rope_theta)
-        k = _rotary(k, positions, cfg.rope_theta)
+        q = _rotary(q, positions, cfg.rope_theta, cfg.mrope_section)
+        k = _rotary(k, positions, cfg.rope_theta, cfg.mrope_section)
         ks.append(k)
         vs.append(v)
         if nkv != nh:
@@ -247,8 +256,8 @@ def _step(cfg, params, tok, pos, slot, k_cache, v_cache, slot_mask):
         lp = params[f"layer_{i}"]
         xn = _rms(lp["input_layernorm"], x, cfg.rms_norm_eps)
         q, k, v = _qkv(cfg, lp, xn)
-        q = _rotary(q, pos, cfg.rope_theta)
-        k = _rotary(k, pos, cfg.rope_theta)
+        q = _rotary(q, pos, cfg.rope_theta, cfg.mrope_section)
+        k = _rotary(k, pos, cfg.rope_theta, cfg.mrope_section)
         quant = isinstance(k_cache, tuple)
         if quant:
             (kq_c, ks_c), (vq_c, vs_c) = k_cache, v_cache
@@ -338,7 +347,7 @@ def generate(cfg, params, inputs_embeds, attention_mask, *,
              max_new_tokens: int = 64, temperature: float = 0.0,
              top_p: float = 0.9, eos_token_id: int = 2, prng_key=None,
              repetition_penalty: float = 1.0, kv_int8: bool = False,
-             prompt_token_ids=None):
+             prompt_token_ids=None, positions=None):
     """Batched generation from (possibly AV-spliced) prompt embeddings.
 
     inputs_embeds (B, S, H) right-padded, attention_mask (B, S).
@@ -354,7 +363,17 @@ def generate(cfg, params, inputs_embeds, attention_mask, *,
     L = S + max_new_tokens
     logits0, k_cache, v_cache, n_valid = prefill(cfg, params, inputs_embeds,
                                                  attention_mask, L,
-                                                 kv_int8=kv_int8)
+                                                 kv_int8=kv_int8,
+                                                 positions=positions)
+    if positions is not None and cfg.mrope_section is not None:
+        # M-RoPE decode: every generated token advances all three position
+        # components from the prompt's max valid position (HF rope_deltas
+        # semantics, modeling_qwen2_5_vl.get_rope_index)
+        pmax = jnp.max(jnp.where(attention_mask[:, :, None] > 0,
+                                 positions, -1), axis=(1, 2))
+        mk_pos = lambda t: jnp.broadcast_to((pmax + 1 + t)[:, None], (B, 3))
+    else:
+        mk_pos = lambda t: n_valid + t
     key = prng_key if prng_key is not None else jax.random.PRNGKey(0)
     slot_mask0 = jnp.pad(attention_mask.astype(bool),
                          ((0, 0), (0, max_new_tokens)))
@@ -376,7 +395,7 @@ def generate(cfg, params, inputs_embeds, attention_mask, *,
         tok, kc, vc, done, key, slot_mask, seen = carry
         slot = S + t
         slot_mask = slot_mask.at[:, slot].set(True)
-        pos = n_valid + t
+        pos = mk_pos(t)
         logits, kc, vc = _step(cfg, params, tok, pos, slot, kc, vc, slot_mask)
         key, k1 = jax.random.split(key)
         nxt = _sample(logits, k1, temperature, top_p, seen,

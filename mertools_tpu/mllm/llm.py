@@ -38,6 +38,9 @@ class LLMConfig:
     lora_r: int = 0          # 0 = no LoRA
     lora_alpha: float = 16.0
     attention_bias: bool = False  # True for Qwen2-style q/k/v biases
+    # M-RoPE (Qwen2-VL/Qwen2.5-VL): rotary frequency bands are split among
+    # the (t, h, w) components of 3-D position ids. None = standard RoPE.
+    mrope_section: tuple[int, ...] | None = None
     # Pallas flash attention (jax.experimental.pallas.ops.tpu) for the
     # training forward: O(S) memory, fused softmax. Requires TPU and
     # sequence lengths divisible by the kernel block size; padding is
@@ -57,6 +60,8 @@ class LLMConfig:
 
     @classmethod
     def from_hf(cls, hf, lora_r=0):
+        scaling = getattr(hf, "rope_scaling", None) or {}
+        mrope = scaling.get("mrope_section") if isinstance(scaling, dict) else None
         return cls(vocab_size=hf.vocab_size, hidden_size=hf.hidden_size,
                    num_layers=hf.num_hidden_layers, num_heads=hf.num_attention_heads,
                    num_kv_heads=getattr(hf, "num_key_value_heads", hf.num_attention_heads),
@@ -64,7 +69,8 @@ class LLMConfig:
                    rms_norm_eps=hf.rms_norm_eps,
                    rope_theta=getattr(hf, "rope_theta", 10000.0),
                    attention_bias=getattr(hf, "attention_bias", False)
-                   or hf.model_type == "qwen2",
+                   or hf.model_type in ("qwen2", "qwen2_5_vl_text"),
+                   mrope_section=tuple(mrope) if mrope else None,
                    lora_r=lora_r)
 
 
@@ -78,11 +84,20 @@ class RMSNorm(nn.Module):
         return (x * jax.lax.rsqrt(var + self.eps)).astype(x.dtype) * scale
 
 
-def rotary(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
-    """x: (B, S, N, Hd); positions: (B, S). HF-style half-rotation."""
+def rotary(x: jnp.ndarray, positions: jnp.ndarray, theta: float,
+           mrope_section: tuple[int, ...] | None = None) -> jnp.ndarray:
+    """x: (B, S, N, Hd); positions: (B, S) — or (B, S, 3) 3-D t/h/w ids with
+    ``mrope_section`` (Qwen2.5-VL M-RoPE: frequency band i uses the position
+    component ``repeat(arange(3), mrope_section)[i]``; equal components
+    reduce to standard RoPE). HF-style half-rotation."""
     hd = x.shape[-1]
     inv_freq = 1.0 / (theta ** (np.arange(0, hd, 2, dtype=np.float32) / hd))
-    ang = positions[..., None].astype(jnp.float32) * inv_freq  # (B, S, Hd/2)
+    if mrope_section is not None and positions.ndim == 3:
+        comp = np.repeat(np.arange(3), mrope_section)  # (Hd/2,)
+        assert len(comp) == hd // 2, (mrope_section, hd)
+        ang = positions[..., comp].astype(jnp.float32) * inv_freq
+    else:
+        ang = positions[..., None].astype(jnp.float32) * inv_freq  # (B,S,Hd/2)
     cos = jnp.cos(ang)[:, :, None, :]
     sin = jnp.sin(ang)[:, :, None, :]
     x1, x2 = x[..., : hd // 2], x[..., hd // 2:]
@@ -133,8 +148,10 @@ class _LLMLayer(nn.Module):
                       self.precision, name="k_proj")(xn)
         v = LoRADense(nkv * hd, c.lora_r, c.lora_alpha, c.attention_bias,
                       self.precision, name="v_proj")(xn)
-        q = rotary(q.reshape(*x.shape[:2], nh, hd), positions, c.rope_theta)
-        k = rotary(k.reshape(*x.shape[:2], nkv, hd), positions, c.rope_theta)
+        q = rotary(q.reshape(*x.shape[:2], nh, hd), positions, c.rope_theta,
+                   c.mrope_section)
+        k = rotary(k.reshape(*x.shape[:2], nkv, hd), positions, c.rope_theta,
+                   c.mrope_section)
         v = v.reshape(*x.shape[:2], nkv, hd)
         if nkv != nh:  # GQA: repeat kv heads
             rep = nh // nkv
