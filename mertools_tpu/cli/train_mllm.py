@@ -151,6 +151,28 @@ def main(argv=None):
     if dcfg.get("face_or_frame") and not mcfg.get("face_or_frame"):
         mcfg["face_or_frame"] = dcfg["face_or_frame"]
 
+    # --- raw-media mode (reference: datasets read raw faces/audio through
+    # AlproVideoTrainProcessor and encode with frozen encoders each step —
+    # mercaptionplus_dataset.py:25-105, video_processor.py:29-68) ----------
+    raw_mode = bool(dcfg.get("face_dir")) and bool(dcfg.get("audio_dir"))
+    venc = aenc = None
+    if raw_mode:
+        from ..mllm.encoders import (build_acoustic_encoder,
+                                     build_visual_encoder)
+
+        rand = bool(dcfg.get("random_init_encoders", False))
+        venc, vdim = build_visual_encoder(
+            dcfg.get("visual_encoder", "CLIP_VIT_LARGE"),
+            dcfg.get("visual_ckpt"), random_init=rand)
+        aenc, adim = build_acoustic_encoder(
+            dcfg.get("acoustic_encoder", "HUBERT_LARGE"),
+            dcfg.get("acoustic_ckpt"), random_init=rand)
+        mcfg.setdefault("video_dim", vdim)
+        mcfg.setdefault("audio_dim", adim)
+        print(f"raw-media training: visual={dcfg.get('visual_encoder', 'CLIP_VIT_LARGE')} "
+              f"(D={vdim}) acoustic={dcfg.get('acoustic_encoder', 'HUBERT_LARGE')} "
+              f"(D={adim}) augment={dcfg.get('augment', True)}")
+
     amp = rcfg.get("amp")
     model, llm_params, tokenizer = build_model(mcfg, amp)
     if tokenizer is None:
@@ -163,7 +185,7 @@ def main(argv=None):
                    if dcfg.get(f"{s}_feat_dir")}
     dataset = CaptionDataset.from_csvs(
         dcfg["openset_csv"], dcfg.get("reason_csv"), dcfg.get("subtitle_csv"),
-        dcfg["video_feat_dir"], dcfg["audio_feat_dir"],
+        dcfg.get("video_feat_dir"), dcfg.get("audio_feat_dir"),
         label_type=dcfg.get("label_type", "description"),
         face_or_frame=model.cfg.face_or_frame, stream_dirs=stream_dirs)
     print(f"dataset: {len(dataset)} annotated clips")
@@ -178,8 +200,8 @@ def main(argv=None):
     if dcfg.get("valid_openset_csv"):
         val_dataset = CaptionDataset.from_csvs(
             dcfg["valid_openset_csv"], dcfg.get("valid_reason_csv"),
-            dcfg.get("subtitle_csv"), dcfg["video_feat_dir"],
-            dcfg["audio_feat_dir"],
+            dcfg.get("subtitle_csv"), dcfg.get("video_feat_dir"),
+            dcfg.get("audio_feat_dir"),
             label_type=dcfg.get("label_type", "description"),
             face_or_frame=model.cfg.face_or_frame, stream_dirs=stream_dirs)
     elif valid_frac > 0 and len(dataset) >= 4:
@@ -211,7 +233,20 @@ def main(argv=None):
         output_dir=rcfg.get("output_dir", "./mllm_output"),
         compute_dtype=("bf16" if amp == "bf16" else None))
 
-    if model.cfg.face_or_frame is not None:
+    if raw_mode:
+        from ..mllm.raw_train import raw_batch_iterator
+
+        assert model.cfg.face_or_frame is None, \
+            "raw-media mode drives the audio+video path (face_or_frame unset)"
+        it = raw_batch_iterator(
+            dataset, tokenizer, model.num_av_tokens, run_cfg.batch_size,
+            face_dir=dcfg["face_dir"], audio_dir=dcfg["audio_dir"],
+            visual_encode=venc, acoustic_encode=aenc,
+            n_frms=int(dcfg.get("n_frms", 8)),
+            augment=bool(dcfg.get("augment", True)),
+            seed=int(rcfg.get("seed", 42)),
+            max_len=int(rcfg.get("max_len", 512)))
+    elif model.cfg.face_or_frame is not None:
         from ..mllm.data import stream_batch_iterator
 
         it = stream_batch_iterator(dataset, tokenizer, model.cfg,
@@ -224,7 +259,16 @@ def main(argv=None):
                             seed=int(rcfg.get("seed", 42)),
                             max_len=int(rcfg.get("max_len", 512)))
     val_batches = []
-    if val_dataset is not None and len(val_dataset) > 0:
+    if raw_mode and val_dataset is not None and len(val_dataset) > 0:
+        from ..mllm.raw_train import build_raw_val_batches
+
+        val_batches = build_raw_val_batches(
+            val_dataset, tokenizer, model.num_av_tokens, run_cfg.batch_size,
+            face_dir=dcfg["face_dir"], audio_dir=dcfg["audio_dir"],
+            visual_encode=venc, acoustic_encode=aenc,
+            n_frms=int(dcfg.get("n_frms", 8)),
+            max_len=int(rcfg.get("max_len", 512)))
+    elif val_dataset is not None and len(val_dataset) > 0:
         from ..mllm.data import (_pad_seq_to_multiple, build_batch,
                                  build_stream_batch)
 

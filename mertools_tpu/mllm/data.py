@@ -188,7 +188,11 @@ class CaptionDataset:
                                        r.get("chinese") or "")
         annotations = []
         for name, openset in name2openset.items():
-            if not os.path.exists(os.path.join(video_feat_dir, name + ".npy")):
+            # raw-media mode (video_feat_dir=None) keeps every labeled clip;
+            # feature mode drops clips missing from the store (the reference
+            # datasets iterate the label csv against the feature dir)
+            if video_feat_dir and not os.path.exists(
+                    os.path.join(video_feat_dir, name + ".npy")):
                 continue
             annotations.append({
                 "name": name, "subtitle": name2sub.get(name, ""),
@@ -209,7 +213,11 @@ class CaptionDataset:
             x = x[idx]
         return x
 
-    def sample(self, idx: int, rng: np.random.Generator) -> dict:
+    def sample(self, idx: int, rng: np.random.Generator,
+               load_features: bool = True) -> dict:
+        """``load_features=False`` yields only the QA/text fields (the
+        raw-media training path encodes features per batch instead —
+        mllm/raw_train.py)."""
         ann = self.annotations[idx]
         # 'hybird' is the reference's spelling for random candidate selection
         # (base_dataset.py:125-128); candidates come from the explicit set
@@ -228,10 +236,13 @@ class CaptionDataset:
             label_type = self.label_type
         question, answer = build_qa(label_type, ann, self, rng)
         out = {
+            "name": ann["name"],
             "subtitle": ann["subtitle"],
             "question": question,
             "answer": answer,
         }
+        if not load_features:
+            return out
         if self.face_or_frame is None:
             out["video_feats"] = self._feat(self.video_feat_dir, ann["name"],
                                             self.max_video_frames)

@@ -1,0 +1,139 @@
+"""Quantitative fidelity measurement of the face frontend (VERDICT Next #7).
+
+The reference drives OpenFace (extract_openface.py:14-97); neither OpenFace
+binaries nor its ``openface_face`` stores exist in this image, and OpenCV 5
+removed the CascadeClassifier runtime, so no external golden detector is
+available. What IS measurable hermetically, against KNOWN ground truth:
+
+  * detection rate + box-center error + IoU on a sweep of synthetic faces
+    with known geometry (position x scale x contrast x noise),
+  * crop stability under frame jitter (the property downstream FER
+    encoders depend on: the same face yields the same crop),
+  * eye-alignment geometry (already covered in test_viola_jones).
+
+The measured numbers are recorded in PARITY.md §2.4.
+"""
+
+import numpy as np
+import pytest
+
+from mertools_tpu.ops import viola_jones as vj
+
+try:
+    vj.find_cascade(vj.FRONTALFACE)
+    HAVE = True
+except FileNotFoundError:
+    HAVE = False
+
+needs_cascades = pytest.mark.skipif(not HAVE, reason="no cascade XMLs")
+
+
+def draw_face(H, W, cx, cy, s, contrast=1.0, rng=None, noise=0.0):
+    """Synthetic Haar-detectable face; returns (img, ground-truth core-face
+    bbox [x, y, w, h]) — the eyes-to-mouth region a face detector frames."""
+    img = np.full((H, W), 200.0)
+    yy, xx = np.mgrid[:H, :W]
+
+    def ellipse(x0, y0, rx, ry, val):
+        m = ((xx - x0) / rx) ** 2 + ((yy - y0) / ry) ** 2 <= 1
+        img[m] = 200.0 + (val - 200.0) * contrast
+
+    ellipse(cx, cy, 0.55 * s, 0.75 * s, 195)
+    for ex in (cx - 0.25 * s, cx + 0.25 * s):
+        ellipse(ex, cy - 0.20 * s, 0.14 * s, 0.06 * s, 90)
+        ellipse(ex, cy - 0.03 * s, 0.08 * s, 0.08 * s, 40)
+    ellipse(cx, cy + 0.35 * s, 0.08 * s, 0.12 * s, 160)
+    ellipse(cx, cy + 0.55 * s, 0.22 * s, 0.08 * s, 95)
+    if noise and rng is not None:
+        img = img + rng.normal(0, noise, img.shape)
+    # soften hard cartoon edges into photograph-like gradients (the Haar
+    # stages were trained on real faces; measured across the sweep: blur
+    # after noise raises the detection rate 0.50 -> 0.75)
+    from scipy.ndimage import gaussian_filter
+
+    img = gaussian_filter(img, 3.0 * s / 100)
+    # core face box: brows to mouth, eye-to-eye span padded
+    x0, x1 = cx - 0.45 * s, cx + 0.45 * s
+    y0, y1 = cy - 0.35 * s, cy + 0.75 * s
+    return np.clip(img, 0, 255), np.array([x0, y0, x1 - x0, y1 - y0])
+
+
+def iou(a, b):
+    ax0, ay0, ax1, ay1 = a[0], a[1], a[0] + a[2], a[1] + a[3]
+    bx0, by0, bx1, by1 = b[0], b[1], b[0] + b[2], b[1] + b[3]
+    iw = max(0.0, min(ax1, bx1) - max(ax0, bx0))
+    ih = max(0.0, min(ay1, by1) - max(ay0, by0))
+    inter = iw * ih
+    return inter / (a[2] * a[3] + b[2] * b[3] - inter)
+
+
+@needs_cascades
+def test_detection_sweep_rate_center_iou():
+    """Sweep position x scale x contrast x noise; quantify the frontend."""
+    casc = vj.load_cascade(vj.find_cascade(vj.FRONTALFACE))
+    rng = np.random.default_rng(0)
+    rates, ious, centers = [], [], []
+    n_total = 0
+    for s in (90, 120, 160):
+        for contrast in (1.0, 0.85):
+            for noise in (3.0, 6.0):
+                for _ in range(3):
+                    H, W = 300, 280
+                    rx, ry = 0.55 * s, 0.75 * s
+                    cx = rng.uniform(rx + 4, W - rx - 4)
+                    cy = rng.uniform(ry + 4, H - ry - 4)
+                    img, gt = draw_face(H, W, cx, cy, s, contrast, rng,
+                                        noise)
+                    boxes = vj.detect_multiscale(img, casc, min_neighbors=1,
+                                                 min_size=int(0.4 * s))
+                    n_total += 1
+                    if len(boxes) == 0:
+                        rates.append(0.0)
+                        continue
+                    # biggest box (the frontend's pick for single-face clips)
+                    b = boxes[np.argmax(boxes[:, 2] * boxes[:, 3])][:4]
+                    rates.append(1.0)
+                    ious.append(iou(b.astype(float), gt))
+                    bc = (b[0] + b[2] / 2, b[1] + b[3] / 2)
+                    gc = (gt[0] + gt[2] / 2, gt[1] + gt[3] / 2)
+                    centers.append(np.hypot(bc[0] - gc[0], bc[1] - gc[1]) / s)
+    rate = float(np.mean(rates))
+    med_iou = float(np.median(ious))
+    med_center = float(np.median(centers))
+    print(f"\nface-frontend sweep (n={n_total}): detection rate {rate:.2f}, "
+          f"median IoU {med_iou:.2f}, median center offset {med_center:.3f} "
+          f"face-widths")
+    # regression floors for the measured values (PARITY.md §2.4 records
+    # the actuals: rate 0.72, IoU 0.32, center 0.096 on this sweep); the
+    # engine itself is bit-exact Viola-Jones — these floors pin the
+    # end-to-end geometry, not cascade quality on cartoon renderings
+    assert rate >= 0.6, rate
+    assert med_iou >= 0.28, med_iou
+    assert med_center <= 0.15, med_center
+
+
+@needs_cascades
+def test_crop_stability_under_jitter():
+    """The same face under per-frame translation jitter must produce
+    near-identical crops (what downstream FER features depend on)."""
+    from mertools_tpu.ops.face_haar import HaarFaceFrontend
+
+    rng = np.random.default_rng(1)
+    T, H, W, s = 6, 260, 240, 120
+    frames = np.zeros((T, H, W, 3), np.uint8)
+    offs = rng.integers(-4, 5, size=(T, 2))
+    for t in range(T):
+        img, _ = draw_face(H, W, 120 + offs[t, 0], 120 + offs[t, 1], s,
+                           rng=rng, noise=2.0)
+        frames[t] = np.repeat(img[..., None], 3, -1).astype(np.uint8)
+    fe = HaarFaceFrontend(min_neighbors=1)
+    crops, detected = fe.crop_video(frames, size=112)
+    assert detected.any()
+    assert crops.shape == (T, 112, 112, 3)
+    assert crops.std() > 5  # non-degenerate content
+    ref = crops[0].astype(np.float32)
+    mads = [np.abs(crops[t].astype(np.float32) - ref).mean()
+            for t in range(1, T)]
+    print(f"\ncrop jitter MAD (0-255 scale): {np.round(mads, 2).tolist()}")
+    # jittered-by-4px frames re-crop to nearly the same face pixels
+    assert max(mads) < 20, mads

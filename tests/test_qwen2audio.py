@@ -91,7 +91,7 @@ def test_caller_batched_generation(models, tmp_path):
     from tokenizers import Tokenizer, models as tok_models
     from transformers import PreTrainedTokenizerFast
 
-    vocab = {f"w{i}": i for i in range(61)}
+    vocab = {f"w{i}": i for i in range(60)}
     vocab.update({"<|AUDIO|>": 60, "<|audio_bos|>": 61, "<|audio_eos|>": 62,
                   "<eos>": 63})
     tok = Tokenizer(tok_models.WordLevel(vocab=vocab, unk_token="w1"))
@@ -141,7 +141,7 @@ def test_func_calling_sample_reads_wav(models, tmp_path):
     from tokenizers import Tokenizer, models as tok_models
     from transformers import PreTrainedTokenizerFast
 
-    vocab = {f"w{i}": i for i in range(61)}
+    vocab = {f"w{i}": i for i in range(60)}
     vocab.update({"<|AUDIO|>": 60, "<|audio_bos|>": 61, "<|audio_eos|>": 62,
                   "<eos>": 63})
     tok = Tokenizer(tok_models.WordLevel(vocab=vocab, unk_token="w1"))
