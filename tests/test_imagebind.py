@@ -212,3 +212,144 @@ def test_extractor_pipeline(rng):
     # short audio (<2 s): every clip identical -> FRA rows all equal
     np.testing.assert_allclose(fra["b"][0], fra["b"][7], rtol=1e-5,
                                atol=1e-6)
+
+
+# ----------------------------------------------------- full-model torch oracle
+
+
+def _build_torch_imagebind(cfg, seed=0):
+    """Reduced-size torch re-implementation of the ORIGINAL ImageBind audio
+    pipeline (facebookresearch/ImageBind imagebind_model.py: PatchEmbedGeneric
+    -> SimpleTransformer BlockWithMasking(nn.MultiheadAttention
+    add_bias_kv=True) -> Sequential(LayerNorm, SelectElement(0), Linear)
+    head -> Normalize x logit_scale), with the CHECKPOINT's exact state-dict
+    naming so the converter path is what gets tested (VERDICT Next #9)."""
+    import torch
+    import torch.nn as nn
+
+    D, NH = cfg.embed_dim, cfg.num_heads
+
+    class Stem(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.proj = nn.Conv2d(1, D, cfg.kernel_size, cfg.stride,
+                                  bias=False)
+            self.norm_layer = nn.LayerNorm(D, eps=1e-6)
+
+    class PosHelper(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.pos_embed = nn.Parameter(
+                torch.randn(1, cfg.num_patches + 1, D) * 0.02)
+
+    class Pre(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.rgbt_stem = Stem()
+            self.cls_token = nn.Parameter(torch.zeros(1, 1, D))
+            self.pos_embedding_helper = PosHelper()
+
+    class Mlp(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc1 = nn.Linear(D, D * cfg.mlp_ratio)
+            self.fc2 = nn.Linear(D * cfg.mlp_ratio, D)
+
+    class Block(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.attn = nn.MultiheadAttention(D, NH, add_bias_kv=True)
+            self.norm_1 = nn.LayerNorm(D, eps=cfg.layer_norm_eps)
+            self.norm_2 = nn.LayerNorm(D, eps=cfg.layer_norm_eps)
+            self.mlp = Mlp()
+
+    class Trunk(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.blocks = nn.ModuleList(
+                [Block() for _ in range(cfg.num_blocks)])
+
+    class Model(nn.Module):
+        def __init__(self):
+            super().__init__()
+            torch.manual_seed(seed)
+            self.modality_preprocessors = nn.ModuleDict({"audio": Pre()})
+            self.modality_trunks = nn.ModuleDict({"audio": Trunk()})
+            self.modality_heads = nn.ModuleDict({"audio": nn.Sequential(
+                nn.LayerNorm(D, eps=1e-6), nn.Identity(),
+                nn.Linear(D, cfg.out_embed_dim, bias=False))})
+            with torch.no_grad():   # non-degenerate cls/pos/biases
+                self.modality_preprocessors["audio"].cls_token.normal_(0, .02)
+                for b in self.modality_trunks["audio"].blocks:
+                    b.attn.bias_k.normal_(0, 0.02)
+                    b.attn.bias_v.normal_(0, 0.02)
+
+        def forward(self, mels):
+            import torch.nn.functional as TF
+
+            pre = self.modality_preprocessors["audio"]
+            x = pre.rgbt_stem.proj(mels[:, None])          # (B, D, gm, gt)
+            x = x.flatten(2).transpose(1, 2)               # (B, N, D)
+            x = pre.rgbt_stem.norm_layer(x)
+            B = x.shape[0]
+            cls = pre.cls_token.expand(B, -1, -1)
+            x = torch.cat([cls, x], dim=1)
+            x = x + pre.pos_embedding_helper.pos_embed
+            for blk in self.modality_trunks["audio"].blocks:
+                h = blk.norm_1(x).transpose(0, 1)          # (L, B, D)
+                a, _ = blk.attn(h, h, h, need_weights=False)
+                x = x + a.transpose(0, 1)
+                h = blk.norm_2(x)
+                x = x + blk.mlp.fc2(TF.gelu(blk.mlp.fc1(h)))
+            head = self.modality_heads["audio"]
+            x = head[0](x)
+            feat = x[:, 0]
+            emb = head[2](feat)
+            return TF.normalize(emb, dim=-1) * cfg.logit_scale, feat
+
+    return Model().eval()
+
+
+def test_full_model_torch_oracle(rng):
+    """Converted checkpoint -> our encoder == the original-architecture
+    torch pipeline end-to-end (trunk + head + normalize x logit_scale)."""
+    import torch
+
+    cfg = _tiny_cfg()
+    model_t = _build_torch_imagebind(cfg)
+    params = convert_torch_state(cfg, model_t.state_dict())
+    model_j = ImageBindAudioEncoder(cfg)
+
+    mels = rng.normal(size=(3, cfg.num_mel_bins, cfg.target_len)
+                      ).astype(np.float32)
+    with torch.no_grad():
+        ref_emb, ref_feat = model_t(torch.tensor(mels))
+    out = model_j.apply({"params": params}, jnp.asarray(mels))
+    np.testing.assert_allclose(np.asarray(out["feature"]),
+                               ref_feat.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["embed"]),
+                               ref_emb.numpy(), atol=2e-4)
+
+
+def test_full_pipeline_with_clip_sampler_torch_oracle(rng):
+    """wav -> fbank mel images -> 2 s clip sampler -> trunk -> per-clip
+    embeds: our extractor vs the torch oracle fed OUR mel clips (fbank has
+    its own independent numpy oracle above; data.py:120-240 composition)."""
+    import torch
+
+    from mertools_tpu.features.audio import ImageBindAudioExtractor
+
+    cfg = _tiny_cfg()
+    model_t = _build_torch_imagebind(cfg)
+    params = convert_torch_state(cfg, model_t.state_dict())
+
+    ex = ImageBindAudioExtractor(cfg, params, batch_clips=4)
+    wav = rng.normal(size=50000).astype(np.float32) * 0.1
+    fra = ex.extract({"w": wav}, level="FRA")["w"]       # (8, out)
+
+    clips = F.sample_audio_clips(wav)                    # reference sampler
+    mels = np.asarray(F.imagebind_melspec(
+        jnp.asarray(clips), cfg.num_mel_bins, cfg.target_len))
+    with torch.no_grad():
+        ref, _ = model_t(torch.tensor(mels))
+    np.testing.assert_allclose(fra, ref.numpy(), atol=3e-4)
