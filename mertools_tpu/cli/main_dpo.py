@@ -14,8 +14,10 @@ model family (the reference's per-model ``utils/*.py`` wrappers):
 ``affectgpt`` (our trained MLLM over feature stores, batched on TPU),
 ``qwen2audio`` (TPU-converted HF checkpoint over raw wavs,
 utils/qwen2audio.py), ``qwen25vl`` (TPU-converted HF checkpoint over raw
-videos, utils/qwen25vl.py), ``gpt``/``gemini`` (API callers with the
-reference's retry semantics, utils/{gpt,gemini}.py). Scoring reproduces the 2/3-class
+videos, utils/qwen25vl.py), ``qwen25omni`` (thinker over raw audio/video
+with --input_type audio|video|audiovideo, utils/qwen25omni.py),
+``gpt``/``gemini`` (API callers with the reference's retry semantics,
+utils/{gpt,gemini}.py). Scoring reproduces the 2/3-class
 WAF+ACC metrics (utils/common.py:67-107). Idempotent: existing save_npz is
 skipped (main_dpo_sample.py:19-20).
 """
@@ -77,6 +79,23 @@ def _make_caller_factory(args):
                                 max_new_tokens=args.max_new_tokens)
         sample = lambda r: {
             "video_path": os.path.join(args.video_dir, r["name"] + ".mp4")}
+        return (lambda rnd: caller), sample
+
+    if args.judge == "qwen25omni":
+        from ..preference.qwen25omni import Qwen25OmniCaller
+
+        assert args.ckpt and (args.audio_dir or args.video_dir), \
+            "--judge qwen25omni needs --ckpt and --audio_dir/--video_dir"
+        omni = Qwen25OmniCaller(args.ckpt, batch=args.batch,
+                                max_new_tokens=args.max_new_tokens)
+        caller = lambda samples, prompts: omni(samples, prompts,
+                                               input_type=args.input_type)
+        caller.func_calling_sample = omni.func_calling_sample
+        sample = lambda r: {
+            "audio_path": (os.path.join(args.audio_dir, r["name"] + ".wav")
+                           if args.audio_dir else None),
+            "video_path": (os.path.join(args.video_dir, r["name"] + ".mp4")
+                           if args.video_dir else None)}
         return (lambda rnd: caller), sample
 
     if args.judge in ("gpt", "gemini"):
@@ -200,8 +219,8 @@ def main(argv=None):
     j = sub.add_parser("judge")
     j.add_argument("--label_csv", required=True)
     j.add_argument("--judge", default="affectgpt",
-                   choices=["affectgpt", "qwen2audio", "qwen25vl", "gpt",
-                            "gemini"],
+                   choices=["affectgpt", "qwen2audio", "qwen25vl",
+                            "qwen25omni", "gpt", "gemini"],
                    help="judge model family (the reference's per-model "
                         "utils/*.py wrappers)")
     j.add_argument("--ckpt", default=None,
@@ -217,7 +236,7 @@ def main(argv=None):
     j.add_argument("--model_name", default="gpt-4.1-mini",
                    help="API model name for --judge gpt/gemini")
     j.add_argument("--input_type", default="video",
-                   choices=["video", "audio"])
+                   choices=["video", "audio", "audiovideo"])
     j.add_argument("--save_npz", required=True)
     j.add_argument("--pipeline", default="normal",
                    choices=["normal", "cot", "cot2", "cot3"],

@@ -69,7 +69,8 @@ class LLMConfig:
                    rms_norm_eps=hf.rms_norm_eps,
                    rope_theta=getattr(hf, "rope_theta", 10000.0),
                    attention_bias=getattr(hf, "attention_bias", False)
-                   or hf.model_type in ("qwen2", "qwen2_5_vl_text"),
+                   or hf.model_type in ("qwen2", "qwen2_5_vl_text",
+                                        "qwen2_5_omni_text"),
                    mrope_section=tuple(mrope) if mrope else None,
                    lora_r=lora_r)
 

@@ -336,9 +336,10 @@ def _t(x):
     return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
 
 
-def convert_qwen25vl_state(vcfg: VisionConfig, lcfg: LLMConfig,
-                           sd: dict) -> dict:
-    pre = "model." if any(k.startswith("model.visual.") for k in sd) else ""
+def convert_qwen25vl_visual(vcfg: VisionConfig, sd: dict,
+                            pre: str = "") -> dict:
+    """The vision-tower subtree ({pre}visual.*) — shared with Qwen2.5-Omni
+    (its Qwen2_5OmniVisionEncoder is structurally identical)."""
 
     def dense(prefix):
         out = {"kernel": _t(sd[f"{prefix}.weight"]).T}
@@ -353,23 +354,37 @@ def convert_qwen25vl_state(vcfg: VisionConfig, lcfg: LLMConfig,
         "mlp0": dense(f"{pre}visual.merger.mlp.0"),
         "mlp2": dense(f"{pre}visual.merger.mlp.2"),
     }
+    def qkv(b):
+        if f"{b}.attn.qkv.weight" in sd:
+            return dense(f"{b}.attn.qkv")
+        # Qwen2.5-Omni names the same projections separately (attn.q/k/v)
+        return {"kernel": np.concatenate(
+            [_t(sd[f"{b}.attn.{n}.weight"]).T for n in "qkv"], axis=1),
+            "bias": np.concatenate(
+            [_t(sd[f"{b}.attn.{n}.bias"]) for n in "qkv"])}
+
     for i in range(vcfg.depth):
         b = f"{pre}visual.blocks.{i}"
         vis[f"block_{i}"] = {
             "norm1": {"weight": _t(sd[f"{b}.norm1.weight"])},
             "norm2": {"weight": _t(sd[f"{b}.norm2.weight"])},
-            "qkv": dense(f"{b}.attn.qkv"),
+            "qkv": qkv(b),
             "proj": dense(f"{b}.attn.proj"),
             "gate_proj": dense(f"{b}.mlp.gate_proj"),
             "up_proj": dense(f"{b}.mlp.up_proj"),
             "down_proj": dense(f"{b}.mlp.down_proj"),
         }
+    return jax.tree_util.tree_map(jnp.asarray, vis)
 
+
+def convert_qwen25vl_state(vcfg: VisionConfig, lcfg: LLMConfig,
+                           sd: dict) -> dict:
+    pre = "model." if any(k.startswith("model.visual.") for k in sd) else ""
     lsd = {k[len(f"{pre}language_model."):]: v for k, v in sd.items()
            if k.startswith(f"{pre}language_model.")}
     if "lm_head.weight" in sd:
         lsd["lm_head.weight"] = sd["lm_head.weight"]
-    return {"visual": jax.tree_util.tree_map(jnp.asarray, vis),
+    return {"visual": convert_qwen25vl_visual(vcfg, sd, pre),
             "llm": convert_llm_state(lcfg, lsd)}
 
 
