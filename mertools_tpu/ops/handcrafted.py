@@ -612,12 +612,22 @@ def _with_deltas(x: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("sr", "feature_set"))
 def handcrafted_frame(wav, lengths, sr: int = 16000, feature_set: str = "IS09"):
-    """Frame-level (LLD) features: (B, T) -> (B, F, FRAME_DIMS[set]), mask."""
-    llds, mask = extract_lld_bank(wav, lengths, sr)
+    """Frame-level (LLD) features: (B, T) -> (B, F, FRAME_DIMS[set]), mask.
+
+    IS09 and eGeMAPS route to the faithful openSMILE chains
+    (:mod:`.opensmile_is09`, :mod:`.egemaps`); IS10/IS13 use the structural
+    LLD bank below (canonical dims, documented non-openSMILE numerics).
+    """
+    if feature_set == "IS09":
+        from . import opensmile_is09
+        assert sr == opensmile_is09.SR, "IS09 chain is defined at 16 kHz"
+        return opensmile_is09.is09_frame(wav, lengths)
     if feature_set == "eGeMAPS":
-        return _stack(llds, LLD_EGEMAPS), mask
-    base = {"IS09": LLD_IS09,
-            "IS10": LLD_IS10 + LLD_IS10_PITCH,
+        from . import egemaps
+        assert sr == egemaps.SR, "eGeMAPS chain is defined at 16 kHz"
+        return egemaps.egemaps_frame(wav, lengths)
+    llds, mask = extract_lld_bank(wav, lengths, sr)
+    base = {"IS10": LLD_IS10 + LLD_IS10_PITCH,
             "IS13": LLD_IS13}[feature_set]
     return _with_deltas(_stack(llds, base)), mask
 
@@ -629,10 +639,15 @@ def handcrafted_utt(wav, lengths, sr: int = 16000, feature_set: str = "IS09"):
     Mirrors openSMILE's utterance summaries invoked at
     ``handcrafted_feature_func.py:108-124``; dims match the canonical counts.
     """
-    llds, mask = extract_lld_bank(wav, lengths, sr)
     if feature_set == "IS09":
-        x = _with_deltas(_stack(llds, LLD_IS09))          # (B,F,32)
-        return apply_functional_grid(x, mask, FUNCTIONALS_IS09)  # 384
+        from . import opensmile_is09
+        assert sr == opensmile_is09.SR, "IS09 chain is defined at 16 kHz"
+        return opensmile_is09.is09_utt(wav, lengths)
+    if feature_set == "eGeMAPS":
+        from . import egemaps
+        assert sr == egemaps.SR, "eGeMAPS chain is defined at 16 kHz"
+        return egemaps.egemaps_utt(wav, lengths)
+    llds, mask = extract_lld_bank(wav, lengths, sr)
     if feature_set == "IS10":
         a = _with_deltas(_stack(llds, LLD_IS10))          # 68
         b = _with_deltas(_stack(llds, LLD_IS10_PITCH))    # 8
@@ -670,8 +685,6 @@ def handcrafted_utt(wav, lengths, sr: int = 16000, feature_set: str = "IS09"):
         scalars = jnp.nan_to_num(scalars, posinf=0.0, neginf=0.0)
         dur = jnp.sum(mask.astype(jnp.float32), 1) * 0.010
         return jnp.concatenate([f1, f2, scalars, dur[:, None]], -1)    # 6373
-    if feature_set == "eGeMAPS":
-        return _egemaps_88(llds, mask)
     raise ValueError(feature_set)
 
 
