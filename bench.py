@@ -336,7 +336,13 @@ def leg_serve(detail: dict) -> None:
     llm = LLM(llm_cfg)
     rng = np.random.default_rng(3)
     x0 = np.zeros((1, 8, 2048), np.float32)
-    params = jax.jit(llm.init)(jax.random.PRNGKey(0), x0)["params"]
+    params = dict(jax.jit(llm.init)(jax.random.PRNGKey(0), x0)["params"])
+    # __call__ takes inputs_embeds, so init() never touches the embedding
+    # table — but the engine's sampled-token feedback path embeds ids
+    # (serve.py: params["embed_tokens"]). Init it separately and merge.
+    params.update(llm.init(jax.random.PRNGKey(1),
+                           np.zeros((1, 8), np.int32),
+                           method=llm.embed)["params"])
 
     def run_engine(p, tag):
         eng = ContinuousBatcher(llm_cfg, p, n_slots=8, max_len=256,

@@ -190,6 +190,30 @@ def main(argv=None):
             w2v_cfg = Wav2Vec1Config()
             params = wav2vec1_from_fairseq(dict(sd), w2v_cfg)
         ex = Wav2Vec1Extractor(params, w2v_cfg)
+    elif "emotion2vec" in lname:
+        # funasr emotion2vec (data2vec-multi trunk); checkpoint is the
+        # fairseq/funasr .pt state dict
+        import jax
+
+        from ..encoders.emotion2vec import (Emotion2Vec, Emotion2VecConfig,
+                                            load_funasr_checkpoint)
+        from ..features.audio import Emotion2VecExtractor
+
+        if args.random_init:
+            e2v_cfg = Emotion2VecConfig(
+                conv_layers=((32, 10, 5), (32, 8, 4)), hidden_size=32,
+                prenet_depth=1, depth=1, num_heads=4, conv_pos_depth=2,
+                conv_pos_width=10, conv_pos_groups=4)
+            params = Emotion2Vec(e2v_cfg).init(
+                jax.random.PRNGKey(0), np.zeros((1, 4000), np.float32),
+                np.full((1,), 4000, np.int32))["params"]
+        else:
+            path = (os.path.join(args.pretrain_dir, args.model_name)
+                    if args.pretrain_dir else args.model_name)
+            if not path.endswith(".pt"):
+                path = path + ".pt"
+            e2v_cfg, params = load_funasr_checkpoint(path)
+        ex = Emotion2VecExtractor(params, e2v_cfg)
     elif "imagebind" in lname:
         import jax
 

@@ -518,6 +518,61 @@ class VGGishExtractor:
         return out
 
 
+class Emotion2VecExtractor:
+    """funasr emotion2vec path (MER2024 ``feature_extraction/audio`` via the
+    funasr AutoModel, run-mer2024.sh:46): wav -> per-utterance layer_norm
+    (inside the module) -> data2vec-multi trunk -> (T', 768) FRA / mean UTT.
+    Clips batch at bucketed lengths; masked norms keep right-padded rows
+    bit-equal to per-clip execution (encoders.emotion2vec)."""
+
+    def __init__(self, params, cfg=None, batch_size: int = 8,
+                 buckets: tuple = WHOLECLIP_BUCKETS):
+        import jax
+
+        from ..encoders.emotion2vec import Emotion2Vec, Emotion2VecConfig
+
+        self.cfg = cfg or Emotion2VecConfig()
+        self.batch_size = batch_size
+        self.buckets = buckets
+        self._params = jax.device_put(params)
+        model = Emotion2Vec(self.cfg)
+
+        @jax.jit
+        def fwd(p, wav, lengths):
+            return model.apply({"params": p}, wav, lengths)
+
+        self._fwd = fwd
+
+    def extract(self, wavs: dict[str, np.ndarray], level: str = "FRA"
+                ) -> dict[str, np.ndarray]:
+        import jax.numpy as jnp
+
+        from ..encoders.emotion2vec import out_lengths
+
+        by_bucket = _bucket_groups(wavs, self.buckets, "emotion2vec")
+        out = {}
+        pending = []
+        for bucket, items in sorted(by_bucket.items()):
+            B = self.batch_size
+            for i in range(0, len(items), B):
+                group = items[i: i + B]
+                batch = np.zeros((B, bucket), np.float32)
+                lens = np.full(B, bucket, np.int32)
+                for r, (_, w) in enumerate(group):
+                    batch[r, : len(w)] = w
+                    lens[r] = len(w)
+                pending.append((group, lens, self._fwd(
+                    self._params, jnp.asarray(batch), jnp.asarray(lens))))
+        utt = level.upper().startswith("UTT")
+        for group, lens, res in pending:
+            h = np.asarray(res[0])
+            n_out = out_lengths(lens, self.cfg)
+            for r, (name, _) in enumerate(group):
+                hr = h[r, : max(int(n_out[r]), 1)]
+                out[name] = hr.mean(0) if utt else hr
+        return out
+
+
 class Wav2Vec1Extractor:
     """fairseq wav2vec-1.0 path (extract_wav2vec_embedding.py:30-52): wav ->
     z (feature encoder) AND c (context network) features, saved to two
