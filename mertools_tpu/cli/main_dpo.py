@@ -16,6 +16,8 @@ model family (the reference's per-model ``utils/*.py`` wrappers):
 utils/qwen2audio.py), ``qwen25vl`` (TPU-converted HF checkpoint over raw
 videos, utils/qwen25vl.py), ``qwen25omni`` (thinker over raw audio/video
 with --input_type audio|video|audiovideo, utils/qwen25omni.py),
+``videollava`` (LLaVA-projector video class — Video-LLaVA/Video-ChatGPT/
+Chat-UniVi, MER2025_Track23/Video-LLaVA/main-video.py:22-121),
 ``gpt``/``gemini`` (API callers with the reference's retry semantics,
 utils/{gpt,gemini}.py). Scoring reproduces the 2/3-class
 WAF+ACC metrics (utils/common.py:67-107). Idempotent: existing save_npz is
@@ -77,6 +79,17 @@ def _make_caller_factory(args):
             "--ckpt (HF checkpoint) and --video_dir (mp4s)"
         caller = Qwen25VLCaller(args.ckpt, batch=args.batch,
                                 max_new_tokens=args.max_new_tokens)
+        sample = lambda r: {
+            "video_path": os.path.join(args.video_dir, r["name"] + ".mp4")}
+        return (lambda rnd: caller), sample
+
+    if args.judge == "videollava":
+        from ..preference.videollava import VideoLlavaCaller
+
+        assert args.ckpt and args.video_dir, "--judge videollava needs " \
+            "--ckpt (HF checkpoint) and --video_dir (mp4s)"
+        caller = VideoLlavaCaller(args.ckpt, batch=args.batch,
+                                  max_new_tokens=args.max_new_tokens)
         sample = lambda r: {
             "video_path": os.path.join(args.video_dir, r["name"] + ".mp4")}
         return (lambda rnd: caller), sample
@@ -220,7 +233,7 @@ def main(argv=None):
     j.add_argument("--label_csv", required=True)
     j.add_argument("--judge", default="affectgpt",
                    choices=["affectgpt", "qwen2audio", "qwen25vl",
-                            "qwen25omni", "gpt", "gemini"],
+                            "qwen25omni", "videollava", "gpt", "gemini"],
                    help="judge model family (the reference's per-model "
                         "utils/*.py wrappers)")
     j.add_argument("--ckpt", default=None,

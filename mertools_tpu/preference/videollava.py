@@ -1,0 +1,401 @@
+"""Video-LLaVA zero-shot wrapper — runnable video judge/baseline for the
+LLaVA-projector model class (Video-LLaVA / Video-ChatGPT / Chat-UniVi).
+
+Reference: ``MER2025/MER2025_Track23/Video-LLaVA/main-video.py:22-121``
+(vendored videollava repo: llava_v1 conversation, 8 uniform frames at
+224x224, per-frame CLIP ViT-L/14 features from hidden layer -2, 2-layer
+GELU projector, temperature=0.1 sampling, max_new_tokens=1024, response
+flattened with ``replace('\\n',' ').replace('\\t',' ').strip()`` and a
+trailing ``</s>`` strip).
+
+TPU-native re-design (follows the HF ``VideoLlavaForConditionalGeneration``
+port of the same checkpoint, which is the loadable form of the vendored
+repo's weights):
+  * the CLIP tower runs the 8 frames of a whole batch as ONE (B*8, 257, H)
+    jitted call at the static 224x224 shape — the reference loops
+    clip-by-clip on GPU;
+  * ``vision_feature_layer=-2`` = stop the tower one block early (the HF
+    oracle runs the last block and discards it — we don't pay for it);
+  * video features keep all 257 tokens/frame (HF ``get_video_features``
+    applies no CLS drop for videos; images under the "default" strategy
+    drop CLS — both paths are implemented);
+  * features are spliced at the expanded ``<video>`` placeholder positions
+    and decoding rides the shared KV-cached batched ``mllm/generate``.
+
+Conversion from the HF checkpoint (``model.video_tower.* /
+model.image_tower.* / model.multi_modal_projector.* /
+model.language_model.* / lm_head``) is exact — parity-tested against the
+torch oracle in ``tests/test_videollava.py``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..encoders.vit_clip import _CLIPLayer, CLIPVisionConfig, _t
+from ..mllm.llm import LLM, LLMConfig
+from ..mllm.llm import convert_torch_state as convert_llm_state
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+# CLIP normalization (videollava video processor == OPENAI_CLIP_MEAN/STD)
+IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def n_tower_layers(cfg: CLIPVisionConfig, feature_layer: int) -> int:
+    """HF ``hidden_states[feature_layer]`` = output of this many blocks
+    (hidden_states has num_layers+1 entries; [0] is the embedding output)."""
+    n = cfg.num_hidden_layers + 1 + feature_layer if feature_layer < 0 \
+        else feature_layer
+    assert 0 <= n <= cfg.num_hidden_layers, (feature_layer, n)
+    return n
+
+
+class CLIPHiddenTower(nn.Module):
+    """CLIP vision embedding + pre-LN + the first ``n_layers`` blocks,
+    returning the raw hidden states (B, 1+P, H) — the
+    ``output_hidden_states=True`` slice LLaVA-family models consume
+    (no post-layernorm, no projection)."""
+
+    cfg: CLIPVisionConfig
+    n_layers: int
+    precision: object = _PRECISION
+
+    @nn.compact
+    def __call__(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        B = pixel_values.shape[0]
+        patches = nn.Conv(c.hidden_size,
+                          kernel_size=(c.patch_size, c.patch_size),
+                          strides=(c.patch_size, c.patch_size),
+                          padding="VALID", use_bias=False,
+                          name="patch_embedding",
+                          precision=self.precision)(pixel_values)
+        patches = patches.reshape(B, -1, c.hidden_size)
+        cls_emb = self.param("class_embedding", nn.initializers.zeros,
+                             (c.hidden_size,))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_emb, (B, 1, c.hidden_size)), patches], 1)
+        n_pos = (c.image_size // c.patch_size) ** 2 + 1
+        pos = self.param("position_embedding", nn.initializers.zeros,
+                         (n_pos, c.hidden_size))
+        x = x + pos[None, : x.shape[1]]
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="pre_layernorm")(x)
+        for i in range(self.n_layers):
+            x = _CLIPLayer(c, self.precision, name=f"layer_{i}")(x)
+        return x
+
+
+class MultiModalProjector(nn.Module):
+    """linear_1 -> GELU (erf) -> linear_2 (modeling_video_llava
+    VideoLlavaMultiModalProjector)."""
+
+    out_dim: int
+    use_bias: bool = True
+    precision: object = _PRECISION
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.out_dim, use_bias=self.use_bias, name="linear_1",
+                     precision=self.precision)(x)
+        x = jax.nn.gelu(x, approximate=False)
+        return nn.Dense(self.out_dim, use_bias=self.use_bias, name="linear_2",
+                        precision=self.precision)(x)
+
+
+def _convert_tower(cfg: CLIPVisionConfig, sd: dict, prefix: str,
+                   n_layers: int) -> dict:
+    """``{prefix}.vision_model.*`` -> CLIPHiddenTower params (only the
+    blocks that run)."""
+    pre = f"{prefix}.vision_model."
+
+    def dense(p):
+        return {"kernel": _t(sd[f"{p}.weight"]).T, "bias": _t(sd[f"{p}.bias"])}
+
+    def ln(p):
+        return {"scale": _t(sd[f"{p}.weight"]), "bias": _t(sd[f"{p}.bias"])}
+
+    p = {
+        "class_embedding": _t(sd[f"{pre}embeddings.class_embedding"]),
+        "patch_embedding": {"kernel": _t(
+            sd[f"{pre}embeddings.patch_embedding.weight"]
+        ).transpose(2, 3, 1, 0)},
+        "position_embedding": _t(
+            sd[f"{pre}embeddings.position_embedding.weight"]),
+        "pre_layernorm": ln(f"{pre}pre_layrnorm"),  # sic: HF's typo'd name
+    }
+    for i in range(n_layers):
+        lp = f"{pre}encoder.layers.{i}"
+        p[f"layer_{i}"] = {
+            "q_proj": dense(f"{lp}.self_attn.q_proj"),
+            "k_proj": dense(f"{lp}.self_attn.k_proj"),
+            "v_proj": dense(f"{lp}.self_attn.v_proj"),
+            "out_proj": dense(f"{lp}.self_attn.out_proj"),
+            "layer_norm1": ln(f"{lp}.layer_norm1"),
+            "layer_norm2": ln(f"{lp}.layer_norm2"),
+            "fc1": dense(f"{lp}.mlp.fc1"),
+            "fc2": dense(f"{lp}.mlp.fc2"),
+        }
+    return p
+
+
+def convert_videollava_state(vcfg: CLIPVisionConfig, llm_cfg: LLMConfig,
+                             sd: dict, *, feature_layer: int = -2,
+                             projector_bias: bool = True) -> dict:
+    """HF VideoLlavaForConditionalGeneration state dict -> our tree
+    {video_tower, image_tower?, projector, llm}."""
+    if any(k.startswith("model.video_tower.") for k in sd):
+        body = "model."  # transformers >= 4.52 nests under VideoLlavaModel
+    else:
+        body = ""
+    n_run = n_tower_layers(vcfg, feature_layer)
+
+    def dense(p):
+        out = {"kernel": _t(sd[f"{p}.weight"]).T}
+        if f"{p}.bias" in sd:
+            out["bias"] = _t(sd[f"{p}.bias"])
+        return out
+
+    params: dict = {
+        "video_tower": _convert_tower(vcfg, sd, f"{body}video_tower", n_run),
+        "projector": {
+            "linear_1": dense(f"{body}multi_modal_projector.linear_1"),
+            "linear_2": dense(f"{body}multi_modal_projector.linear_2"),
+        },
+    }
+    if any(k.startswith(f"{body}image_tower.") for k in sd):
+        params["image_tower"] = _convert_tower(
+            vcfg, sd, f"{body}image_tower", n_run)
+    lsd = {k[len(f"{body}language_model."):]: v for k, v in sd.items()
+           if k.startswith(f"{body}language_model.")}
+    if "lm_head.weight" in sd:
+        lsd["lm_head.weight"] = sd["lm_head.weight"]
+    params["llm"] = convert_llm_state(llm_cfg, lsd)
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+class VideoLlava:
+    """Batched TPU Video-LLaVA: frames -> tower(-2) -> projector -> splice
+    at the ``<video>`` placeholders -> LLM."""
+
+    def __init__(self, vcfg: CLIPVisionConfig, llm_cfg: LLMConfig,
+                 params: dict, *, video_token_index: int,
+                 image_token_index: int | None = None,
+                 feature_layer: int = -2,
+                 select_strategy: str = "default"):
+        self.vcfg = vcfg
+        self.llm_cfg = llm_cfg
+        self.params = params
+        self.video_token_index = video_token_index
+        self.image_token_index = image_token_index
+        self.select_strategy = select_strategy
+        n_run = n_tower_layers(vcfg, feature_layer)
+        self._tower = CLIPHiddenTower(vcfg, n_run)
+        self._proj = MultiModalProjector(
+            llm_cfg.hidden_size,
+            use_bias="bias" in params["projector"]["linear_1"])
+        self._llm = LLM(llm_cfg)
+
+        def encode(p, pixels, tower_key):
+            h = self._tower.apply({"params": p[tower_key]}, pixels)
+            return self._proj.apply({"params": p["projector"]}, h)
+
+        self._encode = jax.jit(encode, static_argnames=("tower_key",))
+        self._forward = jax.jit(
+            lambda p, emb, mask: self._llm.apply(
+                {"params": p["llm"]}, emb, attention_mask=mask))
+
+    @classmethod
+    def from_hf_torch(cls, hf_model) -> "VideoLlava":
+        cfg = hf_model.config
+        vcfg = CLIPVisionConfig.from_hf(cfg.vision_config, projection_dim=1)
+        llm_cfg = LLMConfig.from_hf(cfg.text_config)
+        fl = cfg.vision_feature_layer
+        params = convert_videollava_state(vcfg, llm_cfg,
+                                          hf_model.state_dict(),
+                                          feature_layer=fl)
+        return cls(vcfg, llm_cfg, params,
+                   video_token_index=cfg.video_token_index,
+                   image_token_index=getattr(cfg, "image_token_index", None),
+                   feature_layer=fl,
+                   select_strategy=cfg.vision_feature_select_strategy)
+
+    @property
+    def tokens_per_frame(self) -> int:
+        return (self.vcfg.image_size // self.vcfg.patch_size) ** 2 + 1
+
+    def video_features(self, pixels: np.ndarray) -> np.ndarray:
+        """(B, F, H, W, 3) normalized frames -> (B, F*257, H_llm).
+        All tokens kept (HF get_video_features applies no select
+        strategy to videos)."""
+        B, F = pixels.shape[:2]
+        h = self._encode(self.params, jnp.asarray(pixels.reshape(
+            (B * F,) + pixels.shape[2:])), "video_tower")
+        return np.asarray(h).reshape(B, F * h.shape[1], -1)
+
+    def image_features(self, pixels: np.ndarray) -> np.ndarray:
+        """(B, H, W, 3) -> (B, 256, H_llm) under the "default" strategy
+        (CLS dropped; get_image_features)."""
+        h = np.asarray(self._encode(self.params, jnp.asarray(pixels),
+                                    "image_tower"))
+        return h[:, 1:] if self.select_strategy == "default" else h
+
+    def splice_embeds(self, input_ids: np.ndarray,
+                      feats: np.ndarray) -> np.ndarray:
+        """Token embeddings with row b's video features scattered at its
+        ``<video>`` placeholder positions (HF masked-scatter semantics)."""
+        table = np.asarray(self.params["llm"]["embed_tokens"]["embedding"])
+        emb = table[input_ids].astype(np.float32)
+        for b in range(input_ids.shape[0]):
+            pos = np.where(input_ids[b] == self.video_token_index)[0]
+            emb[b, pos] = feats[b, : len(pos)]
+        return emb
+
+    def forward_logits(self, input_ids: np.ndarray, pixels: np.ndarray,
+                       attention_mask: np.ndarray) -> np.ndarray:
+        """Parity path: full-sequence logits for prompts with expanded
+        video placeholders."""
+        feats = self.video_features(pixels)
+        emb = self.splice_embeds(input_ids, feats)
+        return np.asarray(self._forward(self.params, jnp.asarray(emb),
+                                        jnp.asarray(attention_mask)))
+
+    def generate_batch(self, ids_list: list[np.ndarray], pixels: np.ndarray,
+                       tokenizer, *, max_new_tokens: int = 1024,
+                       temperature: float = 0.0, top_p: float = 0.9,
+                       prng_key=None) -> list[str]:
+        """Right-pad ragged prompts, splice per-row video features, decode
+        with the shared engine. pixels: (B, F, H, W, 3) normalized."""
+        from ..mllm.generate import bucket_len, generate
+
+        B = len(ids_list)
+        S = bucket_len(max(len(x) for x in ids_list))
+        ids = np.zeros((B, S), np.int32)
+        mask = np.zeros((B, S), np.int32)
+        for i, x in enumerate(ids_list):
+            ids[i, : len(x)] = x
+            mask[i, : len(x)] = 1
+        feats = self.video_features(pixels)
+        emb = self.splice_embeds(ids, feats)
+        emb = emb * mask[..., None]
+        eos = tokenizer.eos_token_id
+        toks = np.asarray(generate(
+            self.llm_cfg, self.params["llm"], jnp.asarray(emb),
+            jnp.asarray(mask), max_new_tokens=max_new_tokens,
+            temperature=temperature, top_p=top_p,
+            eos_token_id=eos if eos is not None else -1, prng_key=prng_key))
+        out = []
+        for row in toks:
+            stop = np.where(row == eos)[0] if eos is not None else []
+            row = row[: stop[0]] if len(stop) else row
+            out.append(tokenizer.decode(row, skip_special_tokens=True))
+        return out
+
+
+class VideoLlavaCaller:
+    """The unified wrapper the preference pipelines consume.
+
+    Implements both the reference's sample-wise protocol
+    (main-video.py:75-110: 8 uniform 224x224 frames, the emotion-expert
+    prompt assembled by the caller of ``func_calling_sample``,
+    temperature-0.1 sampling, flattened response) and the batched
+    ``caller(samples, prompts) -> responses`` protocol (samples carry
+    ``frames`` (T, H, W, 3) uint8 RGB arrays or ``video_path``)."""
+
+    VIDEO_TOKEN = "<video>"
+
+    def __init__(self, model_path: str | None = None, *, model=None,
+                 tokenizer=None, batch: int = 4, n_frames: int = 8,
+                 max_new_tokens: int = 1024, temperature: float = 0.0,
+                 chat_template: str | None = None, seed: int = 0):
+        if model is None:
+            from transformers import (AutoProcessor,
+                                      VideoLlavaForConditionalGeneration)
+
+            hf = VideoLlavaForConditionalGeneration.from_pretrained(
+                model_path)
+            model = VideoLlava.from_hf_torch(hf)
+            del hf
+            proc = AutoProcessor.from_pretrained(model_path)
+            tokenizer = proc.tokenizer
+            chat_template = chat_template or getattr(proc, "chat_template",
+                                                     None)
+        self.model = model
+        self.tok = tokenizer
+        self.batch = batch
+        self.n_frames = n_frames
+        self.max_new_tokens = max_new_tokens
+        self.temperature = temperature
+        self.chat_template = chat_template
+        self.seed = seed
+
+    def _load_frames(self, sample: dict) -> np.ndarray:
+        if "frames" in sample:
+            frames = np.asarray(sample["frames"])
+        else:
+            from ..io import video as vio
+
+            frames = vio.decode_frames(sample["video_path"])
+        # 8 uniform frames (videollava UniformFrameSampling)
+        idx = np.linspace(0, len(frames) - 1, self.n_frames
+                          ).round().astype(int)
+        return frames[idx]
+
+    def preprocess_video(self, frames: np.ndarray) -> np.ndarray:
+        """uint8 RGB (F, H, W, 3) -> normalized (F, 224, 224, 3)
+        (videollava processor: resize + CLIP mean/std)."""
+        from ..ops.image import resize_separable
+
+        s = self.model.vcfg.image_size
+        x = frames.astype(np.float32) / 255.0
+        x = np.asarray(resize_separable(jnp.asarray(x), s, s))
+        return (x - IMAGE_MEAN) / IMAGE_STD
+
+    def prompt_ids(self, prompt: str) -> np.ndarray:
+        n_tok = self.model.tokens_per_frame * self.n_frames
+        if self.chat_template:
+            conv = [{"role": "user", "content": [
+                {"type": "video"}, {"type": "text", "text": prompt}]}]
+            text = self.tok.apply_chat_template(
+                conv, chat_template=self.chat_template,
+                add_generation_prompt=True, tokenize=False)
+        else:
+            # llava_v1 conversation (main-video.py:86-92 via the HF prompt
+            # format of the same checkpoint)
+            text = f"USER: {self.VIDEO_TOKEN}\n{prompt} ASSISTANT:"
+        text = text.replace(self.VIDEO_TOKEN, self.VIDEO_TOKEN * n_tok, 1)
+        return np.asarray(self.tok(text).input_ids, np.int32)
+
+    def __call__(self, samples: list[dict], prompts: list[str]) -> list[str]:
+        out: list[str] = [""] * len(samples)
+        key = jax.random.PRNGKey(self.seed) if self.temperature > 0 else None
+        for i in range(0, len(samples), self.batch):
+            grp = list(range(i, min(i + self.batch, len(samples))))
+            pixels = np.stack([self.preprocess_video(
+                self._load_frames(samples[j])) for j in grp])
+            ids = [self.prompt_ids(prompts[j]) for j in grp]
+            if key is not None:
+                key, sub = jax.random.split(key)
+            else:
+                sub = None
+            texts = self.model.generate_batch(
+                ids, pixels, self.tok, max_new_tokens=self.max_new_tokens,
+                temperature=self.temperature, prng_key=sub)
+            for j, t in zip(grp, texts):
+                # reference response flattening (main-video.py:110-112)
+                t = t.replace("\n", " ").replace("\t", " ").strip()
+                if t.endswith("</s>"):
+                    t = t[: -len("</s>")]
+                out[j] = t.strip()
+        return out
+
+    def func_calling_sample(self, audio_path, video_path, prompt,
+                            input_type) -> str:
+        """Reference-exact single-sample entry (video-only model)."""
+        return self([{"video_path": video_path}], [prompt])[0]
