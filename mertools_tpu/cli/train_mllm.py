@@ -133,7 +133,17 @@ def main(argv=None):
     p.add_argument("--options", nargs="*", default=[])
     p.add_argument("--n_model", type=int, default=1,
                    help="tensor-parallel width over the mesh 'model' axis")
+    p.add_argument("--n_pipe", type=int, default=1,
+                   help="pipeline-parallel stages over the mesh 'pipe' axis "
+                        "(GPipe schedule; LLM layers split into equal "
+                        "stages, one per device group). Exclusive with "
+                        "--n_model.")
+    p.add_argument("--n_micro", type=int, default=0,
+                   help="pipeline microbatches (0 = n_pipe); batch_size must "
+                        "divide evenly")
     args = p.parse_args(argv)
+    assert not (args.n_model > 1 and args.n_pipe > 1), \
+        "--n_model and --n_pipe are exclusive (tp x pp composition not wired)"
 
     import jax
     import numpy as np
@@ -231,7 +241,8 @@ def main(argv=None):
         min_lr=float(rcfg.get("min_lr", 8e-5)),
         warmup_steps=int(rcfg.get("warmup_steps", 100)),
         output_dir=rcfg.get("output_dir", "./mllm_output"),
-        compute_dtype=("bf16" if amp == "bf16" else None))
+        compute_dtype=("bf16" if amp == "bf16" else None),
+        n_micro=args.n_micro)
 
     if raw_mode:
         from ..mllm.raw_train import raw_batch_iterator
@@ -301,10 +312,19 @@ def main(argv=None):
         params = dict(params)
         params["llm"] = overlay(params["llm"], llm_params)
 
-    n_data = jax.device_count() // args.n_model
+    n_data = jax.device_count() // (args.n_model * args.n_pipe)
     mesh = None
     if jax.device_count() > 1 and run_cfg.batch_size % max(n_data, 1) == 0:
-        mesh = make_mesh(n_model=args.n_model)
+        if args.n_pipe > 1:
+            from ..parallel.pp import make_pipe_mesh
+
+            L = model.cfg.llm.num_layers
+            assert L % args.n_pipe == 0, \
+                f"num_layers {L} not divisible by --n_pipe {args.n_pipe}"
+            assert run_cfg.batch_size % (run_cfg.n_micro or args.n_pipe) == 0
+            mesh = make_pipe_mesh(args.n_pipe, n_data=n_data)
+        else:
+            mesh = make_mesh(n_model=args.n_model)
     elif jax.device_count() > 1:
         print(f"batch_size {run_cfg.batch_size} not divisible by data axis "
               f"{n_data}; running single-device")
@@ -318,6 +338,14 @@ def main(argv=None):
         assert n_sharded > 0, "--n_model > 1 but no param leaf is sharded"
         print(f"tensor parallel: {n_sharded} param leaves sharded over the "
               f"'model' axis (n_model={args.n_model}, n_data={n_data})")
+    if mesh is not None and mesh.shape.get("pipe", 1) > 1:
+        from jax.sharding import PartitionSpec as P
+
+        leaf = runner.state.params["llm"]["stacked"]["q_proj"]["kernel"]
+        assert leaf.sharding.spec[0] == "pipe", leaf.sharding
+        print(f"pipeline parallel: LLM stages sharded over the 'pipe' axis "
+              f"(n_pipe={args.n_pipe}, n_data={n_data}, "
+              f"n_micro={run_cfg.n_micro or args.n_pipe})")
     os.makedirs(run_cfg.output_dir, exist_ok=True)
 
     start_epoch = 0
@@ -344,7 +372,7 @@ def main(argv=None):
                 best = crit
                 runner.save_checkpoint(epoch, is_best=True)
     save_model(os.path.join(run_cfg.output_dir, "model"), model,
-               runner.state.params)
+               runner._flat_params())
     print(f"done; best {'val' if val_batches else 'train'} loss "
           f"{best:.4f}; model saved to "
           f"{run_cfg.output_dir}/model")

@@ -72,6 +72,8 @@ class RunnerConfig:
     # param subtrees to freeze beyond the LLM base (reference frozen_* yaml
     # keys via affectgpt.frozen_components)
     frozen: tuple = ()
+    # pipeline microbatches when the mesh has a 'pipe' axis (0 = n_pipe)
+    n_micro: int = 0
 
 
 class Runner:
@@ -87,11 +89,55 @@ class Runner:
             labels_fn=lambda p: trainable_labels(p, cfg.frozen))
         if cfg.accum_grad_iters > 1:
             tx = optax.MultiSteps(tx, cfg.accum_grad_iters)
+        self._pipe = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             n_model = mesh.shape.get("model", 1)
-            if n_model > 1:
+            n_pipe = mesh.shape.get("pipe", 1)
+            if n_pipe > 1:
+                # PRODUCTION pipeline parallelism: the LLM stack is split into
+                # n_pipe stages whose params are stacked on a leading stage
+                # axis and sharded over 'pipe' (each device group holds 1/n_pipe
+                # of the transformer — the HBM win pp exists for), run by the
+                # differentiable GPipe schedule in parallel/pp. The bridge
+                # (encoders/Q-Formers/splice) stays replicated and SPMD over
+                # 'data'. Checkpoints remain in the flat layer_i layout (see
+                # save/load below) so pp and non-pp runs interoperate.
+                from ..parallel.pp import (PipelinedLLM, pipe_param_specs,
+                                           split_stage_params)
+
+                n_micro = cfg.n_micro or n_pipe
+                assert cfg.batch_size % (
+                    n_micro * mesh.shape.get("data", 1)) == 0, (
+                    "batch_size must divide n_micro x data-axis",
+                    cfg.batch_size, n_micro, mesh.shape)
+                stacked, shared = split_stage_params(
+                    params["llm"], model.cfg.llm, n_pipe)
+                params = {**{k: v for k, v in params.items() if k != "llm"},
+                          "llm": {"stacked": stacked, "shared": shared}}
+                # rebuild the optimizer: multi_transform's label tree must
+                # match the restructured params (trainable_labels is
+                # path-name based, so lora leaves stay 'train' when stacked)
+                tx = make_mllm_optimizer(
+                    params, schedule, cfg.weight_decay,
+                    labels_fn=lambda p: trainable_labels(p, cfg.frozen))
+                if cfg.accum_grad_iters > 1:
+                    tx = optax.MultiSteps(tx, cfg.accum_grad_iters)
+                specs = pipe_param_specs(params)
+                params = jax.tree_util.tree_map(
+                    lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
+                    params, specs)
+                self._pipe = PipelinedLLM(model.cfg.llm, mesh,
+                                          cfg.n_micro or n_pipe)
+                make_state = lambda p: MLLMTrainState.create(
+                    apply_fn=model.apply, params=p, tx=tx)
+                abstract = jax.eval_shape(make_state, params)
+                out_sh = jax.tree_util.tree_map(
+                    lambda s: NamedSharding(mesh, s),
+                    pipe_param_specs(abstract))
+                self.state = jax.jit(make_state, out_shardings=out_sh)(params)
+            elif n_model > 1:
                 # PRODUCTION tensor parallelism: shard the LLM's attention/MLP
                 # kernels over the 'model' axis (Megatron layout, parallel/tp)
                 # and build the optimizer state UNDER JIT so GSPMD propagates
@@ -139,21 +185,36 @@ class Runner:
         else:
             cast_tree = lambda t: t
 
-        @partial(jax.jit, donate_argnames=("state",))
-        def train_step(state: MLLMTrainState, batch: dict):
-            def loss_fn(p):
-                loss, _ = state.apply_fn({"params": cast_tree(p)},
-                                         cast_tree(batch))
+        if self._pipe is not None:
+            from .affectgpt import AffectGPT as _AG
+            from .llm import lm_loss
+
+            def compute_loss(p, batch):
+                p, batch = cast_tree(p), cast_tree(batch)
+                # bridge (encoders/Q-Formers/splice) needs only the LLM's
+                # embed_tokens — flax resolves params lazily, so the layer
+                # params can live in the stacked stage tree instead
+                bridge = {k: v for k, v in p.items() if k != "llm"}
+                llm_min = {"embed_tokens": p["llm"]["shared"]["embed_tokens"]}
+                embeds = model.apply({"params": {**bridge, "llm": llm_min}},
+                                     batch, method=_AG.generate_step_embeds)
+                logits = self._pipe(p["llm"]["stacked"], p["llm"]["shared"],
+                                    embeds, batch.get("attention_mask"))
+                return lm_loss(logits, batch["labels"])
+        else:
+            def compute_loss(p, batch):
+                loss, _ = model.apply({"params": cast_tree(p)},
+                                      cast_tree(batch))
                 return loss
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        @partial(jax.jit, donate_argnames=("state",))
+        def train_step(state: MLLMTrainState, batch: dict):
+            loss, grads = jax.value_and_grad(compute_loss)(state.params, batch)
             return state.apply_gradients(grads=grads), loss
 
         @jax.jit
         def eval_step(state: MLLMTrainState, batch: dict):
-            loss, _ = state.apply_fn({"params": cast_tree(state.params)},
-                                     cast_tree(batch))
-            return loss
+            return compute_loss(state.params, batch)
 
         self._train_step = train_step
         self._eval_step = eval_step
@@ -197,9 +258,10 @@ class Runner:
 
         path = os.path.abspath(os.path.join(
             self.cfg.output_dir, "checkpoint_best" if is_best else f"checkpoint_{epoch}"))
-        labels = trainable_labels(self.state.params, self.cfg.frozen)
+        params = self._flat_params()
+        labels = trainable_labels(params, self.cfg.frozen)
         trainable = jax.tree_util.tree_map(
-            lambda p, l: p if l == "train" else None, self.state.params, labels)
+            lambda p, l: p if l == "train" else None, params, labels)
         # None leaves = frozen params; tree_map's default None handling drops
         # them as empty subtrees (orbax cannot serialize object arrays)
         trainable = jax.tree_util.tree_map(np.asarray, trainable)
@@ -207,12 +269,50 @@ class Runner:
         ckpt.save(path, {"params": trainable, "epoch": epoch}, force=True)
         return path
 
+    def _flat_params(self) -> dict:
+        """Live params in the flat ``llm/layer_i`` layout (unstacks the pp
+        stage tree when running pipelined) — checkpoint wire format."""
+        params = self.state.params
+        if self._pipe is not None:
+            from ..parallel.pp import merge_stage_params
+
+            flat_llm = merge_stage_params(
+                params["llm"]["stacked"], params["llm"]["shared"],
+                self.model.cfg.llm, self._pipe.n_stages)
+            params = {**{k: v for k, v in params.items() if k != "llm"},
+                      "llm": flat_llm}
+        return params
+
     def load_checkpoint(self, path: str):
         import orbax.checkpoint as ocp
 
         ckpt = ocp.PyTreeCheckpointer()
         restored = ocp.PyTreeCheckpointer.restore(ckpt, os.path.abspath(path))
         loaded = restored["params"]
+
+        if self._pipe is not None:
+            # checkpoints are flat; restack onto the live pipe layout
+            from jax.sharding import NamedSharding
+            from ..parallel.pp import (pipe_param_specs, split_stage_params)
+
+            flat = self._flat_params()
+
+            def merge_f(cur, new):
+                return cur if new is None else jnp.asarray(new)
+
+            flat = jax.tree_util.tree_map(
+                merge_f, flat, loaded,
+                is_leaf=lambda x: x is None or not isinstance(x, dict))
+            stacked, shared = split_stage_params(
+                flat["llm"], self.model.cfg.llm, self._pipe.n_stages)
+            params = {**{k: v for k, v in flat.items() if k != "llm"},
+                      "llm": {"stacked": stacked, "shared": shared}}
+            params = jax.tree_util.tree_map(
+                lambda p, s: jax.device_put(
+                    p, NamedSharding(self._pipe.mesh, s)),
+                params, pipe_param_specs(params))
+            self.state = self.state.replace(params=params)
+            return restored.get("epoch")
 
         def merge(cur, new):
             if new is None:

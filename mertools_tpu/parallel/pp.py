@@ -153,6 +153,36 @@ class PipelinedLLM:
                           precision=jax.lax.Precision.HIGHEST)
 
 
+def merge_stage_params(stacked: dict, shared: dict, cfg: LLMConfig,
+                       n_stages: int) -> dict:
+    """Inverse of :func:`split_stage_params`: stacked stage tree back to the
+    flat ``layer_i`` LLM layout (checkpoints are saved in the flat layout so
+    they stay interchangeable between pp and non-pp runs)."""
+    per = cfg.num_layers // n_stages
+    out = dict(shared)
+    for s in range(n_stages):
+        for i in range(per):
+            out[f"layer_{s * per + i}"] = jax.tree_util.tree_map(
+                lambda a, s=s, i=i: a[s, i], stacked)
+    return out
+
+
+def pipe_param_specs(params: dict) -> dict:
+    """PartitionSpec tree for an AffectGPT param tree whose ``llm`` subtree
+    has been restructured to ``{stacked, shared}``: stacked stage leaves
+    shard their leading (stage) axis over ``pipe``; everything else
+    replicates. Path-name based, so it also applies to the optimizer's m/v
+    trees (structural copies of params)."""
+
+    def spec(path, leaf):
+        names = [getattr(k, "key", str(k)) for k in path]
+        if "stacked" in names and getattr(leaf, "ndim", 0) >= 1:
+            return P("pipe", *([None] * (leaf.ndim - 1)))
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
 def pipeline_logits(cfg: LLMConfig, llm_params: dict, mesh: Mesh,
                     inputs_embeds, attention_mask=None,
                     n_microbatches: int = 2):
