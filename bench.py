@@ -345,9 +345,14 @@ def leg_serve(detail: dict) -> None:
                            method=llm.embed)["params"])
 
     def run_engine(p, tag):
+        # chunk=64 == max_new: each admission wave decodes in ONE jitted
+        # device loop (host sync once per wave, not once per token)
         eng = ContinuousBatcher(llm_cfg, p, n_slots=8, max_len=256,
                                 max_new_tokens=64, eos_token_id=-1,
-                                prefill_buckets=(128,))
+                                prefill_buckets=(128,), chunk=64)
+        for _ in range(16):
+            eng.submit(rng.normal(size=(100, 2048)).astype(np.float32))
+        eng.run()  # compile (prefill + chunk loop)
         for _ in range(16):
             eng.submit(rng.normal(size=(100, 2048)).astype(np.float32))
         t0 = time.perf_counter()
@@ -362,13 +367,43 @@ def leg_serve(detail: dict) -> None:
     detail["serve"] = {}
     base = run_engine(params, "bf16_1p1b")
     try:
-        from mertools_tpu.ops.quant import quantize_llm_params_w8
+        from mertools_tpu.mllm.generate import quantize_llm_params_w8
 
         w8 = quantize_llm_params_w8(params)
         r8 = run_engine(w8, "w8_1p1b")
         detail["serve"]["w8_speedup"] = round(r8 / base, 2)
     except Exception as e:  # noqa: BLE001
         detail["serve"]["w8_error"] = f"{type(e).__name__}: {e}"
+
+    # batched scan decode (generate(): the batch_generate_texts production
+    # path behind ovlabel/translate/synonym CLIs) — w8 weights + int8 KV
+    # cache, the full quantized-serving configuration
+    try:
+        import jax.numpy as jnp
+
+        from mertools_tpu.mllm.generate import generate
+
+        B, S, new = 8, 128, 64
+        emb = jnp.asarray(rng.normal(size=(B, S, 2048)).astype(np.float32))
+        mask = jnp.ones((B, S), jnp.int32)
+
+        def run_gen(p, kv_int8, tag):
+            kw = dict(max_new_tokens=new, eos_token_id=-1, kv_int8=kv_int8)
+            np.asarray(generate(llm_cfg, p, emb, mask, **kw))  # compile
+            t0 = time.perf_counter()
+            n_rep = 2
+            for _ in range(n_rep):
+                np.asarray(generate(llm_cfg, p, emb, mask, **kw))
+            rate = n_rep * B * new / (time.perf_counter() - t0)
+            detail["serve"][tag] = {"decode_tokens_per_sec": round(rate, 1),
+                                    "batch": B, "new_tokens_each": new}
+            return rate
+
+        g8 = run_gen(w8, False, "scan_w8_1p1b")
+        g8kv = run_gen(w8, True, "scan_w8_kvint8_1p1b")
+        detail["serve"]["kv_int8_vs_w8"] = round(g8kv / g8, 2)
+    except Exception as e:  # noqa: BLE001
+        detail["serve"]["scan_error"] = f"{type(e).__name__}: {e}"
 
 
 def main():

@@ -88,8 +88,13 @@ def _make_caller_factory(args):
 
         assert args.ckpt and args.video_dir, "--judge videollava needs " \
             "--ckpt (HF checkpoint) and --video_dir (mp4s)"
+        # pass --temperature through (the reference protocol samples at
+        # do_sample=True, temperature=0.1 — main-video.py:106-108; pass
+        # --temperature 0.1 to reproduce it; default 0.0 stays greedy)
         caller = VideoLlavaCaller(args.ckpt, batch=args.batch,
-                                  max_new_tokens=args.max_new_tokens)
+                                  max_new_tokens=args.max_new_tokens,
+                                  temperature=args.temperature,
+                                  seed=args.seed)
         sample = lambda r: {
             "video_path": os.path.join(args.video_dir, r["name"] + ".mp4")}
         return (lambda rnd: caller), sample
@@ -263,6 +268,8 @@ def main(argv=None):
     j.add_argument("--max_new_tokens", type=int, default=64)
     j.add_argument("--temperature", type=float, default=0.0,
                    help="sampled judging; >0 makes --rounds meaningful")
+    j.add_argument("--seed", type=int, default=0,
+                   help="PRNG seed for sampled judging")
     j.add_argument("--rounds", type=int, default=1,
                    help="repeat calling times (reference --totalround; "
                         "round-tagged npz outputs, idempotent per round)")

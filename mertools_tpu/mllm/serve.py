@@ -6,10 +6,17 @@ TPU-native equivalent: a slot-based engine where
 
 - the KV cache is a static (layers, n_slots, max_len, heads, head_dim)
   buffer resident on device,
-- each engine step decodes ONE token for every active slot in a single
-  jitted call (per-slot positions/write offsets),
-- finished slots free immediately and new requests prefill into free slots
-  between decode steps (per-bucket prefill compile),
+- decode runs in CHUNKS: one jitted ``lax.while_loop`` advances every
+  active slot by up to ``chunk`` tokens with tokens/positions/masks/
+  sampling state living entirely on device — the host syncs ONCE per
+  chunk (a (n_slots, chunk) token matrix), not once per token. Autoregressive
+  decode at small batch is bound by HBM parameter reads, and on a
+  high-latency host link a per-token ``np.asarray`` would bound it at
+  link RTT instead (measured ~50x under roofline) — chunking amortizes
+  the round-trip across ``chunk`` tokens,
+- finished slots free immediately after the chunk that finished them and
+  new requests prefill into free slots between chunks (per-bucket prefill
+  compile),
 
 so ragged request streams keep the chip busy without re-padding the whole
 batch to the longest request — the continuous-batching property. Greedy at
@@ -30,19 +37,6 @@ from ..ops.quant import w8_einsum
 from .generate import _lora_dense, _mlp, _qkv, _rms, _rotary, _sample
 
 _P = jax.lax.Precision.HIGHEST
-
-
-@functools.partial(jax.jit, static_argnames=("temperature", "top_p",
-                                             "repetition_penalty"))
-def _sample_step(logits, key, seen, slots, temperature: float, top_p: float,
-                 repetition_penalty: float):
-    """Sample next tokens for every slot on device and scatter-update the
-    per-slot seen-token counts (generate._sample semantics: greedy at
-    temperature 0, else top-p; vLLM/HF repetition penalty over prompt +
-    generated tokens)."""
-    toks = _sample(logits, key, temperature, top_p, seen, repetition_penalty)
-    seen = seen.at[slots, toks].add(1)
-    return toks, seen
 
 
 @functools.partial(jax.jit, static_argnames=("temperature", "top_p"))
@@ -84,14 +78,12 @@ def _prefill_full(cfg, params, inputs_embeds, attention_mask):
     return prefill(cfg, params, inputs_embeds, attention_mask, S)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=(
-    "k_cache", "v_cache"))
-def _serve_step(cfg, params, toks, positions, write_idx, kv_mask,
-                k_cache, v_cache, active):
-    """One decode token for every slot.
+def _step_inner(cfg, params, toks, positions, write_idx, kv_mask,
+                k_cache, v_cache):
+    """One decode token for every slot (traced inside the chunk loop).
 
     toks (B,), positions (B,) rotary positions, write_idx (B,) cache slots to
-    write, kv_mask (B, L) attendable entries, active (B,) bool.
+    write, kv_mask (B, L) attendable entries.
     k/v_cache: (layers, B, L, nkv, hd). Returns (next_logits (B, V), caches).
     """
     nh, nkv = cfg.num_heads, cfg.num_kv_heads
@@ -133,9 +125,71 @@ def _serve_step(cfg, params, toks, positions, write_idx, kv_mask,
     x = _rms(params["norm"], x, cfg.rms_norm_eps)
     logits = w8_einsum("bd,dv->bv", x, params["lm_head"]["kernel"],
                        precision=_P)
-    # frozen slots must not corrupt caches: masked writes already landed, but
-    # inactive rows wrote garbage at write_idx — mask them back out
+    # inactive rows write garbage at their (non-advancing) write_idx — the
+    # kv_mask bit there stays False, and admission resets the row's mask,
+    # so the garbage is never attendable
     return logits, k_cache, v_cache
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_steps", "temperature", "top_p",
+                                    "repetition_penalty", "eos", "max_new",
+                                    "max_len"),
+                   donate_argnames=("k_cache", "v_cache", "seen"))
+def _decode_chunk(cfg, params, next_tok, cur_len, write_at, kv_mask,
+                  k_cache, v_cache, active, gen_count, key, seen, *,
+                  n_steps: int, temperature: float, top_p: float,
+                  repetition_penalty: float, eos: int, max_new: int,
+                  max_len: int):
+    """Advance every active slot by up to ``n_steps`` tokens on device.
+
+    A ``lax.while_loop`` (early exit when every slot finishes) whose carry
+    holds ALL per-slot decode state: current token, rotary position,
+    physical write index, attendable-KV mask, generated-token count,
+    sampling key and (optionally) the repetition-penalty seen counts. Slots
+    that hit EOS / their token budget / the cache end deactivate in-loop;
+    the host learns about it from the returned (B, n_steps) token matrix
+    (-1 marks not-generated) — ONE device->host transfer per chunk.
+
+    Returns (out_tokens, k_cache, v_cache, seen, key).
+    """
+    B = next_tok.shape[0]
+    rows = jnp.arange(B)
+    use_pen = repetition_penalty != 1.0
+    out0 = jnp.full((B, n_steps), -1, jnp.int32)
+
+    def cond(c):
+        return (c[0] < n_steps) & jnp.any(c[7])
+
+    def body(c):
+        (i, toks, cur, wat, mask, kc, vc, act, gcnt, out, k, sn) = c
+        ai = act.astype(jnp.int32)
+        # this step's token becomes attendable for its own attention
+        mask_cur = mask.at[rows, wat].set(act)
+        logits, kc, vc = _step_inner(cfg, params, toks, cur, wat,
+                                     mask_cur, kc, vc)
+        k, k1 = jax.random.split(k)
+        if use_pen:
+            nxt = _sample(logits, k1, temperature, top_p, sn,
+                          repetition_penalty)
+            sn = sn.at[rows, nxt].add(ai)
+        else:
+            nxt = _sample(logits, k1, temperature, top_p)
+        out = out.at[:, i].set(jnp.where(act, nxt, -1))
+        # persist the new token's mask bit only for rows that generated one
+        mask = jnp.where(act[:, None], mask_cur, mask)
+        cur = cur + ai
+        wat = wat + ai
+        gcnt = gcnt + ai
+        hit = (nxt == eos) | (gcnt >= max_new) | (wat >= max_len)
+        act = act & ~hit
+        toks = jnp.where(act, nxt, toks)
+        return (i + 1, toks, cur, wat, mask, kc, vc, act, gcnt, out, k, sn)
+
+    carry = (jnp.int32(0), next_tok, cur_len, write_at, kv_mask,
+             k_cache, v_cache, active, gen_count, out0, key, seen)
+    carry = jax.lax.while_loop(cond, body, carry)
+    return carry[9], carry[5], carry[6], carry[11], carry[10]
 
 
 @dataclass
@@ -158,14 +212,21 @@ class ContinuousBatcher:
                  prefill_buckets: tuple = (32, 64, 128, 256),
                  admit_batched: bool = True, temperature: float = 0.0,
                  top_p: float = 0.9, repetition_penalty: float = 1.0,
-                 seed: int = 0):
+                 seed: int = 0, chunk: int = 32):
         self.cfg = cfg
         self.params = jax.device_put(params)
         self.temperature = float(temperature)
         self.top_p = float(top_p)
         self.repetition_penalty = float(repetition_penalty)
+        # penalty off: a (1,1) dummy keeps _decode_chunk's signature static
+        # without carrying the (n_slots, vocab) seen matrix through the loop
         self.seen = (jnp.zeros((n_slots, cfg.vocab_size), jnp.int32)
-                     if repetition_penalty != 1.0 else None)
+                     if repetition_penalty != 1.0
+                     else jnp.zeros((1, 1), jnp.int32))
+        # tokens decoded per jitted chunk (host syncs once per chunk); slots
+        # that finish mid-chunk idle until the chunk ends, so workloads with
+        # very short replies may prefer a smaller chunk
+        self.chunk = max(1, int(chunk))
         self._key = jax.random.PRNGKey(seed)
         self.n_slots = n_slots
         self.max_len = max_len
@@ -299,42 +360,44 @@ class ContinuousBatcher:
 
     # -- engine loop -----------------------------------------------------------
     def step(self):
-        """Admit waiting requests, then decode one token for active slots."""
+        """Admit waiting requests, then decode up to ``chunk`` tokens for the
+        active slots in ONE jitted device loop (host sync once per chunk)."""
         self._admit()
         if not self.active.any():
             return
-        toks = jnp.asarray(self.next_tok)
-        positions = jnp.asarray(self.cur_len)
-        write_idx = jnp.asarray(self.write_at)
-        # this step's token becomes attendable immediately
-        mask = self.kv_mask.copy()
-        mask[np.arange(self.n_slots), self.write_at] = self.active
-        logits, self.k_cache, self.v_cache = _serve_step(
-            self.cfg, self.params, toks, positions, write_idx,
-            jnp.asarray(mask), self.k_cache, self.v_cache,
-            jnp.asarray(self.active))
-        self._key, k1 = jax.random.split(self._key)
-        if self.repetition_penalty != 1.0:
-            toks2, self.seen = _sample_step(
-                logits, k1, self.seen, jnp.arange(self.n_slots),
-                self.temperature, self.top_p, self.repetition_penalty)
-        else:  # no-penalty hot path: skip the seen-count churn entirely
-            toks2 = _sample_plain(logits, k1, self.temperature, self.top_p)
-        nxt = np.asarray(toks2).astype(np.int32)
-        for slot in range(self.n_slots):
-            if not self.active[slot]:
-                continue
-            self.kv_mask[slot, self.write_at[slot]] = True
-            self.cur_len[slot] += 1
-            self.write_at[slot] += 1
-            req = self.slot_req[slot]
-            tok = int(nxt[slot])
-            req.tokens.append(tok)
-            if (tok == self.eos or len(req.tokens) >= self.max_new
-                    or self.write_at[slot] >= self.max_len):
-                self._finish(slot)
-            else:
-                self.next_tok[slot] = tok
+        gen_count = np.asarray(
+            [len(self.slot_req[s].tokens) if self.active[s] else 0
+             for s in range(self.n_slots)], np.int32)
+        out, self.k_cache, self.v_cache, self.seen, self._key = _decode_chunk(
+            self.cfg, self.params,
+            jnp.asarray(self.next_tok), jnp.asarray(self.cur_len),
+            jnp.asarray(self.write_at), jnp.asarray(self.kv_mask),
+            self.k_cache, self.v_cache, jnp.asarray(self.active),
+            jnp.asarray(gen_count), self._key, self.seen,
+            n_steps=self.chunk, temperature=self.temperature,
+            top_p=self.top_p, repetition_penalty=self.repetition_penalty,
+            eos=self.eos, max_new=self.max_new, max_len=self.max_len)
+        outs = np.asarray(out)  # the one host sync per chunk
+        # replay the device loop's (deterministic) control transitions so the
+        # host mirrors (kv_mask/cur_len/write_at/active/requests) stay exact
+        for i in range(outs.shape[1]):
+            col = outs[:, i]
+            if (col < 0).all():
+                break  # loop early-exited: every slot was inactive
+            for slot in range(self.n_slots):
+                tok = int(col[slot])
+                if tok < 0 or not self.active[slot]:
+                    continue
+                self.kv_mask[slot, self.write_at[slot]] = True
+                self.cur_len[slot] += 1
+                self.write_at[slot] += 1
+                req = self.slot_req[slot]
+                req.tokens.append(tok)
+                if (tok == self.eos or len(req.tokens) >= self.max_new
+                        or self.write_at[slot] >= self.max_len):
+                    self._finish(slot)
+                else:
+                    self.next_tok[slot] = tok
 
     def run(self) -> dict:
         """Drain the queue; returns {rid: [token, ...]} (EOS-stripped)."""

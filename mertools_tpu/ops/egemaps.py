@@ -158,25 +158,29 @@ def _frames_at(x: jnp.ndarray, nF: int, win: int) -> jnp.ndarray:
     return x[:, idx]
 
 
-def _sma3(x: jnp.ndarray) -> jnp.ndarray:
-    if x.shape[1] == 1:
-        return x
-    num = (jnp.pad(x, ((0, 0), (1, 0)))[:, :-1] + x
-           + jnp.pad(x, ((0, 0), (0, 1)))[:, 1:])
-    den = jnp.full_like(x, 3.0).at[:, 0].set(2.0).at[:, -1].set(2.0)
-    return num / den
+def _sma3(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """3-frame moving average, window truncated at the contour edges AND at
+    each row's last valid frame (``mask``), so a bucket-padded row equals an
+    exact-length extraction (pad-length invariance)."""
+    mv = mask.astype(x.dtype)
+    xm = x * mv
+    num = (jnp.pad(xm, ((0, 0), (1, 0)))[:, :-1] + xm
+           + jnp.pad(xm, ((0, 0), (0, 1)))[:, 1:])
+    den = (jnp.pad(mv, ((0, 0), (1, 0)))[:, :-1] + mv
+           + jnp.pad(mv, ((0, 0), (0, 1)))[:, 1:])
+    return jnp.where(mask, num / jnp.maximum(den, 1.0), x)
 
 
-def _sma3nz(x: jnp.ndarray) -> jnp.ndarray:
-    """Moving average over nonzero neighbours only; zeros stay zero."""
-    if x.shape[1] == 1:
-        return x
-    nz = (x != 0).astype(x.dtype)
-    num = (jnp.pad(x, ((0, 0), (1, 0)))[:, :-1] + x
-           + jnp.pad(x, ((0, 0), (0, 1)))[:, 1:])
+def _sma3nz(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Moving average over nonzero VALID neighbours only; zeros stay zero,
+    frames past ``mask`` neither receive nor contribute smoothing."""
+    nz = ((x != 0) & mask).astype(x.dtype)
+    xm = x * nz
+    num = (jnp.pad(xm, ((0, 0), (1, 0)))[:, :-1] + xm
+           + jnp.pad(xm, ((0, 0), (0, 1)))[:, 1:])
     den = (jnp.pad(nz, ((0, 0), (1, 0)))[:, :-1] + nz
            + jnp.pad(nz, ((0, 0), (0, 1)))[:, 1:])
-    return jnp.where(x != 0, num / jnp.maximum(den, 1.0), 0.0)
+    return jnp.where((x != 0) & mask, num / jnp.maximum(den, 1.0), 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -204,13 +208,19 @@ def _shs_scores(mag_p: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(interp * comp, axis=-1)               # (B,F,G)
 
 
-def _viterbi_f0(shs: jnp.ndarray, p_voiced: jnp.ndarray) -> jnp.ndarray:
+def _viterbi_f0(shs: jnp.ndarray, p_voiced: jnp.ndarray,
+                mask: jnp.ndarray) -> jnp.ndarray:
     """min-cost smoothing over G candidates + an unvoiced state.
 
-    shs (B,F,G) scores, p_voiced (B,F) ACF voicing in [0,1]
-    -> (B, F) F0 in Hz (0 where unvoiced). Weights follow the role of
-    openSMILE's cPitchSmootherViterbi (wLocal/wTvv/wTvuv); constants are
-    this implementation's tuning.
+    shs (B,F,G) scores, p_voiced (B,F) ACF voicing in [0,1], mask (B,F)
+    valid frames -> (B, F) F0 in Hz (0 where unvoiced). Weights follow the
+    role of openSMILE's cPitchSmootherViterbi (wLocal/wTvv/wTvuv);
+    constants are this implementation's tuning.
+
+    Frames past each row's mask are IDENTITY steps in the DP (cost carry
+    and backpointers pass through unchanged), so the decoded path over the
+    valid prefix is exactly the path an exact-length extraction would
+    produce — padded frames cannot steer it.
     """
     B, F, G = shs.shape
     sn = shs / (jnp.max(shs, axis=-1, keepdims=True) + 1e-12)
@@ -224,17 +234,22 @@ def _viterbi_f0(shs: jnp.ndarray, p_voiced: jnp.ndarray) -> jnp.ndarray:
     trans[:G, :G] = trans_vv
     trans[G, G] = 0.0
     transj = jnp.asarray(trans)                          # (from, to)
+    iden = jnp.broadcast_to(jnp.arange(G + 1, dtype=jnp.int32)[None, :],
+                            (B, G + 1))
 
-    def fwd(carry, loc):
-        # carry (B, G+1) accumulated cost; loc (B, G+1)
+    def fwd(carry, inp):
+        # carry (B, G+1) accumulated cost; loc (B, G+1); valid (B,)
+        loc, valid = inp
         total = carry[:, :, None] + transj[None, :, :]   # (B, from, to)
-        best = jnp.min(total, axis=1)
+        best = jnp.min(total, axis=1) + loc
         arg = jnp.argmin(total, axis=1).astype(jnp.int32)
-        return best + loc, arg
+        v = valid[:, None]
+        return jnp.where(v, best, carry), jnp.where(v, arg, iden)
 
     loc_t = jnp.moveaxis(local, 1, 0)                    # (F, B, G+1)
-    init = loc_t[0]
-    final, args = jax.lax.scan(fwd, init, loc_t[1:])     # args (F-1,B,G+1)
+    mask_t = jnp.moveaxis(mask, 1, 0)                    # (F, B)
+    init = loc_t[0]                                      # frame 0 always valid
+    final, args = jax.lax.scan(fwd, init, (loc_t[1:], mask_t[1:]))
 
     last = jnp.argmin(final, axis=-1).astype(jnp.int32)  # (B,)
 
@@ -277,7 +292,7 @@ def _lld_core(wav: jnp.ndarray, lengths: jnp.ndarray):
     p_voiced = jnp.clip(jnp.max(acn, axis=-1), 0.0, 1.0)
 
     shs = _shs_scores(mag_p)
-    f0 = _viterbi_f0(shs, p_voiced)                       # (B,F) Hz, 0=UV
+    f0 = _viterbi_f0(shs, p_voiced, mask)                 # (B,F) Hz, 0=UV
     voiced = (f0 > 0) & mask
     f0 = jnp.where(voiced, f0, 0.0)
     out["F0semitone"] = jnp.where(
@@ -427,12 +442,12 @@ def _lld_core(wav: jnp.ndarray, lengths: jnp.ndarray):
                              20.0 * jnp.log10((a_h1 + 1e-12) /
                                               (a3 + 1e-12)), 0.0)
 
-    # ---- smoothing
+    # ---- smoothing (mask-aware: padded frames never leak into valid ones)
     for name in list(out.keys()):
         if name.lstrip("_") in NZ_LLDS or name.startswith("_F"):
-            out[name] = _sma3nz(out[name])
+            out[name] = _sma3nz(out[name], mask)
         else:
-            out[name] = _sma3(out[name])
+            out[name] = _sma3(out[name], mask)
     voiced_sm = out["F0semitone"] > 0
     return out, voiced_sm & mask, mask
 
@@ -662,7 +677,10 @@ def egemaps_utt(wav: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     dur = jnp.maximum(jnp.sum(mA, 1), 1.0) * (HOP / SR)
     loud = llds["loudness"]
     is_pk = (loud[:, 1:-1] > loud[:, :-2]) & (loud[:, 1:-1] >= loud[:, 2:])
-    is_pk = jnp.pad(is_pk, ((0, 0), (1, 1))) & mask
+    # a peak needs BOTH neighbours valid: the last valid frame is the
+    # contour edge (exact-length semantics), never a peak of padded garbage
+    nxt_valid = jnp.pad(mask, ((0, 0), (0, 1)))[:, 1:]
+    is_pk = jnp.pad(is_pk, ((0, 0), (1, 1))) & mask & nxt_valid
     cols.append(jnp.sum(is_pk.astype(jnp.float32), 1) / dur)
     mean_v, std_v, n_v = _seg_stats(voiced, mask)
     mean_u, std_u, _ = _seg_stats(~voiced, mask)

@@ -134,23 +134,37 @@ def _frame_left(x: jnp.ndarray, nF: int) -> jnp.ndarray:
     return x[:, idx]
 
 
-def _sma3(x: jnp.ndarray) -> jnp.ndarray:
-    """cContourSmoother smaWin=3 along axis 1, edge windows truncated."""
-    num = (jnp.pad(x, ((0, 0), (1, 0), (0, 0)))[:, :-1]
-           + x
-           + jnp.pad(x, ((0, 0), (0, 1), (0, 0)))[:, 1:])
-    den = jnp.full_like(x, 3.0).at[:, 0].set(2.0).at[:, -1].set(2.0)
-    if x.shape[1] == 1:
-        return x
-    return num / den
+def _sma3(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """cContourSmoother smaWin=3 along axis 1, edge windows truncated.
+
+    Mask-aware: the last VALID frame of each row is treated as the contour
+    edge (window truncated, den=2), exactly as openSMILE sees an
+    exact-length clip — padded rows beyond ``mask`` never leak into valid
+    frames, so features are pad-length invariant (a batch row padded to its
+    bucket edge equals a standalone exact-length extraction)."""
+    mv = mask[:, :, None].astype(x.dtype)
+    xm = x * mv
+    num = (jnp.pad(xm, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+           + xm
+           + jnp.pad(xm, ((0, 0), (0, 1), (0, 0)))[:, 1:])
+    den = (jnp.pad(mv, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+           + mv
+           + jnp.pad(mv, ((0, 0), (0, 1), (0, 0)))[:, 1:])
+    return jnp.where(mv > 0, num / jnp.maximum(den, 1.0), x)
 
 
-def _delta2(x: jnp.ndarray) -> jnp.ndarray:
-    """cDeltaRegression deltawin=2: HTK delta, replicated edges."""
-    xp = jnp.pad(x, ((0, 0), (2, 2), (0, 0)), mode="edge")
+def _delta2(x: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
+    """cDeltaRegression deltawin=2: HTK delta, edges replicated at each
+    row's LAST VALID frame (``n_valid`` (B,)), not the padded buffer end."""
     T = x.shape[1]
-    return (1.0 * (xp[:, 3: 3 + T] - xp[:, 1: 1 + T])
-            + 2.0 * (xp[:, 4: 4 + T] - xp[:, 0: T])) / 10.0
+    t = jnp.arange(T)[None, :]
+    hi = jnp.maximum(n_valid[:, None] - 1, 0)
+
+    def g(off):
+        idx = jnp.clip(t + off, 0, hi)
+        return jnp.take_along_axis(x, idx[:, :, None], axis=1)
+
+    return (1.0 * (g(1) - g(-1)) + 2.0 * (g(2) - g(-2))) / 10.0
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -199,7 +213,7 @@ def _lld_core(wav: jnp.ndarray, lengths: jnp.ndarray):
     lld = jnp.concatenate(
         [rms[..., None], zcr[..., None], voice_prob[..., None], f0[..., None],
          mfcc], axis=-1)                                        # (B,F,16)
-    return _sma3(lld), mask
+    return _sma3(lld, mask), mask
 
 
 def is09_frame(wav: jnp.ndarray, lengths: jnp.ndarray):
@@ -210,7 +224,8 @@ def is09_frame(wav: jnp.ndarray, lengths: jnp.ndarray):
     """
     sma, mask = _lld_core(jnp.asarray(wav, jnp.float32),
                           jnp.asarray(lengths))
-    return jnp.concatenate([sma, _delta2(sma)], axis=-1), mask
+    n_valid = jnp.sum(mask.astype(jnp.int32), axis=1)
+    return jnp.concatenate([sma, _delta2(sma, n_valid)], axis=-1), mask
 
 
 def functionals_12(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

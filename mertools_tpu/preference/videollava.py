@@ -366,9 +366,14 @@ class VideoLlavaCaller:
                 conv, chat_template=self.chat_template,
                 add_generation_prompt=True, tokenize=False)
         else:
-            # llava_v1 conversation (main-video.py:86-92 via the HF prompt
-            # format of the same checkpoint)
-            text = f"USER: {self.VIDEO_TOKEN}\n{prompt} ASSISTANT:"
+            # llava_v1 conversation (main-video.py:86-92): system preamble
+            # + SeparatorStyle.TWO turns (Video-LLaVA conversation.py:335-345)
+            system = ("A chat between a curious human and an artificial "
+                      "intelligence assistant. The assistant gives helpful, "
+                      "detailed, and polite answers to the human's "
+                      "questions.")
+            text = (f"{system} USER: {self.VIDEO_TOKEN}\n{prompt} "
+                    f"ASSISTANT:")
         text = text.replace(self.VIDEO_TOKEN, self.VIDEO_TOKEN * n_tok, 1)
         return np.asarray(self.tok(text).input_ids, np.int32)
 

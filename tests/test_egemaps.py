@@ -194,3 +194,20 @@ def test_voiced_unvoiced_split():
     assert 0 < n_vseg <= 4.0
     mean_vlen = out[names.index("MeanVoicedSegmentLengthSec")]
     assert 0.2 < mean_vlen < 0.8
+
+
+def test_pad_length_invariance():
+    """ADVICE r2 (high): a clip padded to a larger bucket must equal a truly
+    exact-length extraction — mask-aware sma3/sma3nz, Viterbi identity steps
+    past the mask, and boundary-safe loudness peaks."""
+    rng = np.random.default_rng(11)
+    a = _harmonic(150, 0.53) + 0.02 * rng.normal(
+        size=int(0.53 * 16000)).astype(np.float32)
+    exact = np.asarray(eg.egemaps_utt(a[None], np.array([len(a)])))[0]
+    for pad_to in (16000, 32000):
+        buf = np.zeros((1, pad_to), np.float32)
+        buf[0, : len(a)] = a
+        padded = np.asarray(eg.egemaps_utt(buf, np.array([len(a)])))[0]
+        scale = np.maximum(np.abs(exact), 1.0)
+        np.testing.assert_allclose(padded / scale, exact / scale,
+                                   atol=2e-4, err_msg=str(pad_to))

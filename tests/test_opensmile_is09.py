@@ -173,3 +173,29 @@ def test_f0_on_harmonic_tone():
         # ACF lag grid quantizes F0 to sr/round(sr/f); 6% tolerance
         med = np.median(voiced)
         assert abs(med - freq) / freq < 0.06, (freq, med)
+
+
+def test_pad_length_invariance():
+    """ADVICE r2 (high): smoothing/deltas must truncate at the mask boundary,
+    not the buffer edge — a clip padded to a larger bucket must produce the
+    SAME features as a truly exact-length extraction (production
+    extract_batch pads every clip to bucket edges)."""
+    a = _speechlike(7, 0.53)  # 8480 samples
+    exact = np.asarray(sm.is09_utt(a[None], np.array([len(a)])))[0]
+    for pad_to in (16000, 48000):
+        buf = np.zeros((1, pad_to), np.float32)
+        buf[0, : len(a)] = a
+        padded = np.asarray(sm.is09_utt(buf, np.array([len(a)])))[0]
+        np.testing.assert_allclose(padded, exact, rtol=1e-4, atol=1e-4,
+                                   err_msg=str(pad_to))
+
+    # frame level too: valid frames identical, independent of pad length
+    sma_e, mask_e = sm.is09_frame(a[None], np.array([len(a)]))
+    buf = np.zeros((1, 16000), np.float32)
+    buf[0, : len(a)] = a
+    sma_p, mask_p = sm.is09_frame(buf, np.array([len(a)]))
+    nv = int(np.asarray(mask_e).sum())
+    assert int(np.asarray(mask_p).sum()) == nv
+    np.testing.assert_allclose(np.asarray(sma_p)[0, :nv],
+                               np.asarray(sma_e)[0, :nv],
+                               rtol=1e-4, atol=1e-4)
