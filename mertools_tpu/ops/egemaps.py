@@ -191,13 +191,19 @@ _CAND_FREQS = np.exp(np.linspace(np.log(F0_LO), np.log(F0_HI), N_CAND)
                      ).astype(np.float32)
 
 
-def _shs_scores(mag_p: jnp.ndarray) -> jnp.ndarray:
-    """(B, F, K) 60ms magnitude spectrum -> (B, F, G) SHS scores."""
-    df = SR / NFFT_P
+def _shs_scores(mag_p: jnp.ndarray, cand_freqs: np.ndarray | None = None,
+                nfft: int = NFFT_P) -> jnp.ndarray:
+    """(B, F, K) 60ms magnitude spectrum -> (B, F, G) SHS scores.
+
+    ``cand_freqs`` overrides the eGeMAPS candidate grid (the IS10 chain
+    reuses this component with its own 52-620 Hz range)."""
+    if cand_freqs is None:
+        cand_freqs = _CAND_FREQS
+    df = SR / nfft
     h = np.arange(1, N_HARM + 1)[None, :]                # (1, H)
-    fbin = _CAND_FREQS[:, None] * h / df                 # (G, H) fractional
-    valid = (fbin < NFFT_P // 2).astype(np.float32)
-    i0 = np.clip(np.floor(fbin).astype(np.int64), 0, NFFT_P // 2 - 1)
+    fbin = cand_freqs[:, None] * h / df                  # (G, H) fractional
+    valid = (fbin < nfft // 2).astype(np.float32)
+    i0 = np.clip(np.floor(fbin).astype(np.int64), 0, nfft // 2 - 1)
     w1 = (fbin - i0).astype(np.float32)
     comp = (SHS_COMPRESSION ** (h - 1)).astype(np.float32) * valid
     flat0 = jnp.asarray(i0.reshape(-1))
@@ -209,7 +215,8 @@ def _shs_scores(mag_p: jnp.ndarray) -> jnp.ndarray:
 
 
 def _viterbi_f0(shs: jnp.ndarray, p_voiced: jnp.ndarray,
-                mask: jnp.ndarray) -> jnp.ndarray:
+                mask: jnp.ndarray,
+                cand_freqs: np.ndarray | None = None) -> jnp.ndarray:
     """min-cost smoothing over G candidates + an unvoiced state.
 
     shs (B,F,G) scores, p_voiced (B,F) ACF voicing in [0,1], mask (B,F)
@@ -222,13 +229,15 @@ def _viterbi_f0(shs: jnp.ndarray, p_voiced: jnp.ndarray,
     valid prefix is exactly the path an exact-length extraction would
     produce — padded frames cannot steer it.
     """
+    if cand_freqs is None:
+        cand_freqs = _CAND_FREQS
     B, F, G = shs.shape
     sn = shs / (jnp.max(shs, axis=-1, keepdims=True) + 1e-12)
     local_v = (1.0 - sn) + (1.0 - p_voiced)[..., None]   # (B,F,G)
     local_u = p_voiced + 0.5                             # (B,F)
     local = jnp.concatenate([local_v, local_u[..., None]], axis=-1)
 
-    logf = np.log2(_CAND_FREQS)
+    logf = np.log2(cand_freqs)
     trans_vv = 2.0 * np.abs(logf[:, None] - logf[None, :])
     trans = np.full((G + 1, G + 1), 1.0, np.float32)     # V<->UV switch
     trans[:G, :G] = trans_vv
@@ -261,7 +270,7 @@ def _viterbi_f0(shs: jnp.ndarray, p_voiced: jnp.ndarray,
     path = jnp.concatenate([path_rev, last[None, :]], axis=0)  # (F, B)
     path = jnp.moveaxis(path, 0, 1)                      # (B, F)
 
-    freqs = jnp.concatenate([jnp.asarray(_CAND_FREQS), jnp.zeros((1,))])
+    freqs = jnp.concatenate([jnp.asarray(cand_freqs), jnp.zeros((1,))])
     return freqs[path]
 
 
@@ -466,10 +475,13 @@ def _lpc_batched(r: jnp.ndarray) -> jnp.ndarray:
             jnp.clip(i + 1 - idx, 0, order)[None, :].repeat(a.shape[0], 0),
             axis=-1)
         m = ((idx >= 1) & (idx <= i)).astype(r.dtype)
+        # error-filter convention a = [1, -phi...]: the reflection
+        # coefficient is k = (r[i+1] + sum_j a[j] r[i+1-j]) / err
         acc = jnp.sum(a * rj * m, axis=-1)
-        kref = (r[..., i + 1] - acc) / err
+        kref = (r[..., i + 1] + acc) / err
+        # reflection update a_new[j] = a[j] - k * a[i+1-j]
         rev = jnp.take_along_axis(
-            a, jnp.clip(i - idx, 0, order)[None, :].repeat(a.shape[0], 0),
+            a, jnp.clip(i + 1 - idx, 0, order)[None, :].repeat(a.shape[0], 0),
             axis=-1)
         upd = ((idx >= 1) & (idx <= i + 1)).astype(r.dtype)
         a = a - (kref[..., None] * rev) * upd

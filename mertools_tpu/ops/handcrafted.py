@@ -17,13 +17,18 @@ This module re-implements the whole pipeline as batched, jittable JAX ops:
   reductions over the frame axis, so ragged clip lengths batch under a
   single static shape.
 
-Numerical values are *not* bit-identical to openSMILE (different windowing /
-smoothing choices); the feature-set *structure* is: dimensionalities match
-the canonical openSMILE counts that downstream models were built against
-(frame/utt: eGeMAPS 23/88, IS09 32/384, IS10 76/1582, IS13 120/6373 — cf.
-the reference's own docstring ``handcrafted_feature_func.py:14-21``), and the
-librosa mel/MFCC parameter contract (n_mels=128 -> 128-dim, n_mfcc=40 with
-double deltas -> 120-dim, ``:145-202``) is followed exactly.
+Every openSMILE feature set routes to a faithful component chain (round 3):
+IS09 -> :mod:`.opensmile_is09`, IS10 -> :mod:`.opensmile_is10`, IS13 ->
+:mod:`.opensmile_is13`, eGeMAPS -> :mod:`.egemaps` — HTK-compatible
+framing / preemphasis / Hamming / mel / DCT, SHS+Viterbi pitch, mask-aware
+sma smoothing and HTK deltas, openSMILE functional definitions, with the
+per-module docstrings recording each chain's documented deviations.
+Dimensionalities match the reference's own measured contract (frame/utt:
+eGeMAPS 23/88, IS09 32/384, IS10 32/1582, IS13 120/6372 —
+``handcrafted_feature_func.py:14-21``), and the librosa mel/MFCC parameter
+contract (n_mels=128 -> 128-dim, n_mfcc=40 with double deltas -> 120-dim,
+``:145-202``) is followed exactly. The generic LLD bank and functional
+grid below remain as library components (librosa features, tests).
 """
 
 from __future__ import annotations
@@ -208,9 +213,12 @@ def _lpc_levinson(r: jnp.ndarray, order: int) -> jnp.ndarray:
             jnp.broadcast_to(r, a.shape),
             jnp.clip(i + 1 - idx, 0, order)[None, :].repeat(a.shape[0], 0), axis=-1)
         mask = ((idx >= 1) & (idx <= i)).astype(r.dtype)
+        # error-filter convention a = [1, -phi...]: the reflection
+        # coefficient is k = (r[i+1] + sum_j a[j] r[i+1-j]) / err
         acc = jnp.sum(a * rj * mask, axis=-1)
-        k = (r[..., i + 1] - acc) / err
-        rev = jnp.take_along_axis(a, jnp.clip(i - idx, 0, order)[None, :]
+        k = (r[..., i + 1] + acc) / err
+        # reflection update a_new[j] = a[j] - k * a[i+1-j]
+        rev = jnp.take_along_axis(a, jnp.clip(i + 1 - idx, 0, order)[None, :]
                                   .repeat(a.shape[0], 0), axis=-1)
         upd_mask = ((idx >= 1) & (idx <= i + 1)).astype(r.dtype)
         a = a - (k[..., None] * rev) * upd_mask
@@ -221,32 +229,58 @@ def _lpc_levinson(r: jnp.ndarray, order: int) -> jnp.ndarray:
     return -a[..., 1:]
 
 
-def _lsp_from_lpc(a: jnp.ndarray, order: int, n_grid: int = 256) -> jnp.ndarray:
-    """Approximate line spectral frequencies (order,) in rad via sign changes
-    of the symmetric/antisymmetric polynomials on a cosine grid (speex-style,
-    grid resolution pi/n_grid, no bisection refinement)."""
-    # P(z) = A(z) + z^-(p+1) A(z^-1); evaluate |P(e^jw)| sign pattern through
-    # its Chebyshev representation. Coefficients of P and Q:
+def _lsp_from_lpc(a: jnp.ndarray, order: int, n_grid: int = 512) -> jnp.ndarray:
+    """Line spectral frequencies (order,) in rad, exact formulation.
+
+    P(z) = A(z) + z^-(p+1) A(z^-1) (palindromic, root at z=-1) and
+    Q(z) = A(z) - z^-(p+1) A(z^-1) (anti-palindromic, root at z=+1) are
+    deflated by (1 + z^-1) / (1 - z^-1) to symmetric degree-p polynomials,
+    whose unit-circle values reduce (after factoring the linear phase) to
+    the REAL functions G(w) = c_m + sum_i 2 c_{m-i} cos(iw). LSPs are the
+    zero crossings of G_P and G_Q, located by sign change on an n_grid
+    cosine grid + linear interpolation (sub-grid accuracy; validated
+    against the polynomial-root oracle in test_opensmile_is10)."""
     p = order
-    a_full = jnp.concatenate([jnp.ones(a.shape[:-1] + (1,)), -a], axis=-1)
-    a_rev = a_full[..., ::-1]
-    P = a_full + jnp.concatenate([a_rev, jnp.zeros(a.shape[:-1] + (1,))],
-                                 axis=-1)[..., 1:]
-    Q = a_full - jnp.concatenate([a_rev, jnp.zeros(a.shape[:-1] + (1,))],
-                                 axis=-1)[..., 1:]
+    assert p % 2 == 0, "even LPC order"
+    m = p // 2
+    ones = jnp.ones(a.shape[:-1] + (1,))
+    zeros = jnp.zeros(a.shape[:-1] + (1,))
+    a_full = jnp.concatenate([ones, -a], axis=-1)            # (N, p+1)
+    af = jnp.concatenate([a_full, zeros], axis=-1)           # (N, p+2)
+    ar = jnp.concatenate([zeros, a_full[..., ::-1]], axis=-1)
+    P = af + ar
+    Q = af - ar
+
+    def deflate(coeffs, sign):
+        # divide by (1 + sign*z^-1): b_k = c_k - sign * b_{k-1}
+        def step(carry, ck):
+            b = ck - sign * carry
+            return b, b
+        _, bs = jax.lax.scan(step, jnp.zeros(coeffs.shape[:-1]),
+                             jnp.moveaxis(coeffs, -1, 0))
+        return jnp.moveaxis(bs, 0, -1)[..., : p + 1]
+
+    Pp = deflate(P, 1.0)     # symmetric, length p+1
+    Qp = deflate(Q, -1.0)
+
     w = jnp.linspace(0.0, np.pi, n_grid)
-    k = jnp.arange(p + 1)
-    basis_c = jnp.cos(w[:, None] * k[None, :])    # (G, p+1)
-    basis_s = jnp.sin(w[:, None] * k[None, :])
-    Pv = P @ basis_c.T  # (..., G) real part eval (approximation)
-    Qv = Q @ basis_s.T
-    def freqs_of(v):
-        sign_change = (jnp.sign(v[..., 1:]) != jnp.sign(v[..., :-1]))
-        pos = jnp.where(sign_change, w[None, 1:], np.pi * 2)
-        return jnp.sort(pos, axis=-1)[..., : (p + 1) // 2]
-    fP = freqs_of(Pv)
-    fQ = freqs_of(Qv)
-    lsp = jnp.sort(jnp.concatenate([fP, fQ], axis=-1), axis=-1)[..., :p]
+    basis = jnp.cos(w[None, :] * jnp.arange(m + 1)[:, None])  # (m+1, G)
+
+    def roots_of(c):
+        gamma = jnp.concatenate([c[..., m: m + 1],
+                                 2.0 * c[..., m - 1:: -1]], axis=-1)
+        G = gamma @ basis                                     # (N, grid)
+        flip = (jnp.sign(G[..., 1:]) * jnp.sign(G[..., :-1])) < 0
+        den = G[..., 1:] - G[..., :-1]
+        t = jnp.where(jnp.abs(den) > 1e-12,
+                      -G[..., :-1] / jnp.where(jnp.abs(den) > 1e-12,
+                                               den, 1.0), 0.5)
+        wr = w[:-1] + jnp.clip(t, 0.0, 1.0) * (w[1] - w[0])
+        cand = jnp.where(flip, wr, np.pi * 2)
+        return jnp.sort(cand, axis=-1)[..., :m]
+
+    lsp = jnp.sort(jnp.concatenate([roots_of(Pp), roots_of(Qp)], axis=-1),
+                   axis=-1)
     return jnp.minimum(lsp, np.pi)
 
 
@@ -598,8 +632,9 @@ LLD_EGEMAPS = ("loudness", "alphaRatio", "hammarbergIndex", "slope0-500",
                "F1bandwidth", "F1amplitude", "F2frequency", "F2amplitude",
                "F3frequency", "F3amplitude")               # 23 (eGeMAPS LLDs)
 
-FRAME_DIMS = {"IS09": 32, "IS10": 76, "IS13": 120, "eGeMAPS": 23}
-UTT_DIMS = {"IS09": 384, "IS10": 1582, "IS13": 6373, "eGeMAPS": 88}
+# the reference's own measured contract (handcrafted_feature_func.py:15-19)
+FRAME_DIMS = {"IS09": 32, "IS10": 32, "IS13": 120, "eGeMAPS": 23}
+UTT_DIMS = {"IS09": 384, "IS10": 1582, "IS13": 6372, "eGeMAPS": 88}
 
 
 def _stack(llds: dict, names) -> jnp.ndarray:
@@ -614,22 +649,18 @@ def _with_deltas(x: jnp.ndarray) -> jnp.ndarray:
 def handcrafted_frame(wav, lengths, sr: int = 16000, feature_set: str = "IS09"):
     """Frame-level (LLD) features: (B, T) -> (B, F, FRAME_DIMS[set]), mask.
 
-    IS09 and eGeMAPS route to the faithful openSMILE chains
-    (:mod:`.opensmile_is09`, :mod:`.egemaps`); IS10/IS13 use the structural
-    LLD bank below (canonical dims, documented non-openSMILE numerics).
+    Every set routes to its faithful openSMILE chain
+    (:mod:`.opensmile_is09`, :mod:`.opensmile_is10`,
+    :mod:`.opensmile_is13`, :mod:`.egemaps`).
     """
-    if feature_set == "IS09":
-        from . import opensmile_is09
-        assert sr == opensmile_is09.SR, "IS09 chain is defined at 16 kHz"
-        return opensmile_is09.is09_frame(wav, lengths)
-    if feature_set == "eGeMAPS":
-        from . import egemaps
-        assert sr == egemaps.SR, "eGeMAPS chain is defined at 16 kHz"
-        return egemaps.egemaps_frame(wav, lengths)
-    llds, mask = extract_lld_bank(wav, lengths, sr)
-    base = {"IS10": LLD_IS10 + LLD_IS10_PITCH,
-            "IS13": LLD_IS13}[feature_set]
-    return _with_deltas(_stack(llds, base)), mask
+    mods = {"IS09": "opensmile_is09", "IS10": "opensmile_is10",
+            "IS13": "opensmile_is13", "eGeMAPS": "egemaps"}
+    import importlib
+    mod = importlib.import_module(f".{mods[feature_set]}", __package__)
+    assert sr == mod.SR, f"{feature_set} chain is defined at 16 kHz"
+    fn = {"IS09": "is09_frame", "IS10": "is10_frame", "IS13": "is13_frame",
+          "eGeMAPS": "egemaps_frame"}[feature_set]
+    return getattr(mod, fn)(wav, lengths)
 
 
 @functools.partial(jax.jit, static_argnames=("sr", "feature_set"))
@@ -643,48 +674,18 @@ def handcrafted_utt(wav, lengths, sr: int = 16000, feature_set: str = "IS09"):
         from . import opensmile_is09
         assert sr == opensmile_is09.SR, "IS09 chain is defined at 16 kHz"
         return opensmile_is09.is09_utt(wav, lengths)
+    if feature_set == "IS10":
+        from . import opensmile_is10
+        assert sr == opensmile_is10.SR, "IS10 chain is defined at 16 kHz"
+        return opensmile_is10.is10_utt(wav, lengths)
+    if feature_set == "IS13":
+        from . import opensmile_is13
+        assert sr == opensmile_is13.SR, "IS13 chain is defined at 16 kHz"
+        return opensmile_is13.is13_utt(wav, lengths)
     if feature_set == "eGeMAPS":
         from . import egemaps
         assert sr == egemaps.SR, "eGeMAPS chain is defined at 16 kHz"
         return egemaps.egemaps_utt(wav, lengths)
-    llds, mask = extract_lld_bank(wav, lengths, sr)
-    if feature_set == "IS10":
-        a = _with_deltas(_stack(llds, LLD_IS10))          # 68
-        b = _with_deltas(_stack(llds, LLD_IS10_PITCH))    # 8
-        fa = apply_functional_grid(a, mask, FUNCTIONALS_21)      # 1428
-        fb = apply_functional_grid(b, mask, FUNCTIONALS_19)      # 152
-        f0 = llds["F0final"]
-        voiced = (f0 > 0) & mask
-        onsets = jnp.sum((voiced[:, 1:] & ~voiced[:, :-1]).astype(jnp.float32), 1)
-        dur = jnp.sum(mask.astype(jnp.float32), 1) * 0.010
-        return jnp.concatenate([fa, fb, onsets[:, None], dur[:, None]], -1)  # 1582
-    if feature_set == "IS13":
-        base = _stack(llds, LLD_IS13)
-        x = _with_deltas(base)                            # (B,F,120)
-        f1 = apply_functional_grid(x, mask, FUNCTIONALS_42)            # 5040
-        f2 = apply_functional_grid(x, mask, FUNCTIONALS_EXTRA11)       # 1320
-        # 12 temporal/voicing scalars + duration = 13 (ComParE-style extras)
-        f0 = llds["F0final"]
-        voiced = (f0 > 0) & mask
-        n = jnp.maximum(jnp.sum(mask.astype(jnp.float32), 1), 1.0)
-        nv = jnp.sum(voiced.astype(jnp.float32), 1)
-        onsets = jnp.sum((voiced[:, 1:] & ~voiced[:, :-1])
-                         .astype(jnp.float32), 1)
-        loud = llds["loudness"]
-        lm = jnp.sum(loud * mask, 1) / n
-        scalars = jnp.stack([
-            nv / n, onsets, onsets / n, nv * 0.010,
-            jnp.sum(llds["voicingFinalUnclipped"] * mask, 1) / n,
-            jnp.sum(llds["jitterLocal"] * voiced, 1) / jnp.maximum(nv, 1.0),
-            jnp.sum(llds["shimmerLocal"] * mask, 1) / n,
-            jnp.sum(llds["logHNR"] * voiced, 1) / jnp.maximum(nv, 1.0),
-            lm, jnp.max(jnp.where(mask, loud, -jnp.inf), 1),
-            jnp.sum(f0 * voiced, 1) / jnp.maximum(nv, 1.0),
-            jnp.max(jnp.where(voiced, f0, -jnp.inf), 1),
-        ], -1)
-        scalars = jnp.nan_to_num(scalars, posinf=0.0, neginf=0.0)
-        dur = jnp.sum(mask.astype(jnp.float32), 1) * 0.010
-        return jnp.concatenate([f1, f2, scalars, dur[:, None]], -1)    # 6373
     raise ValueError(feature_set)
 
 
