@@ -136,14 +136,13 @@ def main(argv=None):
     p.add_argument("--n_pipe", type=int, default=1,
                    help="pipeline-parallel stages over the mesh 'pipe' axis "
                         "(GPipe schedule; LLM layers split into equal "
-                        "stages, one per device group). Exclusive with "
-                        "--n_model.")
+                        "stages, one per device group). Composes with "
+                        "--n_model (pp x tp x dp: stage kernels also shard "
+                        "over 'model').")
     p.add_argument("--n_micro", type=int, default=0,
                    help="pipeline microbatches (0 = n_pipe); batch_size must "
                         "divide evenly")
     args = p.parse_args(argv)
-    assert not (args.n_model > 1 and args.n_pipe > 1), \
-        "--n_model and --n_pipe are exclusive (tp x pp composition not wired)"
 
     import jax
     import numpy as np
@@ -322,7 +321,8 @@ def main(argv=None):
             assert L % args.n_pipe == 0, \
                 f"num_layers {L} not divisible by --n_pipe {args.n_pipe}"
             assert run_cfg.batch_size % (run_cfg.n_micro or args.n_pipe) == 0
-            mesh = make_pipe_mesh(args.n_pipe, n_data=n_data)
+            mesh = make_pipe_mesh(args.n_pipe, n_data=n_data,
+                                  n_model=args.n_model)
         else:
             mesh = make_mesh(n_model=args.n_model)
     elif jax.device_count() > 1:

@@ -124,7 +124,11 @@ class Runner:
                     labels_fn=lambda p: trainable_labels(p, cfg.frozen))
                 if cfg.accum_grad_iters > 1:
                     tx = optax.MultiSteps(tx, cfg.accum_grad_iters)
-                specs = pipe_param_specs(params)
+                # n_model > 1 composes tp INSIDE the pipeline stages: the
+                # stacked stage kernels also shard over 'model' (Megatron
+                # layout) and the schedule runs manual-'pipe' only, leaving
+                # 'model'/'data' to GSPMD (parallel/pp._call_composed)
+                specs = pipe_param_specs(params, n_model)
                 params = jax.tree_util.tree_map(
                     lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
                     params, specs)
@@ -135,7 +139,7 @@ class Runner:
                 abstract = jax.eval_shape(make_state, params)
                 out_sh = jax.tree_util.tree_map(
                     lambda s: NamedSharding(mesh, s),
-                    pipe_param_specs(abstract))
+                    pipe_param_specs(abstract, n_model))
                 self.state = jax.jit(make_state, out_shardings=out_sh)(params)
             elif n_model > 1:
                 # PRODUCTION tensor parallelism: shard the LLM's attention/MLP
@@ -307,10 +311,11 @@ class Runner:
                 flat["llm"], self.model.cfg.llm, self._pipe.n_stages)
             params = {**{k: v for k, v in flat.items() if k != "llm"},
                       "llm": {"stacked": stacked, "shared": shared}}
+            n_model = self._pipe.mesh.shape.get("model", 1)
             params = jax.tree_util.tree_map(
                 lambda p, s: jax.device_put(
                     p, NamedSharding(self._pipe.mesh, s)),
-                params, pipe_param_specs(params))
+                params, pipe_param_specs(params, n_model))
             self.state = self.state.replace(params=params)
             return restored.get("epoch")
 

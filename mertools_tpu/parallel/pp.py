@@ -30,10 +30,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..mllm.llm import LLM, LLMConfig, _LLMLayer
 
 
-def make_pipe_mesh(n_pipe: int, n_data: int = 1, devices=None) -> Mesh:
+def make_pipe_mesh(n_pipe: int, n_data: int = 1, n_model: int = 1,
+                   devices=None) -> Mesh:
+    """('pipe', 'data') mesh, or ('pipe', 'data', 'model') when composing
+    pipeline with tensor parallelism (pp x tp x dp)."""
     devices = devices if devices is not None else jax.devices()
-    assert n_pipe * n_data <= len(devices), (n_pipe, n_data, len(devices))
-    grid = np.array(devices[: n_pipe * n_data]).reshape(n_pipe, n_data)
+    need = n_pipe * n_data * n_model
+    assert need <= len(devices), (n_pipe, n_data, n_model, len(devices))
+    if n_model > 1:
+        grid = np.array(devices[:need]).reshape(n_pipe, n_data, n_model)
+        return Mesh(grid, axis_names=("pipe", "data", "model"))
+    grid = np.array(devices[:need]).reshape(n_pipe, n_data)
     return Mesh(grid, axis_names=("pipe", "data"))
 
 
@@ -107,6 +114,16 @@ class PipelinedLLM:
 
         micro_x = inputs_embeds.reshape(self.n_micro, mb, S, H)
 
+        if "model" in self.mesh.axis_names:
+            # pp x tp (x dp) composition: shard_map is MANUAL only over
+            # 'pipe' (the schedule's ppermute/psum); 'data' and 'model'
+            # stay AUTO, so GSPMD partitions the stage body's matmuls over
+            # 'model' (inserting the Megatron psums after o_proj/down_proj)
+            # and the batch over 'data' — validated vs the single-device
+            # forward and grads in test_pp_runner.
+            return self._call_composed(stacked, shared, micro_x, positions,
+                                       bias, B, S, H)
+
         data_axis = "data" if "data" in self.mesh.axis_names else None
         mspec = (P(None, "data", None, None) if data_axis
                  else P(None, None, None, None))
@@ -142,9 +159,47 @@ class PipelinedLLM:
             in_specs=(P("pipe"), mspec, pspec, bspec),
             out_specs=mspec, check_rep=False)
         out = sharded_body(stacked, micro_x, positions, bias)
-        x = out.reshape(B, S, H)
+        return self._head(out.reshape(B, S, H), shared)
 
-        # replicated head path (LLM.norm + lm_head)
+    def _call_composed(self, stacked, shared, micro_x, positions, bias,
+                       B, S, H):
+        """pp x tp (x dp): manual 'pipe' schedule, auto 'data'/'model'."""
+        from jax.sharding import NamedSharding
+
+        n, m = self.n_stages, self.n_micro
+
+        def body(sp, mx, pos, bs):
+            stage = jax.lax.axis_index("pipe")
+            sp = jax.tree_util.tree_map(lambda a: a[0], sp)
+            buf = jnp.zeros(mx.shape[1:], mx.dtype)
+            fwd_perm = [(i, (i + 1) % n) for i in range(n)]
+            outs = []
+            bufb = bs[0]
+            for t in range(m + n - 1):
+                inp = jnp.where(stage == 0, mx[min(t, m - 1)], buf)
+                inb = jnp.where(stage == 0, bs[min(t, m - 1)], bufb)
+                h = self._stage_fn(sp, inp, pos, inb)
+                outs.append(h)
+                buf = jax.lax.ppermute(h, "pipe", fwd_perm)
+                bufb = jax.lax.ppermute(inb, "pipe", fwd_perm)
+            out = jnp.stack(outs[n - 1:])
+            out = jnp.where(stage == n - 1, out, jnp.zeros_like(out))
+            return jax.lax.psum(out, "pipe")
+
+        # keep the batch data-sharded through the auto axes
+        micro_x = jax.lax.with_sharding_constraint(
+            micro_x, NamedSharding(self.mesh, P(None, "data")))
+        bias = jax.lax.with_sharding_constraint(
+            bias, NamedSharding(self.mesh, P(None, "data")))
+        sharded_body = jax.shard_map(
+            body, mesh=self.mesh, in_specs=(P("pipe"), P(), P(), P()),
+            out_specs=P(), axis_names={"pipe"}, check_vma=False)
+        out = sharded_body(stacked, micro_x, positions, bias)
+        return self._head(out.reshape(B, S, H), shared)
+
+    def _head(self, x, shared):
+        """Replicated head path (LLM.norm + lm_head)."""
+        c = self.cfg
         norm_scale = shared["norm"]["weight"]
         var = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
         x = (x * jax.lax.rsqrt(var + c.rms_norm_eps)).astype(x.dtype)
@@ -167,18 +222,41 @@ def merge_stage_params(stacked: dict, shared: dict, cfg: LLMConfig,
     return out
 
 
-def pipe_param_specs(params: dict) -> dict:
+def pipe_param_specs(params: dict, n_model: int = 1) -> dict:
     """PartitionSpec tree for an AffectGPT param tree whose ``llm`` subtree
     has been restructured to ``{stacked, shared}``: stacked stage leaves
     shard their leading (stage) axis over ``pipe``; everything else
-    replicates. Path-name based, so it also applies to the optimizer's m/v
-    trees (structural copies of params)."""
+    replicates. With ``n_model > 1`` (pp x tp composition) the stacked
+    kernels ALSO shard over ``model`` in the Megatron layout
+    (parallel/tp): column kernels (q/k/v/gate/up) on their output dim, row
+    kernels (o_proj/down_proj) on their input dim, LoRA factors to match.
+    Path-name based, so it also applies to the optimizer's m/v trees
+    (structural copies of params)."""
+    from .tp import _COL, _ROW
 
     def spec(path, leaf):
         names = [getattr(k, "key", str(k)) for k in path]
-        if "stacked" in names and getattr(leaf, "ndim", 0) >= 1:
-            return P("pipe", *([None] * (leaf.ndim - 1)))
-        return P()
+        nd = getattr(leaf, "ndim", 0)
+        if "stacked" not in names or nd < 1:
+            return P()
+        tail = [None] * (nd - 1)
+        if n_model > 1:
+            # stacked leaves are (stage, layers_per_stage, *param_dims)
+            col = any(n in _COL for n in names)
+            row = any(n in _ROW for n in names)
+            last = names[-1]
+            if last == "kernel" and nd == 4:
+                if col:
+                    tail[-1] = "model"      # (s, l, in, OUT)
+                elif row:
+                    tail[-2] = "model"      # (s, l, IN, out)
+            elif last == "lora_b" and col and nd == 4:
+                tail[-1] = "model"
+            elif last == "lora_a" and row and nd == 4:
+                tail[-2] = "model"
+            elif last == "bias" and col and nd == 3:
+                tail[-1] = "model"
+        return P("pipe", *tail)
 
     return jax.tree_util.tree_map_with_path(spec, params)
 

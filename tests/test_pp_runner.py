@@ -166,3 +166,56 @@ run:
 
     model, params = restore_model(str(out / "model"))
     assert "layer_0" in params["llm"] and "stacked" not in params["llm"]
+
+
+def test_pp_tp_dp_composed_matches_single_device(setup, tmp_path):
+    """pp2 x tp2 x dp2 (VERDICT r2 #6): the pipeline schedule runs manual
+    over 'pipe' while the stage kernels ALSO shard over 'model' (Megatron
+    layout, GSPMD-auto) and the batch over 'data'. Loss must match the
+    single-device Runner step for step."""
+    model, batch, params = setup
+    mesh = make_pipe_mesh(n_pipe=2, n_data=2, n_model=2)
+    assert mesh.axis_names == ("pipe", "data", "model")
+    rp = _runner(model, params, mesh, tmp_path / "composed", n_micro=2)
+    rs = _runner(model, params, None, tmp_path / "single")
+
+    # stage leaves shard over BOTH pipe (stage axis) and model (kernel dim)
+    qk = rp.state.params["llm"]["stacked"]["q_proj"]["kernel"]
+    assert qk.sharding.spec[0] == "pipe" and qk.sharding.spec[-1] == "model", \
+        qk.sharding
+    ok = rp.state.params["llm"]["stacked"]["o_proj"]["kernel"]
+    assert ok.sharding.spec[-2] == "model", ok.sharding
+    # optimizer m/v shard the same way (memory scales 1/(pp*tp))
+    m_leaves = [l for l in jax.tree_util.tree_leaves(rp.state.opt_state)
+                if hasattr(l, "sharding") and getattr(l, "ndim", 0) == 4]
+    assert any(l.sharding.spec[0] == "pipe" and "model" in l.sharding.spec
+               for l in m_leaves)
+
+    for step in range(2):
+        b = _batch(model, seed=step)
+        rp.state, lp = rp._train_step(rp.state, rp.place(b))
+        rs.state, ls = rs._train_step(rs.state, rs.place(b))
+        assert abs(float(lp) - float(ls)) < 2e-4, (step, float(lp), float(ls))
+
+
+def test_pp_tp_checkpoint_interop(setup, tmp_path):
+    """Composed-mesh checkpoints stay in the flat layer_i wire format and
+    round-trip to/from single-device runs."""
+    model, batch, params = setup
+    mesh = make_pipe_mesh(n_pipe=2, n_data=2, n_model=2)
+    rp = _runner(model, params, mesh, tmp_path / "pp", n_micro=2)
+    rp.state, _ = rp._train_step(rp.state, rp.place(batch))
+    path = rp.save_checkpoint(epoch=0)
+
+    rs = _runner(model, params, None, tmp_path / "single")
+    assert rs.load_checkpoint(path) == 0
+    got = np.asarray(rs.state.params["llm"]["layer_1"]["q_proj"]["lora_a"])
+    want = np.asarray(rp._flat_params()["llm"]["layer_1"]["q_proj"]["lora_a"])
+    np.testing.assert_array_equal(got, want)
+
+    rp2 = _runner(model, params, mesh, tmp_path / "pp2", n_micro=2)
+    assert rp2.load_checkpoint(path) == 0
+    qk = rp2.state.params["llm"]["stacked"]["q_proj"]["kernel"]
+    assert qk.sharding.spec[0] == "pipe" and qk.sharding.spec[-1] == "model"
+    rp2.state, loss = rp2._train_step(rp2.state, rp2.place(batch))
+    assert np.isfinite(float(loss))
