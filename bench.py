@@ -204,9 +204,10 @@ def leg_audio(detail: dict) -> tuple[float, float]:
 
 def leg_vision(detail: dict) -> None:
     import jax
+    import jax.numpy as jnp
 
     from mertools_tpu.encoders.vit_clip import CLIPVisionConfig, CLIPVisionEncoder
-    from mertools_tpu.features.vision import VisionExtractor
+    from mertools_tpu.features.vision import CLIP_MEAN, CLIP_STD, VisionExtractor
 
     cfg = CLIPVisionConfig()  # ViT-L/14 @224 defaults
     enc = CLIPVisionEncoder(cfg)
@@ -215,14 +216,17 @@ def leg_vision(detail: dict) -> None:
         lambda k: enc.init(k, np.zeros((1, 224, 224, 3), np.float32))["params"]
     )(jax.random.PRNGKey(0))
 
-    # 8 clips x 32 face frames (112x112 BGR uint8, the openface_face store)
+    # 16 clips x 32 face frames (112x112 BGR uint8, the openface_face store)
     faces = {f"v{i}": rng.integers(0, 255, size=(32, 112, 112, 3),
-                                   ).astype(np.uint8) for i in range(8)}
+                                   ).astype(np.uint8) for i in range(16)}
     n_frames = sum(len(v) for v in faces.values())
 
-    ex = VisionExtractor(cfg, params, batch_size=64, compute_dtype="bf16")
+    # ours: cross-clip frame pooling, uint8 wire, device-side preprocess,
+    # dispatch-then-collect overlap (features/vision.py)
+    ex = VisionExtractor(cfg, params, batch_size=128, compute_dtype="bf16")
     warm = {"w": np.zeros((2, 112, 112, 3), np.uint8)}
     ex.extract(warm, level="UTT")
+    ex.extract(faces, level="UTT")  # warm the 128-batch compile + link
     t0 = time.perf_counter()
     out = ex.extract(faces, level="UTT")
     assert len(out) == len(faces)
@@ -240,13 +244,33 @@ def leg_vision(detail: dict) -> None:
     dt = time.perf_counter() - t0
     dev_rate = n_rep * B / dt
 
-    # reference execution model: per-clip loop, one 32-frame sub-batch per
-    # forward (extract_vision_huggingface.py:114-122), host preprocessing
-    ex_seq = VisionExtractor(cfg, params, batch_size=32, compute_dtype="bf16")
-    ex_seq.extract(warm, level="UTT")
+    # REFERENCE execution model (extract_vision_huggingface.py:104-189):
+    # per-clip loop, HOST preprocessing through the HF processor (PIL
+    # bicubic resize to 224^2, float32 normalize -> 0.6 MB/frame on the
+    # wire vs our 37 KB uint8), one 32-frame sub-batch per forward,
+    # synchronous materialization per clip
+    from PIL import Image
+
+    bf = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.bfloat16),
+                                params)
+
+    @jax.jit
+    def fwd_pix(p, pix):
+        return enc.apply({"params": p}, pix.astype(jnp.bfloat16)
+                         )["image_embeds"].astype(jnp.float32)
+
+    def host_preprocess(arr):
+        outp = np.empty((len(arr), 224, 224, 3), np.float32)
+        for i, fr in enumerate(arr):
+            im = Image.fromarray(fr[..., ::-1]).resize((224, 224),
+                                                       Image.BICUBIC)
+            outp[i] = np.asarray(im, np.float32) / 255.0
+        return (outp - CLIP_MEAN) / CLIP_STD
+
+    np.asarray(fwd_pix(bf, jnp.asarray(host_preprocess(faces["v0"]))))
     t0 = time.perf_counter()
     for name in faces:
-        ex_seq.extract({name: faces[name]}, level="UTT")
+        np.asarray(fwd_pix(bf, jnp.asarray(host_preprocess(faces[name]))))
     seq_rate = n_frames / (time.perf_counter() - t0)
 
     detail["vision"] = {
@@ -257,6 +281,149 @@ def leg_vision(detail: dict) -> None:
         "mfu_device_resident": round(
             vit_l_fwd_flops(int(n_rep * B)) / dt / PEAK_BF16, 4),
         "n_frames": n_frames,
+        "note": "sequential = reference execution model (host PIL "
+                "preprocess, f32 wire, per-clip sync)",
+    }
+
+
+def leg_text(detail: dict) -> None:
+    """Text extraction (extract_text_huggingface.py execution model):
+    BERT-base shape, sum last-4 layers, UTT mean."""
+    import jax
+    import jax.numpy as jnp
+
+    from mertools_tpu.encoders.bert import BertConfig, BertEncoder
+    from mertools_tpu.features.text import TextExtractor
+
+    cfg = BertConfig()  # base: H=768, L=12
+    enc = BertEncoder(cfg)
+    rng = np.random.default_rng(4)
+    params = jax.jit(
+        lambda k: enc.init(k, np.zeros((1, 8), np.int32))["params"]
+    )(jax.random.PRNGKey(0))
+
+    n_texts = 256
+    lens = rng.integers(8, 120, size=n_texts)
+    texts = {f"t{i}": [101] + rng.integers(200, 20000, size=int(L)).tolist()
+             + [102] for i, L in enumerate(lens)}
+    n_tokens = int(lens.sum() + 2 * n_texts)
+
+    ex = TextExtractor(cfg, params, compute_dtype="bf16", batch_size=64,
+                       buckets=(32, 64, 128))
+    ex.extract({"w": [101, 5, 102]})  # compile
+    ex.extract(texts, level="UTT")    # warm every bucket + link
+    t0 = time.perf_counter()
+    out = ex.extract(texts, level="UTT")
+    assert len(out) == n_texts
+    rate = n_texts / (time.perf_counter() - t0)
+
+    # reference execution model: one text per forward, synchronous
+    # (extract_text_huggingface.py:210-246)
+    bf = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.bfloat16),
+                                params)
+
+    @jax.jit
+    def fwd_one(p, ids):
+        hs = enc.apply({"params": p}, ids)
+        return sum(hs[i] for i in (-4, -3, -2, -1)).astype(jnp.float32)
+
+    seq_texts = [texts[f"t{i}"] for i in range(8)]
+    pad = 128
+    def run_one(tks):
+        ids = np.zeros((1, pad), np.int32)
+        ids[0, : len(tks)] = tks[:pad]
+        return np.asarray(fwd_one(bf, jnp.asarray(ids)))
+    run_one(seq_texts[0])
+    t0 = time.perf_counter()
+    for tks in seq_texts:
+        run_one(tks)
+    seq_rate = len(seq_texts) / (time.perf_counter() - t0)
+
+    detail["text"] = {
+        "bert_base_texts_per_sec": round(rate, 1),
+        "tokens_per_sec": round(rate * n_tokens / n_texts, 1),
+        "sequential_texts_per_sec": round(seq_rate, 1),
+        "vs_sequential": round(rate / seq_rate, 2),
+        "n_texts": n_texts,
+    }
+
+
+def leg_pipeline(detail: dict) -> None:
+    """End-to-end video pipeline: mp4 decode -> Haar face-crop -> CLIP-ViT
+    features (the reference's full visual path: ffmpeg/decord + OpenFace +
+    extract_vision_huggingface.py)."""
+    import os
+    import tempfile
+
+    import jax
+
+    from mertools_tpu.encoders.vit_clip import CLIPVisionConfig, CLIPVisionEncoder
+    from mertools_tpu.features.vision import VisionExtractor
+    from mertools_tpu.io import video as vio
+    from mertools_tpu.ops.face_haar import HaarFaceFrontend
+
+    if not vio.available():
+        detail["pipeline"] = {"skipped": "libmervideo not built"}
+        return
+
+    rng = np.random.default_rng(5)
+
+    def face_frames(n, H=240, W=208, s=100, cx=104, cy=120):
+        yy, xx = np.mgrid[:H, :W]
+        out = np.empty((n, H, W, 3), np.uint8)
+        for t in range(n):
+            img = np.full((H, W), 200.0)
+            ox, oy = rng.integers(-3, 4, size=2)
+            for (ex, ey, rx, ry, val) in (
+                    (0, 0, 0.55 * s, 0.75 * s, 195),
+                    (-0.25 * s, -0.15 * s, 0.14 * s, 0.08 * s, 60),
+                    (0.25 * s, -0.15 * s, 0.14 * s, 0.08 * s, 60),
+                    (0, 0.20 * s, 0.08 * s, 0.12 * s, 150),
+                    (0, 0.45 * s, 0.22 * s, 0.08 * s, 90)):
+                m = (((xx - cx - ox - ex) / rx) ** 2
+                     + ((yy - cy - oy - ey) / ry) ** 2) <= 1
+                img[m] = val
+            img += rng.normal(0, 2.0, img.shape)
+            out[t] = np.clip(img, 0, 255).astype(np.uint8)[..., None]
+        return out
+
+    n_clips, n_frames_each = 6, 32
+    tmp = tempfile.mkdtemp(prefix="bench_pipe_")
+    paths = []
+    for i in range(n_clips):
+        p = os.path.join(tmp, f"c{i}.mp4")
+        vio.encode_video(p, face_frames(n_frames_each), fps=25.0)
+        paths.append(p)
+
+    cfg = CLIPVisionConfig()
+    enc = CLIPVisionEncoder(cfg)
+    params = jax.jit(
+        lambda k: enc.init(k, np.zeros((1, 224, 224, 3), np.float32))["params"]
+    )(jax.random.PRNGKey(0))
+    ex = VisionExtractor(cfg, params, batch_size=128, compute_dtype="bf16")
+    fe = HaarFaceFrontend(min_neighbors=1, detect_every=4)
+
+    def run_pipeline():
+        crops = {}
+        for p in paths:
+            frames = vio.decode_frames(p)
+            c, ok = fe.crop_video(frames, size=112)
+            crops[p] = c
+        return ex.extract(crops, level="UTT")
+
+    run_pipeline()  # warm compile + detector
+    t0 = time.perf_counter()
+    out = run_pipeline()
+    dt = time.perf_counter() - t0
+    assert len(out) == n_clips
+    total_frames = n_clips * n_frames_each
+    detail["pipeline"] = {
+        "decode_crop_vit_clips_per_sec": round(n_clips / dt, 2),
+        "frames_per_sec": round(total_frames / dt, 1),
+        "n_clips": n_clips, "frames_each": n_frames_each,
+        "note": "mp4 decode (native/mervideo) -> Haar detect+align "
+                "(native/merhaar, detect_every=4) -> device preprocess + "
+                "ViT-L (bf16)",
     }
 
 
@@ -426,6 +593,8 @@ def main():
         detail["audio"] = {"error": f"{type(e).__name__}: {e}"}
 
     for name, leg in (("vision", leg_vision),
+                      ("text", leg_text),
+                      ("pipeline", leg_pipeline),
                       ("mllm_train", leg_mllm_train),
                       ("serve", leg_serve)):
         if _elapsed() > TIME_BUDGET_S:
