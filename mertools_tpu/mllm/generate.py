@@ -35,8 +35,8 @@ _W8_KERNELS = ("q_proj", "k_proj", "v_proj", "o_proj",
 def batch_generate_texts(cfg, params, emb_table, ids_by_key: dict, tok, *,
                          batch: int = 8, max_new_tokens: int = 64,
                          temperature: float = 0.0, top_p: float = 0.9,
-                         repetition_penalty: float = 1.0,
-                         kv_int8: bool = False,
+                         top_k: int = 0, repetition_penalty: float = 1.0,
+                         kv_int8: bool = False, seed: int = 0,
                          progress=None) -> dict:
     """Length-sorted, bucket-padded batched decoding of many prompts.
 
@@ -69,9 +69,10 @@ def batch_generate_texts(cfg, params, emb_table, ids_by_key: dict, tok, *,
         tokens = np.asarray(generate(
             cfg, params, jnp.asarray(embeds), jnp.asarray(mask),
             max_new_tokens=max_new_tokens, temperature=temperature,
-            top_p=top_p, repetition_penalty=repetition_penalty,
+            top_p=top_p, top_k=top_k,
+            repetition_penalty=repetition_penalty,
             eos_token_id=int(tok.eos_token_id), kv_int8=kv_int8,
-            prng_key=jax.random.PRNGKey(i),
+            prng_key=jax.random.PRNGKey(seed * 100003 + i),
             prompt_token_ids=(jnp.asarray(pids)
                               if repetition_penalty != 1.0 else None)))
         for b, k in enumerate(group):
@@ -314,7 +315,7 @@ def _step(cfg, params, tok, pos, slot, k_cache, v_cache, slot_mask):
 
 
 def _sample(logits, key, temperature, top_p, seen_counts=None,
-            repetition_penalty=1.0):
+            repetition_penalty=1.0, top_k=0):
     if repetition_penalty != 1.0 and seen_counts is not None:
         # HF-style: divide positive logits / multiply negative ones for any
         # token already generated (reference SamplingParams
@@ -328,6 +329,11 @@ def _sample(logits, key, temperature, top_p, seen_counts=None,
     if temperature == 0.0:
         return jnp.argmax(logits, -1).astype(jnp.int32)
     probs = jax.nn.softmax(logits.astype(jnp.float32) / temperature, -1)
+    if top_k and top_k > 0 and top_k < probs.shape[-1]:
+        # keep the k most probable tokens (vLLM/HF top_k; applied before
+        # top_p, as both stacks do — qwen3 protocol uses top_k=20)
+        kth = jnp.sort(probs, -1)[:, -top_k][:, None]
+        probs = jnp.where(probs >= kth, probs, 0.0)
     srt = jnp.sort(probs, -1)[:, ::-1]
     cum = jnp.cumsum(srt, -1)
     # smallest set with cumulative prob >= top_p: cutoff prob per sample
@@ -340,12 +346,13 @@ def _sample(logits, key, temperature, top_p, seen_counts=None,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens",
                                              "temperature", "top_p",
-                                             "eos_token_id",
+                                             "top_k", "eos_token_id",
                                              "repetition_penalty",
                                              "kv_int8"))
 def generate(cfg, params, inputs_embeds, attention_mask, *,
              max_new_tokens: int = 64, temperature: float = 0.0,
-             top_p: float = 0.9, eos_token_id: int = 2, prng_key=None,
+             top_p: float = 0.9, top_k: int = 0, eos_token_id: int = 2,
+             prng_key=None,
              repetition_penalty: float = 1.0, kv_int8: bool = False,
              prompt_token_ids=None, positions=None):
     """Batched generation from (possibly AV-spliced) prompt embeddings.
@@ -387,7 +394,7 @@ def generate(cfg, params, inputs_embeds, attention_mask, *,
 
     k0, key = jax.random.split(key)
     first = _sample(logits0, k0, temperature, top_p, seen0,
-                    repetition_penalty)
+                    repetition_penalty, top_k)
     done0 = first == eos_token_id
     seen0 = seen0.at[jnp.arange(B_), first].add(1)
 
@@ -399,7 +406,7 @@ def generate(cfg, params, inputs_embeds, attention_mask, *,
         logits, kc, vc = _step(cfg, params, tok, pos, slot, kc, vc, slot_mask)
         key, k1 = jax.random.split(key)
         nxt = _sample(logits, k1, temperature, top_p, seen,
-                      repetition_penalty)
+                      repetition_penalty, top_k)
         nxt = jnp.where(done, eos_token_id, nxt)
         done = jnp.logical_or(done, nxt == eos_token_id)
         seen = seen.at[jnp.arange(B_), nxt].add(1)
