@@ -18,8 +18,12 @@ videos, utils/qwen25vl.py), ``qwen25omni`` (thinker over raw audio/video
 with --input_type audio|video|audiovideo, utils/qwen25omni.py),
 ``videollava`` (LLaVA-projector video class — Video-LLaVA/Video-ChatGPT/
 Chat-UniVi, MER2025_Track23/Video-LLaVA/main-video.py:22-121),
+``salmonn`` (window-level Q-Former audio-LLM over raw wavs,
+utils/salmonn.py + the vendored SALMONN/model.py),
 ``gpt``/``gemini`` (API callers with the reference's retry semantics,
-utils/{gpt,gemini}.py). Scoring reproduces the 2/3-class
+utils/{gpt,gemini}.py). cot2/cot3 pipelines take a text-LLM judge via
+``--llm``/``--llm_family`` (utils/{qwen25,qwen3}.py protocols).
+Scoring reproduces the 2/3-class
 WAF+ACC metrics (utils/common.py:67-107). Idempotent: existing save_npz is
 skipped (main_dpo_sample.py:19-20).
 """
@@ -116,6 +120,115 @@ def _make_caller_factory(args):
                            if args.video_dir else None)}
         return (lambda rnd: caller), sample
 
+    if args.judge == "llavanextvideo":
+        from ..preference.llavanextvideo import LlavaNextVideoCaller
+
+        assert args.ckpt and args.video_dir, "--judge llavanextvideo " \
+            "needs --ckpt (HF checkpoint) and --video_dir (mp4s)"
+        caller = LlavaNextVideoCaller(args.ckpt, batch=args.batch,
+                                      max_new_tokens=args.max_new_tokens,
+                                      temperature=args.temperature,
+                                      seed=args.seed)
+        sample = lambda r: {
+            "video_path": os.path.join(args.video_dir, r["name"] + ".mp4")}
+        return (lambda rnd: caller), sample
+
+    if args.judge == "llamavid":
+        from ..preference.llamavid import LlamaVidCaller
+
+        assert args.ckpt and args.video_dir and args.bert, \
+            "--judge llamavid needs --ckpt (LLaMA-VID checkpoint dir), " \
+            "--bert (bert-base-uncased tokenizer) and --video_dir (mp4s)"
+        # reference protocol: do_sample temperature 0.5, top_p 0.7
+        # (utils/llamavid.py:126-132); --temperature 0 stays greedy
+        caller = LlamaVidCaller.from_checkpoint(
+            args.ckpt, args.bert, batch=args.batch,
+            max_new_tokens=args.max_new_tokens,
+            temperature=args.temperature, seed=args.seed)
+        sample = lambda r: {
+            "video_path": os.path.join(args.video_dir, r["name"] + ".mp4")}
+        return (lambda rnd: caller), sample
+
+    if args.judge == "videochat2":
+        from ..preference.videochat2 import VideoChat2Caller
+
+        assert args.ckpt and args.video_dir and args.bert and \
+            args.vit_qformer and args.vicuna, \
+            "--judge videochat2 needs --ckpt (stage3 pth), --vit_qformer " \
+            "(umt_l16_qformer.pth), --vicuna, --bert, --video_dir"
+        # reference protocol: do_sample temperature 1.0, top_p 0.9
+        # (conversation.py:60-75); --temperature 0 stays greedy
+        caller = VideoChat2Caller.from_checkpoints(
+            args.ckpt, args.vit_qformer, args.vicuna, args.bert,
+            batch=args.batch, max_new_tokens=args.max_new_tokens,
+            temperature=args.temperature, seed=args.seed)
+        sample = lambda r: {
+            "video_path": os.path.join(args.video_dir, r["name"] + ".mp4")}
+        return (lambda rnd: caller), sample
+
+    if args.judge == "mplugowl":
+        from ..preference.mplugowl import MplugOwlCaller
+
+        assert args.ckpt and args.video_dir, "--judge mplugowl needs " \
+            "--ckpt (mplug-owl-llama-7b-video dir) and --video_dir (mp4s)"
+        # reference protocol: do_sample, top_k=5 (utils/mplugowl.py:52-57);
+        # --temperature 0 stays greedy
+        caller = MplugOwlCaller.from_checkpoint(
+            args.ckpt, batch=args.batch,
+            max_new_tokens=args.max_new_tokens,
+            temperature=args.temperature, seed=args.seed)
+        sample = lambda r: {
+            "video_path": os.path.join(args.video_dir, r["name"] + ".mp4")}
+        return (lambda rnd: caller), sample
+
+    if args.judge == "videochat":
+        from ..preference.videochat import VideoChatCaller
+
+        assert args.ckpt and args.video_dir and args.vit_qformer and \
+            args.vicuna and args.blip2_qformer, \
+            "--judge videochat needs --ckpt (videochat_7b.pth), " \
+            "--vit_qformer (eva_vit_g.pth), --blip2_qformer " \
+            "(blip2_pretrained_flant5xxl.pth), --vicuna, --video_dir"
+        caller = VideoChatCaller.from_checkpoints(
+            args.ckpt, args.vit_qformer, args.blip2_qformer, args.vicuna,
+            batch=args.batch, max_new_tokens=args.max_new_tokens,
+            temperature=args.temperature, seed=args.seed)
+        sample = lambda r: {
+            "video_path": os.path.join(args.video_dir, r["name"] + ".mp4")}
+        return (lambda rnd: caller), sample
+
+    if args.judge == "otter":
+        from ..preference.otter import OtterCaller
+
+        assert args.ckpt and args.video_dir, "--judge otter needs " \
+            "--ckpt (OTTER-Video-LLaMA7B dir) and --video_dir (mp4s)"
+        # reference protocol: num_beams=3 + bad-words + no-repeat-3-gram
+        # (utils/otter.py:104-111); bad-words/ngram reproduced exactly,
+        # decode is greedy/top-p (documented deviation: no beam search)
+        caller = OtterCaller.from_checkpoint(
+            args.ckpt, batch=args.batch,
+            max_new_tokens=args.max_new_tokens,
+            temperature=args.temperature, seed=args.seed)
+        sample = lambda r: {
+            "video_path": os.path.join(args.video_dir, r["name"] + ".mp4")}
+        return (lambda rnd: caller), sample
+
+    if args.judge == "salmonn":
+        from ..preference.salmonn import SalmonnCaller
+
+        assert args.ckpt and args.audio_dir, "--judge salmonn needs " \
+            "--ckpt (SALMONN trainables) and --audio_dir (16 kHz wavs); " \
+            "frozen towers via --whisper/--beats/--vicuna"
+        assert args.whisper and args.beats and args.vicuna, \
+            "--judge salmonn needs --whisper --beats --vicuna tower paths"
+        caller = SalmonnCaller.from_checkpoints(
+            args.ckpt, args.whisper, args.beats, args.vicuna,
+            batch=args.batch, max_new_tokens=args.max_new_tokens,
+            temperature=args.temperature, seed=args.seed)
+        sample = lambda r: {
+            "audio_path": os.path.join(args.audio_dir, r["name"] + ".wav")}
+        return (lambda rnd: caller), sample
+
     if args.judge in ("gpt", "gemini"):
         from ..preference.api_callers import GeminiCaller, GPTCaller
 
@@ -147,32 +260,32 @@ def cmd_judge(args):
     if args.pipeline in ("cot2", "cot3"):
         # the text-LLM variants judge with a separate language model
         # (cot_step3/4/5 route through get_completion_qwen_bacth)
-        from transformers import AutoModelForCausalLM, AutoTokenizer
-
-        from ..mllm.generate import batch_generate_texts
-        from ..mllm.llm import LLMConfig, convert_torch_state
-
         assert args.llm, f"--pipeline={args.pipeline} needs --llm"
-        hf = AutoModelForCausalLM.from_pretrained(args.llm)
-        lcfg = LLMConfig.from_hf(hf.config)
-        lparams = convert_torch_state(lcfg, hf.state_dict())
-        del hf
-        ltok = AutoTokenizer.from_pretrained(args.llm)
-        lemb = np.asarray(lparams["embed_tokens"]["embedding"])
+        if args.llm_family == "qwen25":
+            # utils/qwen25.py protocol: t=0.7/1.0/1.3 cases, top_p 0.8,
+            # repetition_penalty 1.05
+            from ..preference.text_llm import Qwen25TextJudge
 
-        def text_caller(prompts):
-            def enc(prm):
-                if getattr(ltok, "chat_template", None):
-                    return ltok.apply_chat_template(
-                        [{"role": "user", "content": prm}], tokenize=True,
-                        add_generation_prompt=True)
-                return ltok.encode(prm)
+            text_caller = Qwen25TextJudge(
+                args.llm, temperature=(args.temperature or None),
+                batch=args.batch, seed=args.seed)
+        elif args.llm_family == "qwen3":
+            # utils/qwen3.py protocol: thinking mode, t=0.6, top_p 0.95,
+            # top_k 20, </think> split
+            from ..preference.text_llm import Qwen3TextJudge
 
-            ids = {i: enc(prm) for i, prm in enumerate(prompts)}
-            out = batch_generate_texts(lcfg, lparams, lemb, ids, ltok,
-                                       batch=args.batch,
-                                       max_new_tokens=args.max_new_tokens)
-            return [out[i] for i in range(len(prompts))]
+            text_caller = Qwen3TextJudge(
+                args.llm, batch=args.batch, seed=args.seed,
+                max_tokens=max(args.max_new_tokens, 256))
+        else:  # plain greedy judging with the given checkpoint
+            from ..preference.text_llm import _TextJudge
+
+            class _Plain(_TextJudge):
+                temperature = 0.0
+                top_p = 0.9
+
+            text_caller = _Plain(args.llm, batch=args.batch,
+                                 max_tokens=args.max_new_tokens)
 
     with open(args.label_csv, newline="", encoding="utf-8") as f:
         rows = list(csv.DictReader(f))
@@ -238,9 +351,26 @@ def main(argv=None):
     j.add_argument("--label_csv", required=True)
     j.add_argument("--judge", default="affectgpt",
                    choices=["affectgpt", "qwen2audio", "qwen25vl",
-                            "qwen25omni", "videollava", "gpt", "gemini"],
+                            "qwen25omni", "videollava", "llavanextvideo",
+                            "llamavid", "videochat", "videochat2",
+                            "mplugowl", "otter", "salmonn",
+                            "gpt", "gemini"],
                    help="judge model family (the reference's per-model "
                         "utils/*.py wrappers)")
+    j.add_argument("--whisper", default=None,
+                   help="salmonn: Whisper HF checkpoint (frozen tower)")
+    j.add_argument("--beats", default=None,
+                   help="salmonn: BEATs fairseq checkpoint (frozen tower)")
+    j.add_argument("--vicuna", default=None,
+                   help="salmonn: Vicuna HF checkpoint (frozen LLM)")
+    j.add_argument("--bert", default=None,
+                   help="llamavid/videochat2: bert-base-uncased tokenizer "
+                        "path (the text-Q-Former's tokenizer)")
+    j.add_argument("--vit_qformer", default=None,
+                   help="videochat2: umt_l16_qformer.pth; videochat: "
+                        "eva_vit_g.pth (frozen towers)")
+    j.add_argument("--blip2_qformer", default=None,
+                   help="videochat: blip2_pretrained_flant5xxl.pth")
     j.add_argument("--ckpt", default=None,
                    help="affectgpt: trained checkpoint dir; qwen2audio: "
                         "HF checkpoint path")
@@ -264,6 +394,13 @@ def main(argv=None):
                         "cot3=text-LLM reason then extract")
     j.add_argument("--llm", default=None,
                    help="HF causal-LM checkpoint for cot2/cot3 text judging")
+    j.add_argument("--llm_family", default="plain",
+                   choices=["plain", "qwen25", "qwen3"],
+                   help="text-LLM judge protocol for cot2/cot3: qwen25 = "
+                        "utils/qwen25.py sampling (0.7/0.8/rp1.05; "
+                        "--temperature overrides for the ablation cases), "
+                        "qwen3 = utils/qwen3.py thinking mode "
+                        "(0.6/0.95/top_k20, </think> split)")
     j.add_argument("--batch", type=int, default=8)
     j.add_argument("--max_new_tokens", type=int, default=64)
     j.add_argument("--temperature", type=float, default=0.0,
