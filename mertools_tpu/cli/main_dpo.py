@@ -213,6 +213,29 @@ def _make_caller_factory(args):
             "video_path": os.path.join(args.video_dir, r["name"] + ".mp4")}
         return (lambda rnd: caller), sample
 
+    if args.judge == "pllava":
+        from ..preference.pllava import PllavaCaller
+
+        assert args.ckpt and args.video_dir, "--judge pllava needs " \
+            "--ckpt (HF-Llava-shaped PLLaVA checkpoint) and --video_dir"
+        # reference protocol: 16 frames, sampled t=1.0, max_new 200
+        # (utils/pllava.py:100-107); --temperature 0 stays greedy
+        from transformers import AutoProcessor, LlavaForConditionalGeneration
+
+        from ..preference.pllava import Pllava
+
+        hf = LlavaForConditionalGeneration.from_pretrained(args.ckpt)
+        model = Pllava.from_hf_torch(hf)
+        del hf
+        proc = AutoProcessor.from_pretrained(args.ckpt)
+        caller = PllavaCaller(model=model, tokenizer=proc.tokenizer,
+                              batch=args.batch,
+                              max_new_tokens=args.max_new_tokens,
+                              temperature=args.temperature, seed=args.seed)
+        sample = lambda r: {
+            "video_path": os.path.join(args.video_dir, r["name"] + ".mp4")}
+        return (lambda rnd: caller), sample
+
     if args.judge == "salmonn":
         from ..preference.salmonn import SalmonnCaller
 
@@ -353,7 +376,7 @@ def main(argv=None):
                    choices=["affectgpt", "qwen2audio", "qwen25vl",
                             "qwen25omni", "videollava", "llavanextvideo",
                             "llamavid", "videochat", "videochat2",
-                            "mplugowl", "otter", "salmonn",
+                            "mplugowl", "otter", "pllava", "salmonn",
                             "gpt", "gemini"],
                    help="judge model family (the reference's per-model "
                         "utils/*.py wrappers)")
