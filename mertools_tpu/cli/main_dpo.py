@@ -213,6 +213,54 @@ def _make_caller_factory(args):
             "video_path": os.path.join(args.video_dir, r["name"] + ".mp4")}
         return (lambda rnd: caller), sample
 
+    if args.judge == "qwenaudio":
+        import json
+
+        import torch
+        from transformers import AutoTokenizer
+
+        from ..mllm.llm import LLMConfig
+        from ..preference.qwenaudio import (QwenAudio, QwenAudioCaller,
+                                            QwenAudioTowerConfig,
+                                            convert_qwenaudio_state)
+
+        assert args.ckpt and args.audio_dir, "--judge qwenaudio needs " \
+            "--ckpt (qwen-audio-chat dir) and --audio_dir (16 kHz wavs)"
+        with open(os.path.join(args.ckpt, "config.json")) as f:
+            cfg = json.load(f)
+        sd = {}
+        for fn in sorted(os.listdir(args.ckpt)):
+            if fn.endswith(".bin"):
+                sd.update(torch.load(os.path.join(args.ckpt, fn),
+                                     map_location="cpu"))
+        au = cfg.get("audio", {})
+        tcfg = QwenAudioTowerConfig(
+            n_mels=au.get("n_mels", 80), n_ctx=au.get("n_ctx", 1500),
+            n_state=au.get("n_state", 1280), n_head=au.get("n_head", 20),
+            n_layer=au.get("n_layer", 32),
+            output_dim=au.get("output_dim", cfg["hidden_size"]))
+        llm_cfg = LLMConfig(
+            vocab_size=cfg["vocab_size"], hidden_size=cfg["hidden_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=cfg["num_attention_heads"],
+            num_kv_heads=cfg["num_attention_heads"],
+            intermediate_size=cfg["intermediate_size"] // 2,
+            attention_bias=True,
+            rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-6),
+            rope_theta=cfg.get("rotary_emb_base", 10000.0))
+        params = convert_qwenaudio_state(tcfg, llm_cfg, sd)
+        model = QwenAudio(tcfg, llm_cfg, params)
+        tok = AutoTokenizer.from_pretrained(args.ckpt,
+                                            trust_remote_code=True)
+        caller = QwenAudioCaller(
+            model, tok, batch=args.batch,
+            max_new_tokens=args.max_new_tokens,
+            temperature=args.temperature, seed=args.seed,
+            audio_pad_id=au.get("audio_pad_id", 151851))
+        sample = lambda r: {
+            "audio_path": os.path.join(args.audio_dir, r["name"] + ".wav")}
+        return (lambda rnd: caller), sample
+
     if args.judge == "pllava":
         from ..preference.pllava import PllavaCaller
 
@@ -376,8 +424,8 @@ def main(argv=None):
                    choices=["affectgpt", "qwen2audio", "qwen25vl",
                             "qwen25omni", "videollava", "llavanextvideo",
                             "llamavid", "videochat", "videochat2",
-                            "mplugowl", "otter", "pllava", "salmonn",
-                            "gpt", "gemini"],
+                            "mplugowl", "otter", "pllava", "qwenaudio",
+                            "salmonn", "gpt", "gemini"],
                    help="judge model family (the reference's per-model "
                         "utils/*.py wrappers)")
     j.add_argument("--whisper", default=None,
