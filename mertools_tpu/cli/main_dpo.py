@@ -300,6 +300,21 @@ def _make_caller_factory(args):
             "audio_path": os.path.join(args.audio_dir, r["name"] + ".wav")}
         return (lambda rnd: caller), sample
 
+    if args.judge == "vita":
+        from ..preference.vita import VitaCaller
+
+        assert args.ckpt and args.video_dir, "--judge vita needs " \
+            "--ckpt (VITA checkpoint dir) and --video_dir"
+        # reference protocol: greedy (do_sample=False), max_new 1024,
+        # 1 fps / min 4 / max 100 frames (utils/vita.py:43-51, 216-231)
+        caller = VitaCaller.from_checkpoint(
+            args.ckpt, batch=args.batch,
+            max_new_tokens=args.max_new_tokens,
+            temperature=args.temperature, seed=args.seed)
+        sample = lambda r: {
+            "video_path": os.path.join(args.video_dir, r["name"] + ".mp4")}
+        return (lambda rnd: caller), sample
+
     if args.judge in ("gpt", "gemini"):
         from ..preference.api_callers import GeminiCaller, GPTCaller
 
@@ -425,7 +440,7 @@ def main(argv=None):
                             "qwen25omni", "videollava", "llavanextvideo",
                             "llamavid", "videochat", "videochat2",
                             "mplugowl", "otter", "pllava", "qwenaudio",
-                            "salmonn", "gpt", "gemini"],
+                            "salmonn", "vita", "gpt", "gemini"],
                    help="judge model family (the reference's per-model "
                         "utils/*.py wrappers)")
     j.add_argument("--whisper", default=None,
