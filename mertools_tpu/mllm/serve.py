@@ -344,7 +344,11 @@ class ContinuousBatcher:
             tok = int(first[b])
             self.next_tok[slot] = tok
             self.active[slot] = True
-            req = _Request(rid, S, tokens=[tok], done=tok == self.eos)
+            # the admission token counts toward max_new (generate() scan
+            # emits the prefill-sampled token first): max_new <= 1 finishes
+            # here, matching generate(max_new_tokens=1)
+            req = _Request(rid, S, tokens=[tok],
+                           done=tok == self.eos or self.max_new <= 1)
             self.slot_req[slot] = req
             if req.done:
                 self._finish(slot)
