@@ -202,9 +202,9 @@ def _make_caller_factory(args):
 
         assert args.ckpt and args.video_dir, "--judge otter needs " \
             "--ckpt (OTTER-Video-LLaMA7B dir) and --video_dir (mp4s)"
-        # reference protocol: num_beams=3 + bad-words + no-repeat-3-gram
-        # (utils/otter.py:104-111); bad-words/ngram reproduced exactly,
-        # decode is greedy/top-p (documented deviation: no beam search)
+        # reference protocol: num_beams=3 beam search + bad-words +
+        # no-repeat-3-gram (utils/otter.py:104-111) — the caller default
+        # (HF-semantics beam engine, mllm/beam.py)
         caller = OtterCaller.from_checkpoint(
             args.ckpt, batch=args.batch,
             max_new_tokens=args.max_new_tokens,
@@ -292,6 +292,9 @@ def _make_caller_factory(args):
             "frozen towers via --whisper/--beats/--vicuna"
         assert args.whisper and args.beats and args.vicuna, \
             "--judge salmonn needs --whisper --beats --vicuna tower paths"
+        # reference protocol: num_beams=4 beam SAMPLING at temperature 1.0
+        # (SALMONN/model.py:118-132) — pass --temperature 1.0 to reproduce
+        # it; the CLI default 0.0 decodes deterministic num_beams=4
         caller = SalmonnCaller.from_checkpoints(
             args.ckpt, args.whisper, args.beats, args.vicuna,
             batch=args.batch, max_new_tokens=args.max_new_tokens,

@@ -24,9 +24,12 @@ Reference: ``MER2026/MER2026_Track3/utils/otter.py`` wrapping the vendored
 
 TPU-native re-design: jitted prefill/step with the cross-attention K/V of
 the 64 latents precomputed once; HOST-side logit post-processing gives the
-reference's bad-words and no-repeat-3-gram semantics exactly. Documented
-deviation: greedy / top-p sampling instead of num_beams=3 (no beam search
-in the shared decode stack — same deviation as SALMONN).
+reference's bad-words and no-repeat-3-gram semantics exactly. The caller
+defaults decode with ``num_beams=3`` through the HF-semantics beam engine
+(``mllm/beam.HFBeam``, HF-EXACT in tests/test_beam.py) with the processors
+applied inside the beam loop — the full reference protocol
+(utils/otter.py:103-111). ``num_beams=1`` falls back to the greedy/top-p
+host loop.
 
 Parity vs a hand-assembled torch oracle in tests/test_otter.py.
 """
@@ -181,6 +184,17 @@ class Otter:
                                 static_argnames=("cache_len",))
         self._step = jax.jit(self._step_fn)
 
+        def beam_step(p, tok, pos, slot, k_cache, v_cache, slot_mask,
+                      media_kvs, beam_idx):
+            # reorder the KV caches by flat beam index (HF reorder_cache);
+            # media K/V are identical across an element's beams, no reorder
+            k_cache = jnp.take(k_cache, beam_idx, axis=1)
+            v_cache = jnp.take(v_cache, beam_idx, axis=1)
+            return self._step_fn(p, tok, pos, slot, k_cache, v_cache,
+                                 slot_mask, media_kvs)
+
+        self._beam_step = jax.jit(beam_step)
+
     # ---- LM with gated cross-attention ----
 
     def _prefill_fn(self, p, input_ids, attention_mask, media_kvs,
@@ -290,12 +304,21 @@ class Otter:
     def generate_batch(self, ids_list: list, pixels: np.ndarray, tokenizer,
                        *, max_new_tokens: int = 512,
                        temperature: float = 0.0, top_p: float = 0.9,
+                       num_beams: int = 1, length_penalty: float = 1.0,
                        bad_words_ids: list | None = None,
-                       no_repeat_ngram_size: int = 0,
+                       no_repeat_ngram_size: int = 0, seed: int = 0,
                        prng_key=None) -> list[str]:
         """Right-pad, prefill, host-loop decode with the reference's
         bad-words and no-repeat-ngram logit processing applied exactly
-        (HF LogitsProcessor semantics on the host)."""
+        (HF LogitsProcessor semantics on the host); ``num_beams>1`` runs
+        HF-semantics beam search with the same processors inside the loop
+        (the utils/otter.py:103-111 protocol)."""
+        if num_beams > 1:
+            return self._beam_generate_batch(
+                ids_list, pixels, tokenizer, max_new_tokens=max_new_tokens,
+                temperature=temperature, top_p=top_p, num_beams=num_beams,
+                length_penalty=length_penalty, bad_words_ids=bad_words_ids,
+                no_repeat_ngram_size=no_repeat_ngram_size, seed=seed)
         B = len(ids_list)
         S = max(len(x) for x in ids_list)
         ids = np.zeros((B, S), np.int32)
@@ -347,6 +370,64 @@ class Otter:
         out = []
         for b in range(B):
             row = out_ids[b]
+            if eos is not None and row and row[-1] == eos:
+                row = row[:-1]
+            out.append(tokenizer.decode(row, skip_special_tokens=True))
+        return out
+
+    def _beam_generate_batch(self, ids_list, pixels, tokenizer, *,
+                             max_new_tokens, temperature, top_p, num_beams,
+                             length_penalty, bad_words_ids,
+                             no_repeat_ngram_size, seed):
+        """HF-semantics beam search (mllm/beam.HFBeam) over the Flamingo
+        LM: prompts repeat per beam, the media latent K/V are shared within
+        an element's beams, caches reorder by flat beam index each step."""
+        from ..mllm.beam import HFBeam
+
+        B = len(ids_list)
+        N = num_beams
+        S = max(len(x) for x in ids_list)
+        ids = np.zeros((B, S), np.int32)
+        mask = np.zeros((B, S), np.int32)
+        for i, x in enumerate(ids_list):
+            ids[i, : len(x)] = x
+            mask[i, : len(x)] = 1
+        ids_r = np.repeat(ids, N, axis=0)
+        mask_r = np.repeat(mask, N, axis=0)
+        media_kvs = self.media_kvs(pixels)
+        media_kvs = jax.tree_util.tree_map(
+            lambda t: jnp.repeat(t, N, axis=0), media_kvs)
+        cache_len = S + max_new_tokens
+        logits, k_cache, v_cache, n_valid = self._prefill(
+            self.params, jnp.asarray(ids_r), jnp.asarray(mask_r), media_kvs,
+            cache_len=cache_len)
+        eos = tokenizer.eos_token_id
+
+        def process_fn(seq, lp):
+            return _process_logits(lp, list(seq), bad_words_ids,
+                                   no_repeat_ngram_size)
+
+        eng = HFBeam(B, N, self.llm_cfg.vocab_size, max_new_tokens,
+                     eos if eos is not None else -1,
+                     length_penalty=length_penalty,
+                     do_sample=temperature > 0, temperature=temperature,
+                     top_p=top_p, seed=seed,
+                     prompts=[list(map(int, x)) for x in ids_list],
+                     process_fn=process_fn)
+        slot_mask_np = np.zeros((B * N, cache_len), bool)
+        slot_mask_np[:, :S] = mask_r.astype(bool)
+        for t in range(max_new_tokens):
+            nxt, beam_idx, done = eng.step(np.asarray(logits, np.float32))
+            if done:
+                break
+            slot = S + t
+            slot_mask_np[:, slot] = True
+            logits, k_cache, v_cache = self._beam_step(
+                self.params, jnp.asarray(nxt), n_valid + t, slot,
+                k_cache, v_cache, jnp.asarray(slot_mask_np), media_kvs,
+                jnp.asarray(beam_idx))
+        out = []
+        for row in eng.final():
             if eos is not None and row and row[-1] == eos:
                 row = row[:-1]
             out.append(tokenizer.decode(row, skip_special_tokens=True))
@@ -447,13 +528,14 @@ def convert_otter_state(vcfg: CLIPVisionConfig, pcfg: PerceiverConfig,
 
 class OtterCaller:
     """Unified judge wrapper (utils/otter.py protocol: 16 frames, the
-    ``<image>User: ... GPT:<answer>`` prompt, bad-words + no-repeat-3-gram,
-    ``<answer>``/``<|endofchunk|>`` response parsing). Documented
-    deviation: greedy/top-p decode, not num_beams=3."""
+    ``<image>User: ... GPT:<answer>`` prompt, ``num_beams=3`` HF beam
+    search with bad-words + no-repeat-3-gram processors,
+    ``<answer>``/``<|endofchunk|>`` response parsing)."""
 
     def __init__(self, model: Otter, tokenizer, *, batch: int = 2,
                  n_frames: int = 16, max_new_tokens: int = 512,
                  temperature: float = 0.0, top_p: float = 0.9,
+                 num_beams: int = 3, length_penalty: float = 1.0,
                  seed: int = 0):
         self.model = model
         self.tok = tokenizer
@@ -462,6 +544,8 @@ class OtterCaller:
         self.max_new_tokens = max_new_tokens
         self.temperature = float(temperature)
         self.top_p = top_p
+        self.num_beams = int(num_beams)
+        self.length_penalty = float(length_penalty)
         self.seed = seed
         self.bad_words_ids = [
             tokenizer(w, add_special_tokens=False).input_ids
@@ -549,8 +633,10 @@ class OtterCaller:
             texts = self.model.generate_batch(
                 ids, pixels, self.tok, max_new_tokens=self.max_new_tokens,
                 temperature=self.temperature, top_p=self.top_p,
+                num_beams=self.num_beams,
+                length_penalty=self.length_penalty,
                 bad_words_ids=self.bad_words_ids, no_repeat_ngram_size=3,
-                prng_key=sub)
+                seed=self.seed * 1000003 + i, prng_key=sub)
             for j, txt in zip(grp, texts):
                 # utils/otter.py:113-124 response parsing
                 txt = (txt.split("<answer>")[-1].strip()

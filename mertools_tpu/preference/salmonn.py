@@ -19,10 +19,12 @@ Reference: ``MER2026/MER2026_Track3/utils/salmonn.py`` wrapping the vendored
 
 TPU-native re-design: every stage is a batched jitted computation (the
 reference loops sample-by-sample with a try/except); decoding rides the
-shared ``mllm/generate.generate``. Documented deviation: the reference
-generates with ``num_beams=4, do_sample=True`` (model.py:126-131); this
-implementation decodes greedily or with top-p sampling (no beam search) —
-pass ``temperature=1.0, top_p=0.9`` to approximate the reference protocol.
+shared ``mllm/generate.generate`` (``num_beams=1``) or the HF-semantics
+beam engine ``mllm/beam.beam_generate``. The caller defaults reproduce the
+reference protocol ``num_beams=4, do_sample=True, top_p=0.9,
+temperature=1.0, length_penalty=1.0, min_length=1`` (model.py:118-132) —
+beam sampling is seed-reproducible, not bit-equal to torch's RNG stream
+(the deterministic beam machinery is HF-EXACT, tests/test_beam.py).
 
 Conversion: a SALMONN checkpoint stores the trainable params (Q-Former,
 projection, LoRA, ln_speech/ln_audio); the frozen towers load from their
@@ -112,9 +114,11 @@ class SalmonnModel:
     def generate_batch(self, prompts: list[str], wavs: np.ndarray,
                        tokenizer, *, max_new_tokens: int = 200,
                        temperature: float = 0.0, top_p: float = 0.9,
-                       prng_key=None) -> list[str]:
+                       num_beams: int = 1, length_penalty: float = 1.0,
+                       seed: int = 0, prng_key=None) -> list[str]:
         """Per-sample prompt splice [bos, left, speech, right] (model.py:
-        190-226), right-padded batch, shared batched decode."""
+        190-226), right-padded batch, shared batched decode; ``num_beams>1``
+        runs HF-semantics beam search/sampling (the reference protocol)."""
         from ..mllm.generate import bucket_len, generate
 
         B = len(prompts)
@@ -138,11 +142,25 @@ class SalmonnModel:
             embeds[i, : len(emb)] = emb
             mask[i, : len(emb)] = 1
         eos = tokenizer.eos_token_id
-        toks = np.asarray(generate(
-            self.llm_cfg, self.params["llm"], jnp.asarray(embeds),
-            jnp.asarray(mask), max_new_tokens=max_new_tokens,
-            temperature=temperature, top_p=top_p,
-            eos_token_id=eos if eos is not None else -1, prng_key=prng_key))
+        if num_beams > 1:
+            from ..mllm.beam import beam_generate
+
+            rows_out = beam_generate(
+                self.llm_cfg, self.params["llm"], jnp.asarray(embeds),
+                jnp.asarray(mask), num_beams=num_beams,
+                max_new_tokens=max_new_tokens,
+                eos_token_id=eos if eos is not None else -1,
+                length_penalty=length_penalty,
+                do_sample=temperature > 0, temperature=temperature,
+                top_p=top_p, min_new_tokens=1, seed=seed)
+            toks = [np.asarray(r, np.int64) for r in rows_out]
+        else:
+            toks = np.asarray(generate(
+                self.llm_cfg, self.params["llm"], jnp.asarray(embeds),
+                jnp.asarray(mask), max_new_tokens=max_new_tokens,
+                temperature=temperature, top_p=top_p,
+                eos_token_id=eos if eos is not None else -1,
+                prng_key=prng_key))
         out = []
         for row in toks:
             stop = np.where(row == eos)[0] if eos is not None else []
@@ -206,14 +224,22 @@ class SalmonnCaller:
     of ``PreferenceJudge``."""
 
     def __init__(self, model: SalmonnModel, tokenizer, batch: int = 4,
-                 max_new_tokens: int = 200, temperature: float = 0.0,
-                 top_p: float = 0.9, seed: int = 0):
+                 max_new_tokens: int = 200, temperature: float = 1.0,
+                 top_p: float = 0.9, num_beams: int = 4,
+                 length_penalty: float = 1.0, seed: int = 0):
+        """Defaults reproduce the reference decode protocol
+        (model.py:118-132: num_beams=4, do_sample=True, temperature=1.0,
+        top_p=0.9, length_penalty=1.0; wrapper max_length=300 ->
+        max_new_tokens bounded by the same budget). ``num_beams=1,
+        temperature=0`` gives deterministic greedy decode."""
         self.model = model
         self.tok = tokenizer
         self.batch = batch
         self.max_new_tokens = max_new_tokens
         self.temperature = float(temperature)
         self.top_p = top_p
+        self.num_beams = int(num_beams)
+        self.length_penalty = float(length_penalty)
         self.seed = seed
 
     @classmethod
@@ -275,7 +301,9 @@ class SalmonnCaller:
                 [prompts[j] for j in grp], wavs, self.tok,
                 max_new_tokens=self.max_new_tokens,
                 temperature=self.temperature, top_p=self.top_p,
-                prng_key=sub)
+                num_beams=self.num_beams,
+                length_penalty=self.length_penalty,
+                seed=self.seed * 1000003 + i, prng_key=sub)
             for j, txt in zip(grp, texts):
                 # reference response flattening (utils/salmonn.py:48-49)
                 out[j] = txt.replace("\n", " ").replace("\t", " ").strip()
