@@ -7,9 +7,12 @@ decode-round-trip span probe (``find_start_end_pos:95-120``), FRA = per-token
 (T, D), UTT = token mean; empty transcripts produce zeros.
 
 TPU-native: sentences are tokenized up front, bucketed by token length and
-forwarded in batches with attention masks; the span trim happens on the host
-slices. Masked batching equals per-sentence forwards exactly (BERT attention
-masks padded keys; padded rows are discarded).
+forwarded in batches with attention masks. FRA level ships the per-token
+(T, D) features (they ARE the product); UTT level applies the span trim +
+token mean ON DEVICE so only (B, D) crosses the host link — the link-bound
+dev platform measures ~25 MB of hidden states per 64x128 batch otherwise.
+Masked batching equals per-sentence forwards exactly (BERT attention masks
+padded keys; padded rows are discarded).
 """
 
 from __future__ import annotations
@@ -44,6 +47,21 @@ def find_token_span(tokenizer, probe: str = "今天天气真好") -> tuple[int, 
 DEFAULT_TOKEN_BUCKETS = (16, 32, 64, 128, 256, 512)
 
 
+def _utt_pool(feats, mask, start, end0):
+    """On-device span trim + token mean: rows average features[start:
+    n_valid+end0] (end0 <= 0); an empty span yields zeros (the reference's
+    empty-transcript rule, extract_text_huggingface.py:236-249)."""
+    n = jnp.sum(mask, axis=1)                       # valid tokens per row
+    e = n + end0
+    idx = jnp.arange(feats.shape[1])
+    sel = ((idx[None, :] >= start) & (idx[None, :] < e[:, None])
+           ).astype(feats.dtype)
+    cnt = jnp.sum(sel, axis=1)
+    s = jnp.einsum("btd,bt->bd", feats, sel,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.where(cnt[:, None] > 0, s / jnp.maximum(cnt, 1)[:, None], 0.0)
+
+
 @dataclass
 class TextExtractor:
     cfg: BertConfig
@@ -65,7 +83,12 @@ class TextExtractor:
             hs = enc.apply({"params": params}, ids, mask)
             return sum(hs[i] for i in self.layer_ids).astype(jnp.float32)
 
+        @jax.jit
+        def fwd_utt(params, ids, mask, start, end0):
+            return _utt_pool(fwd(params, ids, mask), mask, start, end0)
+
         self._fwd = fwd
+        self._fwd_utt = fwd_utt
         params = self.params
         if self.compute_dtype == "bf16":
             params = jax.tree_util.tree_map(
@@ -83,6 +106,7 @@ class TextExtractor:
         """token_ids: name -> tokenizer input_ids (already includes special
         tokens). span: (start, end) from :func:`find_token_span`."""
         start, end = span
+        utt = level.upper().startswith("UTT")
         max_len = self.buckets[-1]
         jobs = sorted(token_ids.items(), key=lambda kv: len(kv[1]))
         out: dict[str, np.ndarray] = {}
@@ -101,18 +125,26 @@ class TextExtractor:
             for r, (_, toks) in enumerate(group):
                 ids[r, : len(toks)] = toks
                 mask[r, : len(toks)] = 1
-            pending.append((group, self._fwd(self._params, jnp.asarray(ids),
-                                             jnp.asarray(mask))))
+            if utt:  # span trim + token mean on device: only (B, D) ships
+                res = self._fwd_utt(self._params, jnp.asarray(ids),
+                                    jnp.asarray(mask),
+                                    jnp.int32(start), jnp.int32(end or 0))
+            else:
+                res = self._fwd(self._params, jnp.asarray(ids),
+                                jnp.asarray(mask))
+            pending.append((group, res))
         for group, res in pending:
             feats = np.asarray(res)
             for r, (name, toks) in enumerate(group):
+                if utt:
+                    out[name] = feats[r]
+                    continue
                 e = len(toks) + (end or 0)
                 emb = feats[r, start:e]
                 if len(emb) == 0:
+                    # empty transcripts -> zeros (reference :236-249)
                     emb = np.zeros((1, D), np.float32)
-                out[name] = (emb.mean(axis=0) if level.upper().startswith("UTT")
-                             else emb)
-        # empty transcripts -> zeros (reference :236-249)
+                out[name] = emb
         return out
 
 
@@ -144,7 +176,12 @@ class CausalLMTextExtractor:
                                 output_hidden_states=True)
             return sum(hs[i] for i in self.layer_ids).astype(jnp.float32)
 
+        @jax.jit
+        def fwd_utt(params, ids, mask, start, end0):
+            return _utt_pool(fwd(params, ids, mask), mask, start, end0)
+
         self._fwd = fwd
+        self._fwd_utt = fwd_utt
         params = self.params
         if self.compute_dtype == "bf16":
             params = jax.tree_util.tree_map(
