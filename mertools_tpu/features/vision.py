@@ -66,13 +66,17 @@ class VisionExtractor:
                                 dot_general=dot_general)
         cast = (lambda x: x.astype(jnp.bfloat16)) if fast else (lambda x: x)
 
-        @jax.jit
-        def fwd(params, frames):
+        def core(params, frames):
             pix = preprocess_faces_device(frames, self.cfg.image_size)
             out = enc.apply({"params": params}, cast(pix))["image_embeds"]
             return out.astype(jnp.float32)
 
-        self._fwd = fwd
+        # UTT: the per-clip scatter-add is FUSED into the forward dispatch
+        # (a separate device call costs a host round-trip per batch on the
+        # link-bound dev platform); only the pooled (n_clips, D) ships
+        self._fwd = jax.jit(core)
+        self._fwd_acc = jax.jit(
+            lambda p, frames, acc, ids: acc.at[ids].add(core(p, frames)))
         params = self.params
         if fast:
             params = jax.tree_util.tree_map(
@@ -91,6 +95,10 @@ class VisionExtractor:
             for fi, ai in enumerate(idx):
                 jobs.append((name, fi, arr[ai]))
 
+        utt = level.upper().startswith("UTT")
+        slot = {n: i for i, n in enumerate(faces)}
+        scrap = len(faces)          # pad rows accumulate into a junk slot
+        acc = None
         results: dict[str, dict[int, np.ndarray]] = {n: {} for n in faces}
         bs = self.batch_size
         h, w = jobs[0][2].shape[:2]
@@ -102,7 +110,21 @@ class VisionExtractor:
             batch = np.zeros((bs, h, w, 3), np.uint8)  # fixed shape: 1 compile
             for r, (_, _, frame) in enumerate(group):
                 batch[r] = frame
-            pending.append((group, self._fwd(self._params, jnp.asarray(batch))))
+            if utt:
+                ids = np.full((bs,), scrap, np.int32)
+                for r, (name, _, _) in enumerate(group):
+                    ids[r] = slot[name]
+                if acc is None:
+                    acc = jnp.zeros((scrap + 1, self.cfg.projection_dim),
+                                    jnp.float32)
+                acc = self._fwd_acc(self._params, jnp.asarray(batch), acc,
+                                    jnp.asarray(ids))
+            else:
+                pending.append((group, self._fwd(self._params,
+                                                 jnp.asarray(batch))))
+        if utt:
+            arr = np.asarray(acc)
+            return {n: arr[slot[n]] / counts[n] for n in faces}
         for group, res in pending:
             embeds = np.asarray(res)
             for r, (name, fi, _) in enumerate(group):
@@ -111,5 +133,5 @@ class VisionExtractor:
         out = {}
         for name in faces:
             feat = np.stack([results[name][fi] for fi in range(counts[name])])
-            out[name] = feat.mean(axis=0) if level.upper().startswith("UTT") else feat
+            out[name] = feat
         return out

@@ -102,12 +102,15 @@ class FrameStreamExtractor:
         cast = ((lambda x: x.astype(jnp.bfloat16))
                 if compute_dtype == "bf16" else (lambda x: x))
 
-        @jax.jit
-        def step(p, frames):
+        def core(p, frames):
             out = forward(p, cast(preprocess_device(frames, spec)))
             return out.astype(jnp.float32)
 
-        self._step = step
+        # UTT: per-clip scatter-add fused into the forward dispatch (one
+        # device call per batch; only the pooled (n_clips, D) ships)
+        self._step = jax.jit(core)
+        self._step_acc = jax.jit(
+            lambda p, frames, acc, ids: acc.at[ids].add(core(p, frames)))
 
     def extract(self, faces: dict[str, np.ndarray], level: str = "FRA"
                 ) -> dict[str, np.ndarray]:
@@ -118,6 +121,10 @@ class FrameStreamExtractor:
             counts[name] = len(idx)
             for fi, ai in enumerate(idx):
                 jobs.append((name, fi, arr[ai]))
+        utt = level.upper().startswith("UTT")
+        slot = {n: i for i, n in enumerate(faces)}
+        scrap = len(faces)          # pad rows accumulate into a junk slot
+        acc = None
         results = {n: {} for n in faces}
         bs = self.batch_size
         h, w = jobs[0][2].shape[:2]
@@ -131,7 +138,21 @@ class FrameStreamExtractor:
             dev_batch = (jax.device_put(batch, self._batch_sharding)
                          if self._batch_sharding is not None
                          else jnp.asarray(batch))
-            pending.append((group, self._step(self._params, dev_batch)))
+            if utt:   # per-clip frame mean on device: ship (n_clips, D)
+                ids = np.full((bs,), scrap, np.int32)
+                for r, (name, _, _) in enumerate(group):
+                    ids[r] = slot[name]
+                if acc is None:
+                    shp = jax.eval_shape(self._step, self._params,
+                                         dev_batch).shape
+                    acc = jnp.zeros((scrap + 1,) + shp[1:], jnp.float32)
+                acc = self._step_acc(self._params, dev_batch, acc,
+                                     jnp.asarray(ids))
+            else:
+                pending.append((group, self._step(self._params, dev_batch)))
+        if utt:
+            arr = np.asarray(acc)
+            return {n: arr[slot[n]] / counts[n] for n in faces}
         for group, res in pending:
             emb = np.asarray(res)
             for r, (name, fi, _) in enumerate(group):
@@ -139,8 +160,7 @@ class FrameStreamExtractor:
         out = {}
         for name in faces:
             feat = np.stack([results[name][fi] for fi in range(counts[name])])
-            out[name] = (feat.mean(0) if level.upper().startswith("UTT")
-                         else feat)
+            out[name] = feat
         return out
 
 
