@@ -511,12 +511,13 @@ def leg_serve(detail: dict) -> None:
                            np.zeros((1, 8), np.int32),
                            method=llm.embed)["params"])
 
-    def run_engine(p, tag):
+    def run_engine(p, tag, compute_dtype=None):
         # chunk=64 == max_new: each admission wave decodes in ONE jitted
         # device loop (host sync once per wave, not once per token)
         eng = ContinuousBatcher(llm_cfg, p, n_slots=8, max_len=256,
                                 max_new_tokens=64, eos_token_id=-1,
-                                prefill_buckets=(128,), chunk=64)
+                                prefill_buckets=(128,), chunk=64,
+                                compute_dtype=compute_dtype)
         for _ in range(16):
             eng.submit(rng.normal(size=(100, 2048)).astype(np.float32))
         eng.run()  # compile (prefill + chunk loop)
@@ -532,13 +533,18 @@ def leg_serve(detail: dict) -> None:
         return n_tok / dt
 
     detail["serve"] = {}
-    base = run_engine(params, "bf16_1p1b")
+    base = run_engine(params, "f32_1p1b")
+    rbf = run_engine(params, "bf16_1p1b", compute_dtype="bf16")
+    detail["serve"]["bf16_speedup"] = round(rbf / base, 2)
     try:
         from mertools_tpu.mllm.generate import quantize_llm_params_w8
 
         w8 = quantize_llm_params_w8(params)
         r8 = run_engine(w8, "w8_1p1b")
         detail["serve"]["w8_speedup"] = round(r8 / base, 2)
+        # the production serving configuration: int8 weights + bf16 compute
+        r8b = run_engine(w8, "w8_bf16_1p1b", compute_dtype="bf16")
+        detail["serve"]["w8_bf16_speedup"] = round(r8b / base, 2)
     except Exception as e:  # noqa: BLE001
         detail["serve"]["w8_error"] = f"{type(e).__name__}: {e}"
 
@@ -569,6 +575,10 @@ def leg_serve(detail: dict) -> None:
         g8 = run_gen(w8, False, "scan_w8_1p1b")
         g8kv = run_gen(w8, True, "scan_w8_kvint8_1p1b")
         detail["serve"]["kv_int8_vs_w8"] = round(g8kv / g8, 2)
+        from mertools_tpu.mllm.generate import cast_llm_params_bf16
+
+        g8b = run_gen(cast_llm_params_bf16(w8), False, "scan_w8_bf16_1p1b")
+        detail["serve"]["scan_bf16_vs_f32_acts"] = round(g8b / g8, 2)
     except Exception as e:  # noqa: BLE001
         detail["serve"]["scan_error"] = f"{type(e).__name__}: {e}"
 

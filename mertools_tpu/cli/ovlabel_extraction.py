@@ -126,6 +126,10 @@ def main(argv=None):
     p.add_argument("--kv_int8", action="store_true",
                    help="int8 KV cache (static engine): halves cache "
                         "memory + read bandwidth for long decodes")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 serving mode (the reference's vLLM-fp16 "
+                        "class): bf16 weights/activations on the native "
+                        "MXU path; composes with --w8")
     args = p.parse_args(argv)
 
     import jax
@@ -143,6 +147,9 @@ def main(argv=None):
     if args.w8:
         from ..mllm.generate import quantize_llm_params_w8
         params = jax.jit(quantize_llm_params_w8)(params)
+    if args.bf16:
+        from ..mllm.generate import cast_llm_params_bf16
+        params = jax.jit(cast_llm_params_bf16)(params)
 
     name2reason = load_name2reason(args.reason_npz, args.reason_root)
     names = list(name2reason)
@@ -156,7 +163,8 @@ def main(argv=None):
                                 max_new_tokens=args.max_new_tokens,
                                 temperature=args.temperature,
                                 top_p=args.top_p,
-                                repetition_penalty=args.repetition_penalty)
+                                repetition_penalty=args.repetition_penalty,
+                                compute_dtype="bf16" if args.bf16 else None)
         rids = []
         for n in names:
             ids = encode_prompt(tok, name2reason[n])

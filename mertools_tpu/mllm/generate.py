@@ -32,6 +32,26 @@ _W8_KERNELS = ("q_proj", "k_proj", "v_proj", "o_proj",
                "gate_proj", "up_proj", "down_proj")
 
 
+def _prec_for(x):
+    """Dtype-driven matmul precision: f32 activations keep HIGHEST (the
+    parity contract for the judge/oracle paths); bf16 activations (the
+    production serving mode, `cast_llm_params_bf16`) take the native bf16
+    MXU path — HIGHEST would silently upcast every matmul to 6-pass f32."""
+    return _P if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+
+def cast_llm_params_bf16(params: dict) -> dict:
+    """Production serving cast: float leaves -> bf16 (halves the HBM weight
+    traffic that bounds decode AND switches every matmul to the bf16 MXU
+    path via ``_prec_for``); int8 w8 codes pass through, so this composes
+    with ``quantize_llm_params_w8``. The reference serves fp16 (vLLM /
+    ``.half()``), so bf16 is its numeric class, not a new deviation."""
+    return jax.tree_util.tree_map(
+        lambda x: (x.astype(jnp.bfloat16)
+                   if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                   else x), params)
+
+
 def batch_generate_texts(cfg, params, emb_table, ids_by_key: dict, tok, *,
                          batch: int = 8, max_new_tokens: int = 64,
                          temperature: float = 0.0, top_p: float = 0.9,
@@ -137,13 +157,14 @@ def _rms(p, x, eps):
 
 
 def _lora_dense(p, x, alpha=16.0):
-    y = w8_einsum("...d,df->...f", x, p["kernel"], precision=_P)
+    prec = _prec_for(x)
+    y = w8_einsum("...d,df->...f", x, p["kernel"], precision=prec)
     if "bias" in p:
         y = y + p["bias"]
     if "lora_a" in p:
         r = p["lora_a"].shape[-1]
         y = y + (alpha / r) * jnp.einsum("...d,dr,rf->...f", x, p["lora_a"],
-                                         p["lora_b"], precision=_P)
+                                         p["lora_b"], precision=prec)
     return y
 
 
@@ -157,7 +178,8 @@ def _rotary(x, positions, theta, mrope_section=None):
         ang = positions[..., comp].astype(jnp.float32) * inv_freq
     else:
         ang = positions[..., None].astype(jnp.float32) * inv_freq
-    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    cos = jnp.cos(ang).astype(x.dtype)   # keep bf16 activations bf16
+    sin = jnp.sin(ang).astype(x.dtype)
     if x.ndim == 4:  # (B, S, N, hd)
         cos, sin = cos[:, :, None, :], sin[:, :, None, :]
     else:            # (B, N, hd) single step: positions (B,)
@@ -207,6 +229,12 @@ def prefill(cfg, params, inputs_embeds, attention_mask, cache_len: int,
     bias = jnp.where(causal[None, None] & (mask[:, None, None, :] > 0),
                      0.0, -1e30)
 
+    # production bf16 params (cast_llm_params_bf16): run the whole prompt
+    # forward in bf16 on the native MXU path (the reference's fp16 class)
+    if params["norm"]["weight"].dtype == jnp.bfloat16:
+        inputs_embeds = inputs_embeds.astype(jnp.bfloat16)
+    prec = _prec_for(inputs_embeds)
+
     ks, vs = [], []
     x = inputs_embeds
     for i in range(cfg.num_layers):
@@ -222,9 +250,10 @@ def prefill(cfg, params, inputs_embeds, attention_mask, cache_len: int,
             vr = jnp.repeat(v, nh // nkv, axis=2)
         else:
             vr = v
-        logits = jnp.einsum("bqnd,bknd->bnqk", q, k, precision=_P) / np.sqrt(hd)
+        logits = jnp.einsum("bqnd,bknd->bnqk", q, k,
+                            precision=prec) / np.sqrt(hd)
         w = jax.nn.softmax((logits + bias).astype(jnp.float32), -1).astype(x.dtype)
-        att = jnp.einsum("bnqk,bknd->bqnd", w, vr, precision=_P)
+        att = jnp.einsum("bnqk,bknd->bqnd", w, vr, precision=prec)
         x = x + _lora_dense(lp["o_proj"], att.reshape(B, S, H), cfg.lora_alpha)
         xn = _rms(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
         x = x + _mlp(lp, xn, cfg.lora_alpha)
@@ -233,7 +262,7 @@ def prefill(cfg, params, inputs_embeds, attention_mask, cache_len: int,
     # logits at the LAST VALID position of each sample
     last = jnp.take_along_axis(x, (n_valid - 1)[:, None, None], axis=1)[:, 0]
     logits = w8_einsum("bd,dv->bv", last, params["lm_head"]["kernel"],
-                       precision=_P)
+                       precision=prec).astype(jnp.float32)
 
     pad = cache_len - S
     padkv = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
@@ -253,6 +282,7 @@ def _step(cfg, params, tok, pos, slot, k_cache, v_cache, slot_mask):
     nh, nkv = cfg.num_heads, cfg.num_kv_heads
     hd = H // nh
     x = params["embed_tokens"]["embedding"][tok]
+    prec = _prec_for(x)
     for i in range(cfg.num_layers):
         lp = params[f"layer_{i}"]
         xn = _rms(lp["input_layernorm"], x, cfg.rms_norm_eps)
@@ -286,31 +316,31 @@ def _step(cfg, params, tok, pos, slot, k_cache, v_cache, slot_mask):
             g = nh // nkv
             qg = q.reshape(B, nkv, g, hd)
             logits = jnp.einsum("bkgd,blkd->bkgl", qg, kk,
-                                precision=_P) / np.sqrt(hd)
+                                precision=prec) / np.sqrt(hd)
             if quant:   # fold per-token k scales into the logits
                 logits = logits * ks_l.transpose(0, 2, 1)[:, :, None, :]
             logits = jnp.where(slot_mask[:, None, None, :], logits, -1e30)
             w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
             if quant:   # fold per-token v scales into the weights
                 w = w * vs_l.transpose(0, 2, 1)[:, :, None, :].astype(w.dtype)
-            att = jnp.einsum("bkgl,blkd->bkgd", w, vv, precision=_P)
+            att = jnp.einsum("bkgl,blkd->bkgd", w, vv, precision=prec)
             att = att.reshape(B, nh, hd)
         else:
             logits = jnp.einsum("bnd,blnd->bnl", q, kk,
-                                precision=_P) / np.sqrt(hd)
+                                precision=prec) / np.sqrt(hd)
             if quant:
                 logits = logits * ks_l.transpose(0, 2, 1)
             logits = jnp.where(slot_mask[:, None, :], logits, -1e30)
             w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
             if quant:
                 w = w * vs_l.transpose(0, 2, 1).astype(w.dtype)
-            att = jnp.einsum("bnl,blnd->bnd", w, vv, precision=_P)
+            att = jnp.einsum("bnl,blnd->bnd", w, vv, precision=prec)
         x = x + _lora_dense(lp["o_proj"], att.reshape(B, H), cfg.lora_alpha)
         xn = _rms(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
         x = x + _mlp(lp, xn, cfg.lora_alpha)
     x = _rms(params["norm"], x, cfg.rms_norm_eps)
     logits = w8_einsum("bd,dv->bv", x, params["lm_head"]["kernel"],
-                       precision=_P)
+                       precision=prec).astype(jnp.float32)
     return logits, k_cache, v_cache
 
 

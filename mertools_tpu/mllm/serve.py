@@ -34,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.quant import w8_einsum
-from .generate import _lora_dense, _mlp, _qkv, _rms, _rotary, _sample
+from .generate import (_lora_dense, _mlp, _prec_for, _qkv, _rms, _rotary,
+                       _sample, cast_llm_params_bf16)
 
 _P = jax.lax.Precision.HIGHEST
 
@@ -93,6 +94,7 @@ def _step_inner(cfg, params, toks, positions, write_idx, kv_mask,
     rows = jnp.arange(B)
 
     x = params["embed_tokens"]["embedding"][toks]
+    prec = _prec_for(x)
     for i in range(cfg.num_layers):
         lp = params[f"layer_{i}"]
         xn = _rms(lp["input_layernorm"], x, cfg.rms_norm_eps)
@@ -108,23 +110,23 @@ def _step_inner(cfg, params, toks, positions, write_idx, kv_mask,
             g = nh // nkv
             qg = q.reshape(B, nkv, g, hd)
             logits = jnp.einsum("bkgd,blkd->bkgl", qg, kk,
-                                precision=_P) / np.sqrt(hd)
+                                precision=prec) / np.sqrt(hd)
             logits = jnp.where(kv_mask[:, None, None, :], logits, -1e30)
             w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
             att = jnp.einsum("bkgl,blkd->bkgd", w, vv,
-                             precision=_P).reshape(B, nh, hd)
+                             precision=prec).reshape(B, nh, hd)
         else:
             logits = jnp.einsum("bnd,blnd->bnl", q, kk,
-                                precision=_P) / np.sqrt(hd)
+                                precision=prec) / np.sqrt(hd)
             logits = jnp.where(kv_mask[:, None, :], logits, -1e30)
             w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
-            att = jnp.einsum("bnl,blnd->bnd", w, vv, precision=_P)
+            att = jnp.einsum("bnl,blnd->bnd", w, vv, precision=prec)
         x = x + _lora_dense(lp["o_proj"], att.reshape(B, H))
         xn = _rms(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
         x = x + _mlp(lp, xn)
     x = _rms(params["norm"], x, cfg.rms_norm_eps)
     logits = w8_einsum("bd,dv->bv", x, params["lm_head"]["kernel"],
-                       precision=_P)
+                       precision=prec).astype(jnp.float32)
     # inactive rows write garbage at their (non-advancing) write_idx — the
     # kv_mask bit there stays False, and admission resets the row's mask,
     # so the garbage is never attendable
@@ -212,8 +214,16 @@ class ContinuousBatcher:
                  prefill_buckets: tuple = (32, 64, 128, 256),
                  admit_batched: bool = True, temperature: float = 0.0,
                  top_p: float = 0.9, repetition_penalty: float = 1.0,
-                 seed: int = 0, chunk: int = 32):
+                 seed: int = 0, chunk: int = 32,
+                 compute_dtype: str | None = None):
         self.cfg = cfg
+        if compute_dtype == "bf16":
+            # production serving mode (the reference's vLLM-fp16 class):
+            # bf16 weights halve decode's HBM traffic, bf16 activations take
+            # the native MXU path for prefill; composes with w8-packed trees
+            params = cast_llm_params_bf16(params)
+        self._emb_dtype = (jnp.bfloat16 if compute_dtype == "bf16"
+                           else jnp.float32)
         self.params = jax.device_put(params)
         self.temperature = float(temperature)
         self.top_p = float(top_p)
@@ -238,7 +248,8 @@ class ContinuousBatcher:
             max_len - max_new_tokens,)
         nh = cfg.num_kv_heads
         hd = cfg.hidden_size // cfg.num_heads
-        self.k_cache = jnp.zeros((cfg.num_layers, n_slots, max_len, nh, hd))
+        self.k_cache = jnp.zeros((cfg.num_layers, n_slots, max_len, nh, hd),
+                                 self._emb_dtype)
         self.v_cache = jnp.zeros_like(self.k_cache)
         self.kv_mask = np.zeros((n_slots, max_len), bool)
         self.cur_len = np.zeros(n_slots, np.int32)      # logical positions
@@ -318,7 +329,8 @@ class ContinuousBatcher:
         for b in range(len(grp), B):
             m[b, 0] = 1  # dummy padding rows (discarded)
         logits, k, v, _ = _prefill_full(self.cfg, self.params,
-                                        jnp.asarray(e), jnp.asarray(m))
+                                        jnp.asarray(e, self._emb_dtype),
+                                        jnp.asarray(m))
         slots = np.asarray([p[0] for p in grp])
         # scatter the group's KV prefixes into their slots' cache regions
         self.k_cache = self.k_cache.at[:, slots, :bucket].set(k[:, : len(grp)])

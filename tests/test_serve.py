@@ -101,6 +101,47 @@ def test_engine_w8_packed_params(engine_llm, rng):
         assert out[rid] == ref, (rid, out[rid], ref)
 
 
+def test_engine_bf16_mode(engine_llm, rng):
+    """compute_dtype='bf16' (production serving, the reference's vLLM-fp16
+    class): engine runs with bf16 params/caches on the DEFAULT-precision
+    path, deterministically, with prefill logits in the bf16 noise class of
+    the f32 path. Token-level equality with f32 is NOT asserted (different
+    compiled programs at bf16 precision may tie-break differently)."""
+    from mertools_tpu.mllm.generate import prefill
+
+    cfg, params = engine_llm
+    eos = 88
+    prompts = [rng.normal(size=(n, 32)).astype(np.float32) * 0.1
+               for n in (5, 11, 3)]
+
+    def run():
+        eng = ContinuousBatcher(cfg, params, n_slots=2, max_len=64,
+                                eos_token_id=eos, max_new_tokens=8,
+                                prefill_buckets=(8, 16, 32),
+                                compute_dtype="bf16")
+        assert eng.k_cache.dtype == jnp.bfloat16
+        rids = [eng.submit(p) for p in prompts]
+        out = eng.run()
+        return [out[r] for r in rids]
+
+    a, b = run(), run()
+    assert a == b                       # deterministic
+    for toks in a:
+        assert 0 < len(toks) <= 8
+        assert all(0 <= t < cfg.vocab_size for t in toks)
+
+    # prefill logits: bf16 class vs f32-HIGHEST
+    from mertools_tpu.mllm.generate import cast_llm_params_bf16
+
+    e = jnp.asarray(prompts[0][None])
+    m = jnp.ones((1, 5), jnp.int32)
+    lf, *_ = prefill(cfg, params, e, m, 16)
+    lb, *_ = prefill(cfg, cast_llm_params_bf16(params), e, m, 16)
+    assert lb.dtype == jnp.float32      # sampling logits stay f32
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(lf),
+                               rtol=0.1, atol=0.05)
+
+
 def test_engine_sampling_reproducible(engine_llm, rng):
     """temperature>0: on-device top-p sampling + repetition penalty in the
     engine (reference vLLM SamplingParams); same seed -> same tokens,
