@@ -69,6 +69,9 @@ def main(argv=None):
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--max_video_frames", type=int, default=64)
     p.add_argument("--max_audio_frames", type=int, default=64)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 LLM decode (the reference's fp16-autocast "
+                        "class): bf16 LLM weights on the native MXU path")
     p.add_argument("--kv_int8", action="store_true",
                    help="int8 KV cache for generation (half the cache "
                         "memory/bandwidth; ~1e-2 logit class)")
@@ -89,6 +92,15 @@ def main(argv=None):
                                restore_model)
 
     model, params = restore_model(args.ckpt)
+    if args.bf16:
+        # decode-path precision is dtype-driven (mllm/generate._prec_for):
+        # casting the LLM subtree switches generation to the bf16 MXU path
+        # while the encoder/Q-Former splice stays at its own precision
+        import jax
+
+        from ..mllm.generate import cast_llm_params_bf16
+        params = dict(params)
+        params["llm"] = jax.jit(cast_llm_params_bf16)(params["llm"])
     tok = AutoTokenizer.from_pretrained(args.tokenizer)
 
     if args.run_dir:

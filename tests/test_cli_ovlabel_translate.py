@@ -171,6 +171,18 @@ def test_inference_mllm_cli_end_to_end(tiny_hf_llm, tmp_path):
     out2 = np.load(save_path, allow_pickle=True)["name2reason"].item()
     assert out2 == out
 
+    # --bf16 decode mode (the reference's fp16-autocast class): the bf16
+    # LLM subtree flows through the splice (cast at the update site) and
+    # the dtype-driven decode path; outputs stay strings
+    save_bf = tmp_path / "name2reason_bf16.npz"
+    main([f"--ckpt={ckpt}", f"--tokenizer={tiny_hf_llm}",
+          f"--video_feat_dir={vdir}", f"--audio_feat_dir={adir}",
+          f"--save_path={save_bf}", "--batch=2", "--max_new_tokens=3",
+          "--bf16"])
+    outb = np.load(save_bf, allow_pickle=True)["name2reason"].item()
+    assert sorted(outb) == names
+    assert all(isinstance(v, str) for v in outb.values())
+
 
 def test_main_dpo_judge_cli_rounds(tiny_hf_llm, tmp_path):
     """main_dpo judge end-to-end with --rounds/--temperature: per-round
