@@ -57,6 +57,7 @@ def batch_generate_texts(cfg, params, emb_table, ids_by_key: dict, tok, *,
                          temperature: float = 0.0, top_p: float = 0.9,
                          top_k: int = 0, repetition_penalty: float = 1.0,
                          kv_int8: bool = False, seed: int = 0,
+                         shared_prefix: bool = True, min_prefix: int = 16,
                          progress=None) -> dict:
     """Length-sorted, bucket-padded batched decoding of many prompts.
 
@@ -65,16 +66,48 @@ def batch_generate_texts(cfg, params, emb_table, ids_by_key: dict, tok, *,
     waste), round the padded length up to a 64-token bucket and pad ragged
     final batches with dummy rows (one compile per (batch, bucket) class —
     unbucketed, every distinct batch max-length costs a fresh XLA compile).
-    Returns {key: decoded text} with EOS stripped.
+
+    ``shared_prefix``: the longest common token prefix across ALL prompts
+    (these CLIs prepend one few-shot template to every clip) is prefilled
+    ONCE and reused via the KV prefix cache (vLLM prefix-caching
+    analogue) when it is at least ``min_prefix`` tokens; results equal
+    the uncached path exactly. Returns {key: decoded text}, EOS stripped.
     """
     import jax
     import jax.numpy as jnp
 
     order = sorted(ids_by_key, key=lambda k: len(ids_by_key[k]))
+
+    P = 0
+    prefix = pre_ids_arr = None
+    if shared_prefix and len(order) > 1:
+        first = list(ids_by_key[order[0]])
+        P = len(first)
+        for k in order[1:]:
+            ids = ids_by_key[k]
+            m = min(P, len(ids))
+            j = 0
+            while j < m and ids[j] == first[j]:
+                j += 1
+            P = j
+            if P < min_prefix:
+                break
+        # every prompt needs >= 1 suffix token (the last-logit position)
+        P = min(P, min(len(ids_by_key[k]) for k in order) - 1)
+        if P >= min_prefix:
+            pre_ids = first[:P]
+            prefix = prefill_prefix(cfg, params,
+                                    jnp.asarray(emb_table[pre_ids]))
+            pre_ids_arr = jnp.asarray(np.asarray(pre_ids, np.int64))
+            if progress:
+                progress(f"  shared prefix: {P} tokens prefilled once")
+        else:
+            P = 0
+
     out = {}
     for i in range(0, len(order), batch):
         group = order[i: i + batch]
-        ids_list = [ids_by_key[k] for k in group]
+        ids_list = [ids_by_key[k][P:] for k in group]
         S = bucket_len(max(len(x) for x in ids_list))
         B = batch
         embeds = np.zeros((B, S, cfg.hidden_size), np.float32)
@@ -94,6 +127,9 @@ def batch_generate_texts(cfg, params, emb_table, ids_by_key: dict, tok, *,
             eos_token_id=int(tok.eos_token_id), kv_int8=kv_int8,
             prng_key=jax.random.PRNGKey(seed * 100003 + i),
             prompt_token_ids=(jnp.asarray(pids)
+                              if repetition_penalty != 1.0 else None),
+            prefix=prefix,
+            prefix_token_ids=(pre_ids_arr
                               if repetition_penalty != 1.0 else None)))
         for b, k in enumerate(group):
             toks = tokens[b]
@@ -208,7 +244,7 @@ def _mlp(lp, x, alpha=16.0):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "cache_len", "kv_int8"))
 def prefill(cfg, params, inputs_embeds, attention_mask, cache_len: int,
-            kv_int8: bool = False, positions=None):
+            kv_int8: bool = False, positions=None, prefix=None):
     """One forward over the (right-padded) prompt, capturing KV caches.
 
     Returns (last_logits (B, V), k_cache, v_cache (layers, B, L, nkv, hd),
@@ -216,18 +252,35 @@ def prefill(cfg, params, inputs_embeds, attention_mask, cache_len: int,
     tuples (per-token-per-head quantization; decode reads half the bytes).
     ``positions`` overrides the cumsum default — (B, S, 3) for M-RoPE
     models (cfg.mrope_section).
+
+    ``prefix``: ``(k_pre, v_pre)`` of shape (layers, P, nkv, hd) from
+    :func:`prefill_prefix` — the SHARED prompt prefix (the OV/translate/
+    judge few-shot template every prompt starts with), computed ONCE
+    instead of once per row per batch. The forward runs only the suffix
+    rows against [prefix; suffix] keys; the returned caches hold the
+    prefix at [0, P), so decode works unchanged. Suffix attention reads
+    the same key set at the same positions as a full prefill, so results
+    are EXACTLY the full-prompt prefill's (tested bit-equal at HIGHEST).
     """
     B, S, H = inputs_embeds.shape
     nh, nkv = cfg.num_heads, cfg.num_kv_heads
     hd = H // nh
     mask = attention_mask.astype(jnp.int32)
+    P = 0
+    if prefix is not None:
+        assert positions is None and cfg.mrope_section is None, \
+            "shared-prefix prefill supports standard-RoPE text prompts only"
+        P = prefix[0].shape[1]
     if positions is None:
-        positions = jnp.clip(jnp.cumsum(mask, axis=1) - 1, 0, None)
-    n_valid = jnp.sum(mask, axis=1)
+        positions = jnp.clip(jnp.cumsum(mask, axis=1) - 1, 0, None) + P
+    n_suffix = jnp.sum(mask, axis=1)
 
     causal = (jnp.arange(S)[:, None] >= jnp.arange(S)[None, :])
     bias = jnp.where(causal[None, None] & (mask[:, None, None, :] > 0),
                      0.0, -1e30)
+    if P:
+        # every suffix query attends the whole prefix (bias 0 columns)
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, 0), (P, 0)))
 
     # production bf16 params (cast_llm_params_bf16): run the whole prompt
     # forward in bf16 on the native MXU path (the reference's fp16 class)
@@ -245,11 +298,18 @@ def prefill(cfg, params, inputs_embeds, attention_mask, cache_len: int,
         k = _rotary(k, positions, cfg.rope_theta, cfg.mrope_section)
         ks.append(k)
         vs.append(v)
+        if P:
+            bc = lambda t: jnp.broadcast_to(
+                t[i][None].astype(x.dtype), (B, P, nkv, hd))
+            k = jnp.concatenate([bc(prefix[0]), k], axis=1)
+            vfull = jnp.concatenate([bc(prefix[1]), v], axis=1)
+        else:
+            vfull = v
         if nkv != nh:
             k = jnp.repeat(k, nh // nkv, axis=2)
-            vr = jnp.repeat(v, nh // nkv, axis=2)
+            vr = jnp.repeat(vfull, nh // nkv, axis=2)
         else:
-            vr = v
+            vr = vfull
         logits = jnp.einsum("bqnd,bknd->bnqk", q, k,
                             precision=prec) / np.sqrt(hd)
         w = jax.nn.softmax((logits + bias).astype(jnp.float32), -1).astype(x.dtype)
@@ -260,18 +320,36 @@ def prefill(cfg, params, inputs_embeds, attention_mask, cache_len: int,
 
     x = _rms(params["norm"], x, cfg.rms_norm_eps)
     # logits at the LAST VALID position of each sample
-    last = jnp.take_along_axis(x, (n_valid - 1)[:, None, None], axis=1)[:, 0]
+    last = jnp.take_along_axis(x, (n_suffix - 1)[:, None, None], axis=1)[:, 0]
     logits = w8_einsum("bd,dv->bv", last, params["lm_head"]["kernel"],
                        precision=prec).astype(jnp.float32)
 
-    pad = cache_len - S
+    pad = cache_len - S - P
     padkv = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
-    k_cache, v_cache = jnp.stack(ks), jnp.stack(vs)
+    k_cache, v_cache = jnp.stack(ks), jnp.stack(vs)   # (layers, B, S, ...)
+    if P:
+        bcl = lambda t: jnp.broadcast_to(
+            t[:, None].astype(x.dtype), (cfg.num_layers, B, P, nkv, hd))
+        k_cache = jnp.concatenate([bcl(prefix[0]), k_cache], axis=2)
+        v_cache = jnp.concatenate([bcl(prefix[1]), v_cache], axis=2)
+    n_valid = P + n_suffix
     if kv_int8:
         kq, ksc = _quant_kv(k_cache)
         vq, vsc = _quant_kv(v_cache)
         return logits, (padkv(kq), padkv(ksc)), (padkv(vq), padkv(vsc)), n_valid
     return logits, padkv(k_cache), padkv(v_cache), n_valid
+
+
+def prefill_prefix(cfg, params, prefix_embeds) -> tuple:
+    """Precompute the KV of a SHARED prompt prefix once (the vLLM
+    prefix-caching analogue): prefix_embeds (P, H) -> (k_pre, v_pre) of
+    shape (layers, P, nkv, hd), consumed by ``prefill(prefix=...)`` /
+    ``generate(prefix=...)``. The prefix must be identical across every
+    prompt in the batch (tokens AND positions 0..P-1)."""
+    P = prefix_embeds.shape[0]
+    _, k, v, _ = prefill(cfg, params, jnp.asarray(prefix_embeds)[None],
+                         jnp.ones((1, P), jnp.int32), P)
+    return k[:, 0], v[:, 0]
 
 
 def _step(cfg, params, tok, pos, slot, k_cache, v_cache, slot_mask):
@@ -384,7 +462,8 @@ def generate(cfg, params, inputs_embeds, attention_mask, *,
              top_p: float = 0.9, top_k: int = 0, eos_token_id: int = 2,
              prng_key=None,
              repetition_penalty: float = 1.0, kv_int8: bool = False,
-             prompt_token_ids=None, positions=None):
+             prompt_token_ids=None, positions=None, prefix=None,
+             prefix_token_ids=None):
     """Batched generation from (possibly AV-spliced) prompt embeddings.
 
     inputs_embeds (B, S, H) right-padded, attention_mask (B, S).
@@ -395,13 +474,19 @@ def generate(cfg, params, inputs_embeds, attention_mask, *,
     prompt tokens (vLLM/HF semantics penalize prompt + output); without
     them only generated tokens are penalized (AV-spliced prompts have no
     token ids for the spliced positions).
+    ``prefix``: shared-prompt-prefix KV from :func:`prefill_prefix` —
+    ``inputs_embeds`` then hold only the per-prompt SUFFIXES.
+    ``prefix_token_ids`` (P,) seeds the repetition penalty with the prefix
+    tokens when set.
     """
     B, S, _ = inputs_embeds.shape
-    L = S + max_new_tokens
+    P = prefix[0].shape[1] if prefix is not None else 0
+    L = P + S + max_new_tokens
     logits0, k_cache, v_cache, n_valid = prefill(cfg, params, inputs_embeds,
                                                  attention_mask, L,
                                                  kv_int8=kv_int8,
-                                                 positions=positions)
+                                                 positions=positions,
+                                                 prefix=prefix)
     if positions is not None and cfg.mrope_section is not None:
         # M-RoPE decode: every generated token advances all three position
         # components from the prompt's max valid position (HF rope_deltas
@@ -412,8 +497,11 @@ def generate(cfg, params, inputs_embeds, attention_mask, *,
     else:
         mk_pos = lambda t: n_valid + t
     key = prng_key if prng_key is not None else jax.random.PRNGKey(0)
-    slot_mask0 = jnp.pad(attention_mask.astype(bool),
-                         ((0, 0), (0, max_new_tokens)))
+    base_mask = attention_mask.astype(bool)
+    if P:   # the prefix slots are valid for every row
+        base_mask = jnp.concatenate(
+            [jnp.ones((B, P), bool), base_mask], axis=1)
+    slot_mask0 = jnp.pad(base_mask, ((0, 0), (0, max_new_tokens)))
 
     B_ = inputs_embeds.shape[0]
     seen0 = jnp.zeros((B_, cfg.vocab_size), jnp.int32)
@@ -421,6 +509,8 @@ def generate(cfg, params, inputs_embeds, attention_mask, *,
         rows = jnp.arange(B_)[:, None]
         seen0 = seen0.at[rows, prompt_token_ids].add(
             attention_mask.astype(jnp.int32))
+    if prefix_token_ids is not None and repetition_penalty != 1.0:
+        seen0 = seen0.at[:, prefix_token_ids].add(1)
 
     k0, key = jax.random.split(key)
     first = _sample(logits0, k0, temperature, top_p, seen0,
@@ -430,7 +520,7 @@ def generate(cfg, params, inputs_embeds, attention_mask, *,
 
     def step(carry, t):
         tok, kc, vc, done, key, slot_mask, seen = carry
-        slot = S + t
+        slot = P + S + t
         slot_mask = slot_mask.at[:, slot].set(True)
         pos = mk_pos(t)
         logits, kc, vc = _step(cfg, params, tok, pos, slot, kc, vc, slot_mask)

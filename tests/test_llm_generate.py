@@ -194,3 +194,88 @@ def test_bucket_len():
     assert bucket_len(300, cap=256) == 256
     # cap below the floor still wins (max_len < mult prompts)
     assert bucket_len(3, cap=10) == 10
+
+
+def test_prefix_cache_equals_full_prefill(tiny_llm, rng):
+    """Shared-prefix KV caching (prefill_prefix + generate(prefix=...)):
+    prompts sharing a prefix must generate EXACTLY what the full-prompt
+    path generates (HIGHEST f32: suffix queries attend the same keys at
+    the same positions)."""
+    from mertools_tpu.mllm.generate import prefill_prefix
+
+    cfg, model, params = tiny_llm
+    eos = 88
+    table = np.asarray(params["embed_tokens"]["embedding"])
+    pre = rng.integers(3, 88, size=20)
+    sufs = [rng.integers(3, 88, size=n) for n in (4, 9, 1)]
+
+    # full path (ragged right-padded batch)
+    S = 20 + 9
+    emb = np.zeros((3, S, cfg.hidden_size), np.float32)
+    mask = np.zeros((3, S), np.int32)
+    for b, suf in enumerate(sufs):
+        ids = np.concatenate([pre, suf])
+        emb[b, : len(ids)] = table[ids]
+        mask[b, : len(ids)] = 1
+    want = np.asarray(generate(cfg, params, jnp.asarray(emb),
+                               jnp.asarray(mask), max_new_tokens=8,
+                               eos_token_id=eos))
+
+    # prefix-cached path (suffixes only)
+    prefix = prefill_prefix(cfg, params, jnp.asarray(table[pre]))
+    Ss = 9
+    semb = np.zeros((3, Ss, cfg.hidden_size), np.float32)
+    smask = np.zeros((3, Ss), np.int32)
+    for b, suf in enumerate(sufs):
+        semb[b, : len(suf)] = table[suf]
+        smask[b, : len(suf)] = 1
+    got = np.asarray(generate(cfg, params, jnp.asarray(semb),
+                              jnp.asarray(smask), max_new_tokens=8,
+                              eos_token_id=eos, prefix=prefix))
+    np.testing.assert_array_equal(got, want)
+
+    # kv_int8 composes (the full cache incl. prefix quantizes): same class
+    got8 = np.asarray(generate(cfg, params, jnp.asarray(semb),
+                               jnp.asarray(smask), max_new_tokens=8,
+                               eos_token_id=eos, prefix=prefix,
+                               kv_int8=True))
+    assert got8.shape == want.shape
+
+
+def test_batch_generate_texts_shared_prefix_exact(tiny_llm, rng):
+    """batch_generate_texts auto-detects the common prompt prefix; outputs
+    must equal the uncached path exactly (greedy AND with the
+    repetition-penalty prompt seeding)."""
+    from mertools_tpu.mllm.generate import batch_generate_texts
+
+    cfg, model, params = tiny_llm
+
+    class _Tok:
+        eos_token_id = 88
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(str(int(i)) for i in ids)
+
+    table = np.asarray(params["embed_tokens"]["embedding"])
+    pre = rng.integers(3, 88, size=24).tolist()
+    ids_by_key = {f"k{i}": pre + rng.integers(3, 88, size=n).tolist()
+                  for i, n in enumerate((3, 7, 5, 2, 9))}
+    for rp in (1.0, 1.3):
+        base = batch_generate_texts(cfg, params, table, ids_by_key, _Tok(),
+                                    batch=2, max_new_tokens=6,
+                                    repetition_penalty=rp,
+                                    shared_prefix=False)
+        got = batch_generate_texts(cfg, params, table, ids_by_key, _Tok(),
+                                   batch=2, max_new_tokens=6,
+                                   repetition_penalty=rp,
+                                   shared_prefix=True, min_prefix=8)
+        assert got == base, (rp, got, base)
+
+    # prompts with NO common prefix: the path quietly disables itself
+    ids2 = {f"q{i}": rng.integers(3, 88, size=6 + i).tolist()
+            for i in range(3)}
+    a = batch_generate_texts(cfg, params, table, ids2, _Tok(), batch=2,
+                             max_new_tokens=4, shared_prefix=True)
+    b = batch_generate_texts(cfg, params, table, ids2, _Tok(), batch=2,
+                             max_new_tokens=4, shared_prefix=False)
+    assert a == b
