@@ -91,6 +91,9 @@ class VisionExtractor:
         counts: dict[str, int] = {}
         for name, arr in faces.items():
             idx = resample_frames_uniform(len(arr), self.max_frames)
+            if len(idx) == 0:
+                raise ValueError(f"clip {name!r} has no frames to pool "
+                                 "(empty face array)")
             counts[name] = len(idx)
             for fi, ai in enumerate(idx):
                 jobs.append((name, fi, arr[ai]))

@@ -118,6 +118,9 @@ class FrameStreamExtractor:
         for name, arr in faces.items():
             idx = (np.arange(len(arr)) if self.max_frames is None
                    else resample_frames_uniform(len(arr), self.max_frames))
+            if len(idx) == 0:
+                raise ValueError(f"clip {name!r} has no frames to pool "
+                                 "(empty face array)")
             counts[name] = len(idx)
             for fi, ai in enumerate(idx):
                 jobs.append((name, fi, arr[ai]))

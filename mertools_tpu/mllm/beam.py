@@ -283,11 +283,18 @@ def beam_generate(cfg, params, inputs_embeds, attention_mask, *,
     """
     B, S, _ = inputs_embeds.shape
     N = num_beams
-    emb = jnp.repeat(jnp.asarray(inputs_embeds), N, axis=0)
-    msk = jnp.repeat(jnp.asarray(attention_mask), N, axis=0)
     L = S + max_new_tokens
+    # prefill ONCE per prompt; an element's beams share the prompt, so the
+    # caches/logits replicate on device (N x cheaper than N prefills)
     logits, k_cache, v_cache, n_valid = prefill(
-        cfg, params, emb, msk, L, kv_int8=kv_int8)
+        cfg, params, jnp.asarray(inputs_embeds), jnp.asarray(attention_mask),
+        L, kv_int8=kv_int8)
+    rep_b = lambda c: jnp.repeat(c, N, axis=1)     # (layers, B, L, ...)
+    k_cache = jax.tree_util.tree_map(rep_b, k_cache)
+    v_cache = jax.tree_util.tree_map(rep_b, v_cache)
+    logits = jnp.repeat(logits, N, axis=0)
+    n_valid = jnp.repeat(n_valid, N, axis=0)
+    msk = jnp.repeat(jnp.asarray(attention_mask), N, axis=0)
     base_mask = jnp.pad(msk.astype(bool), ((0, 0), (0, max_new_tokens)))
     eng = HFBeam(B, N, cfg.vocab_size, max_new_tokens, eos_token_id,
                  length_penalty=length_penalty, early_stopping=early_stopping,

@@ -236,6 +236,10 @@ class ContinuousBatcher:
         # tokens decoded per jitted chunk (host syncs once per chunk); slots
         # that finish mid-chunk idle until the chunk ends, so workloads with
         # very short replies may prefer a smaller chunk
+        assert max_new_tokens >= 1, \
+            "ContinuousBatcher needs max_new_tokens >= 1 (admission always " \
+            "samples the first token; generate(max_new_tokens=0) returns " \
+            "an empty matrix instead)"
         self.chunk = max(1, int(chunk))
         self._key = jax.random.PRNGKey(seed)
         self.n_slots = n_slots

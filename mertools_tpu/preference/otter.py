@@ -392,15 +392,19 @@ class Otter:
         for i, x in enumerate(ids_list):
             ids[i, : len(x)] = x
             mask[i, : len(x)] = 1
-        ids_r = np.repeat(ids, N, axis=0)
-        mask_r = np.repeat(mask, N, axis=0)
         media_kvs = self.media_kvs(pixels)
+        cache_len = S + max_new_tokens
+        # prefill ONCE per prompt (beams share it), replicate for the steps
+        logits, k_cache, v_cache, n_valid = self._prefill(
+            self.params, jnp.asarray(ids), jnp.asarray(mask), media_kvs,
+            cache_len=cache_len)
+        k_cache = jnp.repeat(k_cache, N, axis=1)
+        v_cache = jnp.repeat(v_cache, N, axis=1)
+        logits = jnp.repeat(logits, N, axis=0)
+        n_valid = jnp.repeat(n_valid, N, axis=0)
+        mask_r = np.repeat(mask, N, axis=0)
         media_kvs = jax.tree_util.tree_map(
             lambda t: jnp.repeat(t, N, axis=0), media_kvs)
-        cache_len = S + max_new_tokens
-        logits, k_cache, v_cache, n_valid = self._prefill(
-            self.params, jnp.asarray(ids_r), jnp.asarray(mask_r), media_kvs,
-            cache_len=cache_len)
         eos = tokenizer.eos_token_id
 
         def process_fn(seq, lp):
