@@ -156,18 +156,30 @@ def main(argv=None):
     print(f"extracting OV labels for {len(names)} clips")
 
     if args.engine == "continuous":
+        from ..mllm.generate import (common_token_prefix, prefill_prefix)
         from ..mllm.serve import ContinuousBatcher
 
+        ids_by_name = {n: encode_prompt(tok, name2reason[n]) for n in names}
+        # the expert few-shot template is shared by every prompt: prefill
+        # it once and serve suffixes (vLLM prefix-caching analogue)
+        P = common_token_prefix(list(ids_by_name.values()))
+        prefix = pre_ids = None
+        if P:
+            pre_ids = list(ids_by_name[names[0]])[:P]
+            prefix = prefill_prefix(cfg, params,
+                                    emb_table[pre_ids].astype(np.float32))
+            print(f"shared prefix: {P} tokens prefilled once")
         eng = ContinuousBatcher(cfg, params, n_slots=args.batch,
                                 max_len=1024, eos_token_id=int(tok.eos_token_id),
                                 max_new_tokens=args.max_new_tokens,
                                 temperature=args.temperature,
                                 top_p=args.top_p,
                                 repetition_penalty=args.repetition_penalty,
-                                compute_dtype="bf16" if args.bf16 else None)
+                                compute_dtype="bf16" if args.bf16 else None,
+                                prefix=prefix, prefix_token_ids=pre_ids)
         rids = []
         for n in names:
-            ids = encode_prompt(tok, name2reason[n])
+            ids = ids_by_name[n][P:]
             rids.append(eng.submit(emb_table[ids], prompt_ids=ids))
         results = eng.run()
         responses = [postprocess_openset(

@@ -81,28 +81,15 @@ def batch_generate_texts(cfg, params, emb_table, ids_by_key: dict, tok, *,
     P = 0
     prefix = pre_ids_arr = None
     if shared_prefix and len(order) > 1:
-        first = list(ids_by_key[order[0]])
-        P = len(first)
-        for k in order[1:]:
-            ids = ids_by_key[k]
-            m = min(P, len(ids))
-            j = 0
-            while j < m and ids[j] == first[j]:
-                j += 1
-            P = j
-            if P < min_prefix:
-                break
-        # every prompt needs >= 1 suffix token (the last-logit position)
-        P = min(P, min(len(ids_by_key[k]) for k in order) - 1)
-        if P >= min_prefix:
-            pre_ids = first[:P]
+        P = common_token_prefix([ids_by_key[k] for k in order],
+                                min_prefix=min_prefix)
+        if P:
+            pre_ids = list(ids_by_key[order[0]])[:P]
             prefix = prefill_prefix(cfg, params,
                                     jnp.asarray(emb_table[pre_ids]))
             pre_ids_arr = jnp.asarray(np.asarray(pre_ids, np.int64))
             if progress:
                 progress(f"  shared prefix: {P} tokens prefilled once")
-        else:
-            P = 0
 
     out = {}
     for i in range(0, len(order), batch):
@@ -139,6 +126,26 @@ def batch_generate_texts(cfg, params, emb_table, ids_by_key: dict, tok, *,
         if progress:
             progress(f"  {len(out)}/{len(ids_by_key)}")
     return out
+
+
+def common_token_prefix(ids_lists, min_prefix: int = 16) -> int:
+    """Longest common token prefix across prompts, capped so every prompt
+    keeps at least one suffix token (the last-logit position); 0 when the
+    result is shorter than ``min_prefix`` or there is only one prompt."""
+    if len(ids_lists) < 2:
+        return 0
+    first = list(ids_lists[0])
+    P = len(first)
+    for ids in ids_lists[1:]:
+        m = min(P, len(ids))
+        j = 0
+        while j < m and ids[j] == first[j]:
+            j += 1
+        P = j
+        if P < min_prefix:
+            return 0
+    P = min(P, min(len(ids) for ids in ids_lists) - 1)
+    return P if P >= min_prefix else 0
 
 
 def bucket_len(n: int, mult: int = 64, cap: int | None = None) -> int:

@@ -51,10 +51,11 @@ def _sample_plain(logits, key, temperature: float, top_p: float):
                                              "repetition_penalty"))
 def _admit_sample(logits, key, seen, slots, prompt_ids, prompt_counts_mask,
                   temperature: float, top_p: float,
-                  repetition_penalty: float):
+                  repetition_penalty: float, prefix_ids=None):
     """First-token sampling for freshly admitted slots: reset their
     seen-token rows, seed them with the PROMPT tokens (vLLM's
-    repetition_penalty covers prompt + output), sample, record.
+    repetition_penalty covers prompt + output; ``prefix_ids`` add the
+    shared-prefix tokens), sample, record.
 
     Padded dummy rows carry slot index == n_slots (out of bounds): their
     scatter writes drop, and their gathered seen rows clip harmlessly —
@@ -65,6 +66,11 @@ def _admit_sample(logits, key, seen, slots, prompt_ids, prompt_counts_mask,
     seen = seen.at[slots].set(0)                       # OOB rows drop
     counts = prompt_counts_mask * valid[:, None].astype(jnp.int32)
     seen = seen.at[slots[:, None], prompt_ids].add(counts)
+    if prefix_ids is not None:
+        B = slots.shape[0]
+        pre = jnp.broadcast_to(prefix_ids[None], (B, prefix_ids.shape[0]))
+        seen = seen.at[slots[:, None], pre].add(
+            valid[:, None].astype(jnp.int32))
     toks = _sample(logits, key, temperature, top_p, seen[safe],
                    repetition_penalty)
     seen = seen.at[slots, toks].add(1)
@@ -72,11 +78,13 @@ def _admit_sample(logits, key, seen, slots, prompt_ids, prompt_counts_mask,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _prefill_full(cfg, params, inputs_embeds, attention_mask):
+def _prefill_full(cfg, params, inputs_embeds, attention_mask, prefix=None):
     from .generate import prefill
 
     S = inputs_embeds.shape[1]
-    return prefill(cfg, params, inputs_embeds, attention_mask, S)
+    P = prefix[0].shape[1] if prefix is not None else 0
+    return prefill(cfg, params, inputs_embeds, attention_mask, P + S,
+                   prefix=prefix)
 
 
 def _step_inner(cfg, params, toks, positions, write_idx, kv_mask,
@@ -215,7 +223,8 @@ class ContinuousBatcher:
                  admit_batched: bool = True, temperature: float = 0.0,
                  top_p: float = 0.9, repetition_penalty: float = 1.0,
                  seed: int = 0, chunk: int = 32,
-                 compute_dtype: str | None = None):
+                 compute_dtype: str | None = None,
+                 prefix=None, prefix_token_ids=None):
         self.cfg = cfg
         if compute_dtype == "bf16":
             # production serving mode (the reference's vLLM-fp16 class):
@@ -247,14 +256,34 @@ class ContinuousBatcher:
         self.eos = eos_token_id
         self.max_new = max_new_tokens
         self.admit_batched = admit_batched
+        # shared-prompt-prefix KV (generate.prefill_prefix): occupies
+        # [0, P) of EVERY slot's cache permanently; prompts submit as
+        # suffixes (the vLLM prefix-caching analogue for the engine)
+        self.P = 0
+        self.prefix = self.prefix_ids = None
+        if prefix is not None:
+            kp = jnp.asarray(prefix[0], self._emb_dtype)
+            vp = jnp.asarray(prefix[1], self._emb_dtype)
+            self.prefix = (kp, vp)
+            self.P = kp.shape[1]
+            if prefix_token_ids is not None:
+                self.prefix_ids = jnp.asarray(
+                    np.asarray(prefix_token_ids, np.int64))
         self.buckets = tuple(b for b in prefill_buckets
-                             if b + max_new_tokens <= max_len) or (
-            max_len - max_new_tokens,)
+                             if self.P + b + max_new_tokens <= max_len) or (
+            max_len - max_new_tokens - self.P,)
+        assert self.buckets[-1] >= 1, \
+            "max_len too small for the prefix + max_new_tokens budget"
         nh = cfg.num_kv_heads
         hd = cfg.hidden_size // cfg.num_heads
         self.k_cache = jnp.zeros((cfg.num_layers, n_slots, max_len, nh, hd),
                                  self._emb_dtype)
         self.v_cache = jnp.zeros_like(self.k_cache)
+        if self.P:
+            self.k_cache = self.k_cache.at[:, :, : self.P].set(
+                self.prefix[0][:, None])
+            self.v_cache = self.v_cache.at[:, :, : self.P].set(
+                self.prefix[1][:, None])
         self.kv_mask = np.zeros((n_slots, max_len), bool)
         self.cur_len = np.zeros(n_slots, np.int32)      # logical positions
         self.write_at = np.zeros(n_slots, np.int32)     # physical next index
@@ -291,7 +320,7 @@ class ContinuousBatcher:
         pending = []  # (slot, rid, emb (S,H) truncated, ids|None, bucket)
         for slot in free[:take]:
             rid, emb, pids = self.queue.pop(0)
-            S = min(len(emb), self.max_len - self.max_new)
+            S = min(len(emb), self.max_len - self.max_new - self.P)
             pad = self._bucket(S)
             S = min(S, pad)  # prompts beyond the largest bucket truncate
             pending.append((slot, rid, emb[:S],
@@ -334,11 +363,15 @@ class ContinuousBatcher:
             m[b, 0] = 1  # dummy padding rows (discarded)
         logits, k, v, _ = _prefill_full(self.cfg, self.params,
                                         jnp.asarray(e, self._emb_dtype),
-                                        jnp.asarray(m))
+                                        jnp.asarray(m), prefix=self.prefix)
         slots = np.asarray([p[0] for p in grp])
-        # scatter the group's KV prefixes into their slots' cache regions
-        self.k_cache = self.k_cache.at[:, slots, :bucket].set(k[:, : len(grp)])
-        self.v_cache = self.v_cache.at[:, slots, :bucket].set(v[:, : len(grp)])
+        P = self.P
+        # scatter the group's suffix KV into their slots' cache regions
+        # (the shared prefix already sits at [0, P) of every slot)
+        self.k_cache = self.k_cache.at[:, slots, P: P + bucket].set(
+            k[:, : len(grp), P:])
+        self.v_cache = self.v_cache.at[:, slots, P: P + bucket].set(
+            v[:, : len(grp), P:])
         self._key, k1 = jax.random.split(self._key)
         if self.repetition_penalty != 1.0:
             # padded rows get slot index n_slots (out of bounds -> dropped)
@@ -347,16 +380,17 @@ class ContinuousBatcher:
             toks, self.seen = _admit_sample(
                 logits, k1, self.seen, jnp.asarray(slots_pad),
                 jnp.asarray(ids), jnp.asarray(cmask),
-                self.temperature, self.top_p, self.repetition_penalty)
+                self.temperature, self.top_p, self.repetition_penalty,
+                prefix_ids=self.prefix_ids)
         else:
             toks = _sample_plain(logits, k1, self.temperature, self.top_p)
         first = np.asarray(toks)[: len(grp)]
         for b, (slot, rid, emb, pids, _) in enumerate(grp):
             S = len(emb)
             self.kv_mask[slot] = False
-            self.kv_mask[slot, :S] = True
-            self.cur_len[slot] = S
-            self.write_at[slot] = bucket  # physical: prompt pad then gen
+            self.kv_mask[slot, : P + S] = True
+            self.cur_len[slot] = P + S
+            self.write_at[slot] = P + bucket  # physical: prompt pad then gen
             tok = int(first[b])
             self.next_tok[slot] = tok
             self.active[slot] = True

@@ -101,6 +101,47 @@ def test_engine_w8_packed_params(engine_llm, rng):
         assert out[rid] == ref, (rid, out[rid], ref)
 
 
+def test_engine_shared_prefix_equals_full(engine_llm, rng):
+    """Engine with a shared-prefix KV (prompts submitted as suffixes) must
+    produce byte-identical results to the same engine over the full
+    prompts — greedy AND with the repetition-penalty prompt seeding."""
+    from mertools_tpu.mllm.generate import prefill_prefix
+
+    cfg, params = engine_llm
+    eos = 88
+    table = np.asarray(params["embed_tokens"]["embedding"])
+    pre = rng.integers(3, 88, size=12)
+    sufs = [rng.integers(3, 88, size=n) for n in (4, 7, 2, 9)]
+    prefix = prefill_prefix(cfg, params, jnp.asarray(table[pre]))
+
+    for rp in (1.0, 1.4):
+        eng_full = ContinuousBatcher(cfg, params, n_slots=2, max_len=64,
+                                     eos_token_id=eos, max_new_tokens=8,
+                                     prefill_buckets=(8, 16, 32),
+                                     temperature=0.0,
+                                     repetition_penalty=rp)
+        rids = []
+        for suf in sufs:
+            ids = np.concatenate([pre, suf])
+            rids.append(eng_full.submit(
+                table[ids], prompt_ids=ids if rp != 1.0 else None))
+        want = eng_full.run()
+
+        eng = ContinuousBatcher(cfg, params, n_slots=2, max_len=64,
+                                eos_token_id=eos, max_new_tokens=8,
+                                prefill_buckets=(8, 16, 32),
+                                temperature=0.0, repetition_penalty=rp,
+                                prefix=prefix,
+                                prefix_token_ids=pre if rp != 1.0 else None)
+        rids2 = []
+        for suf in sufs:
+            rids2.append(eng.submit(
+                table[suf], prompt_ids=suf if rp != 1.0 else None))
+        got = eng.run()
+        for ra, rb in zip(rids, rids2):
+            assert got[rb] == want[ra], (rp, got[rb], want[ra])
+
+
 def test_engine_bf16_mode(engine_llm, rng):
     """compute_dtype='bf16' (production serving, the reference's vLLM-fp16
     class): engine runs with bf16 params/caches on the DEFAULT-precision
