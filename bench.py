@@ -617,13 +617,64 @@ def main():
             detail[name] = {"error": f"{type(e).__name__}: {e}"}
 
     detail["bench_wall_s"] = round(_elapsed(), 1)
+    # Full-detail record first (may be long); the driver's tail window only
+    # needs the compact FINAL line below, which is guaranteed < ~1 KB so it
+    # always parses (round-3 regression: one giant line outgrew the window,
+    # BENCH_r03.json ended up with parsed=null).
     print(json.dumps({
+        "record": "detail",
+        "metric": "hubert_large_extraction_clips_per_sec",
+        "value": round(ours, 2),
+        "detail": detail,
+    }))
+    print(compact_line(detail, ours, ref))
+
+
+def compact_line(detail: dict, ours: float, ref: float) -> str:
+    """One-line JSON summary guaranteed < 1 KB (driver scoreboard contract)."""
+    def _leg(name: str, keys: tuple) -> float | str | None:
+        leg = detail.get(name)
+        if not isinstance(leg, dict):
+            return None
+        if "error" in leg:
+            return "error"
+        if "skipped" in leg:
+            return "skipped"
+        for k in keys:
+            v = leg.get(k)
+            if isinstance(v, dict):
+                v = v.get("decode_tokens_per_sec")
+            if isinstance(v, (int, float)):
+                return round(float(v), 1)
+        return None
+
+    legs = {
+        "audio_clips_per_sec": _leg("audio", ("i16_bf16_clips_per_sec",)),
+        "audio_parity_clips_per_sec": _leg(
+            "audio", ("highest_parity_clips_per_sec",)),
+        "audio_seq_clips_per_sec": _leg(
+            "audio", ("sequential_clips_per_sec",)),
+        "vision_frames_per_sec": _leg(
+            "vision", ("clip_vit_l_frames_per_sec",)),
+        "text_texts_per_sec": _leg("text", ("bert_base_texts_per_sec",)),
+        "pipeline_clips_per_sec": _leg(
+            "pipeline", ("decode_crop_vit_clips_per_sec",)),
+        "mllm_train_tokens_per_sec": _leg("mllm_train", ("tokens_per_sec",)),
+        "serve_engine_tok_per_sec": _leg(
+            "serve", ("w8_bf16_1p1b", "bf16_1p1b", "f32_1p1b")),
+        "serve_scan_tok_per_sec": _leg(
+            "serve", ("scan_w8_bf16_1p1b", "scan_w8_1p1b")),
+    }
+    out = json.dumps({
         "metric": "hubert_large_extraction_clips_per_sec",
         "value": round(ours, 2),
         "unit": "clips/sec/chip",
         "vs_baseline": round(ours / ref, 2) if ref else 0.0,
-        "detail": detail,
-    }))
+        "legs": legs,
+        "bench_wall_s": detail.get("bench_wall_s", 0.0),
+    })
+    assert len(out) < 1024, f"compact bench line too long: {len(out)}"
+    return out
 
 
 if __name__ == "__main__":
