@@ -12,18 +12,17 @@ equivalent).
 label_csv columns: name, a1, a2[, preference]. ``--judge`` selects the
 model family (the reference's per-model ``utils/*.py`` wrappers):
 ``affectgpt`` (our trained MLLM over feature stores, batched on TPU),
-``qwen2audio`` (TPU-converted HF checkpoint over raw wavs,
-utils/qwen2audio.py), ``qwen25vl`` (TPU-converted HF checkpoint over raw
-videos, utils/qwen25vl.py), ``qwen25omni`` (thinker over raw audio/video
-with --input_type audio|video|audiovideo, utils/qwen25omni.py),
-``videollava`` (LLaVA-projector video class — Video-LLaVA/Video-ChatGPT/
-Chat-UniVi, MER2025_Track23/Video-LLaVA/main-video.py:22-121),
-``salmonn`` (window-level Q-Former audio-LLM over raw wavs,
-utils/salmonn.py + the vendored SALMONN/model.py),
-``gpt``/``gemini`` (API callers with the reference's retry semantics,
-utils/{gpt,gemini}.py). cot2/cot3 pipelines take a text-LLM judge via
-``--llm``/``--llm_family`` (utils/{qwen25,qwen3}.py protocols).
-Scoring reproduces the 2/3-class
+``qwen2audio``/``qwenaudio``/``salmonn`` (audio-LLMs over raw wavs),
+``qwen25vl``/``videollava``/``llavanextvideo``/``llamavid``/``videochat``/
+``videochat2``/``mplugowl``/``otter``/``pllava``/``vita``/``chatunivi``/
+``videochatgpt`` (video-LLMs over raw mp4s), ``qwen25omni`` (thinker with
+--input_type audio|video|audiovideo), ``gpt``/``gemini`` (API callers with
+the reference's retry semantics). cot2/cot3 pipelines take a text-LLM
+judge via ``--llm``/``--llm_family`` (utils/{qwen25,qwen3}.py protocols) —
+together all 20 of the reference's utils/*.py wrapper families are
+dispatchable. Decode defaults are PER JUDGE, matching each wrapper's
+published protocol (see JUDGE_DECODE_DEFAULTS); explicit
+--temperature/--max_new_tokens override. Scoring reproduces the 2/3-class
 WAF+ACC metrics (utils/common.py:67-107). Idempotent: existing save_npz is
 skipped (main_dpo_sample.py:19-20).
 """
@@ -35,6 +34,44 @@ import csv
 import os
 
 import numpy as np
+
+# Per-judge reference decode protocols (MER2026_Track3/utils/*.py call
+# sites), applied when --temperature/--max_new_tokens are not passed.
+# Judge-internal knobs (top_p/top_k/num_beams) are hardwired in each
+# caller per its wrapper. temperature 0.0 = the wrapper decodes greedily
+# (or with deterministic beams).
+JUDGE_DECODE_DEFAULTS: dict[str, dict] = {
+    "affectgpt": dict(temperature=0.0, max_new_tokens=64),
+    "qwen2audio": dict(temperature=0.0, max_new_tokens=512),       # :68
+    "qwen25vl": dict(temperature=0.0, max_new_tokens=512),         # :81
+    "qwen25omni": dict(temperature=0.0, max_new_tokens=512),       # :190
+    "videollava": dict(temperature=0.1, max_new_tokens=1024),      # :72-74
+    "llavanextvideo": dict(temperature=0.0, max_new_tokens=512),   # :57
+    "llamavid": dict(temperature=0.5, max_new_tokens=512),         # :129-132
+    "videochat": dict(temperature=1.0, max_new_tokens=1000),       # :54-64
+    "videochat2": dict(temperature=1.0, max_new_tokens=1000),      # :24-25
+    "mplugowl": dict(temperature=1.0, max_new_tokens=512),  # top_k5 :56-58
+    "otter": dict(temperature=0.0, max_new_tokens=512),     # beam3 :107-108
+    "pllava": dict(temperature=1.0, max_new_tokens=200),           # :66-77
+    "qwenaudio": dict(temperature=1.0, max_new_tokens=256),  # model.chat :40
+    "salmonn": dict(temperature=1.0, max_new_tokens=300),  # beam-sample :46
+    "vita": dict(temperature=0.0, max_new_tokens=1024),            # :221-227
+    "chatunivi": dict(temperature=0.2, max_new_tokens=1024),       # :123,159
+    "videochatgpt": dict(temperature=0.2, max_new_tokens=512),     # :34-35
+    "gpt": dict(temperature=0.0, max_new_tokens=512),
+    "gemini": dict(temperature=0.0, max_new_tokens=512),
+}
+
+
+def apply_judge_decode_defaults(args) -> None:
+    """Fill --temperature/--max_new_tokens (argparse default None) from the
+    judge's published protocol (VERDICT round-3 #9: ``main_dpo --judge X``
+    with no flags reproduces utils/X.py semantics)."""
+    d = JUDGE_DECODE_DEFAULTS.get(getattr(args, "judge", None), {})
+    if getattr(args, "temperature", None) is None:
+        args.temperature = d.get("temperature", 0.0)
+    if getattr(args, "max_new_tokens", None) is None:
+        args.max_new_tokens = d.get("max_new_tokens", 64)
 
 
 def _make_caller_factory(args):
@@ -92,9 +129,9 @@ def _make_caller_factory(args):
 
         assert args.ckpt and args.video_dir, "--judge videollava needs " \
             "--ckpt (HF checkpoint) and --video_dir (mp4s)"
-        # pass --temperature through (the reference protocol samples at
-        # do_sample=True, temperature=0.1 — main-video.py:106-108; pass
-        # --temperature 0.1 to reproduce it; default 0.0 stays greedy)
+        # reference protocol: do_sample=True, temperature=0.1
+        # (main-video.py:106-108) — the judge default; --temperature 0
+        # forces greedy
         caller = VideoLlavaCaller(args.ckpt, batch=args.batch,
                                   max_new_tokens=args.max_new_tokens,
                                   temperature=args.temperature,
@@ -139,8 +176,9 @@ def _make_caller_factory(args):
         assert args.ckpt and args.video_dir and args.bert, \
             "--judge llamavid needs --ckpt (LLaMA-VID checkpoint dir), " \
             "--bert (bert-base-uncased tokenizer) and --video_dir (mp4s)"
-        # reference protocol: do_sample temperature 0.5, top_p 0.7
-        # (utils/llamavid.py:126-132); --temperature 0 stays greedy
+        # reference protocol: do_sample temperature 0.5, top_p 0.7,
+        # max_new 512 (utils/llamavid.py:126-132) — the judge default;
+        # --temperature 0 forces greedy
         caller = LlamaVidCaller.from_checkpoint(
             args.ckpt, args.bert, batch=args.batch,
             max_new_tokens=args.max_new_tokens,
@@ -157,7 +195,8 @@ def _make_caller_factory(args):
             "--judge videochat2 needs --ckpt (stage3 pth), --vit_qformer " \
             "(umt_l16_qformer.pth), --vicuna, --bert, --video_dir"
         # reference protocol: do_sample temperature 1.0, top_p 0.9
-        # (conversation.py:60-75); --temperature 0 stays greedy
+        # (conversation.py:60-75) — the judge default; --temperature 0
+        # forces greedy
         caller = VideoChat2Caller.from_checkpoints(
             args.ckpt, args.vit_qformer, args.vicuna, args.bert,
             batch=args.batch, max_new_tokens=args.max_new_tokens,
@@ -292,9 +331,9 @@ def _make_caller_factory(args):
             "frozen towers via --whisper/--beats/--vicuna"
         assert args.whisper and args.beats and args.vicuna, \
             "--judge salmonn needs --whisper --beats --vicuna tower paths"
-        # reference protocol: num_beams=4 beam SAMPLING at temperature 1.0
-        # (SALMONN/model.py:118-132) — pass --temperature 1.0 to reproduce
-        # it; the CLI default 0.0 decodes deterministic num_beams=4
+        # reference protocol: num_beams=4 beam SAMPLING at temperature 1.0,
+        # max_length 300 (SALMONN/model.py:118-132, utils/salmonn.py:46) —
+        # the judge default; --temperature 0 decodes deterministic beams
         caller = SalmonnCaller.from_checkpoints(
             args.ckpt, args.whisper, args.beats, args.vicuna,
             batch=args.batch, max_new_tokens=args.max_new_tokens,
@@ -318,6 +357,36 @@ def _make_caller_factory(args):
             "video_path": os.path.join(args.video_dir, r["name"] + ".mp4")}
         return (lambda rnd: caller), sample
 
+    if args.judge == "chatunivi":
+        from ..preference.chatunivi import ChatUniViCaller
+
+        assert args.ckpt and args.video_dir, "--judge chatunivi needs " \
+            "--ckpt (Chat-UniVi checkpoint dir) and --video_dir (mp4s)"
+        # reference protocol: 1 fps <=100 frames, "simple" conversation,
+        # do_sample temperature 0.2, max_new 1024 (utils/chatunivi.py)
+        caller = ChatUniViCaller(args.ckpt, batch=args.batch,
+                                 max_new_tokens=args.max_new_tokens,
+                                 temperature=args.temperature,
+                                 seed=args.seed)
+        sample = lambda r: {
+            "video_path": os.path.join(args.video_dir, r["name"] + ".mp4")}
+        return (lambda rnd: caller), sample
+
+    if args.judge == "videochatgpt":
+        from ..preference.videochatgpt import VideoChatGPTCaller
+
+        assert args.ckpt and args.video_dir, "--judge videochatgpt needs " \
+            "--ckpt (Video-ChatGPT checkpoint dir) and --video_dir (mp4s)"
+        # reference protocol: 100 segment-midpoint frames, spatio-temporal
+        # 356 tokens, temperature 0.2, max_new 512 (utils/videochatgpt.py)
+        caller = VideoChatGPTCaller(args.ckpt, batch=args.batch,
+                                    max_new_tokens=args.max_new_tokens,
+                                    temperature=args.temperature,
+                                    seed=args.seed)
+        sample = lambda r: {
+            "video_path": os.path.join(args.video_dir, r["name"] + ".mp4")}
+        return (lambda rnd: caller), sample
+
     if args.judge in ("gpt", "gemini"):
         from ..preference.api_callers import GeminiCaller, GPTCaller
 
@@ -337,6 +406,11 @@ def _make_caller_factory(args):
 def cmd_judge(args):
     from ..core.cache import enable_persistent_cache
     enable_persistent_cache()
+    # remember whether the user set --temperature before judge defaults
+    # fill it in — the cot2/cot3 TEXT judge follows its own utils/qwen*.py
+    # protocol unless explicitly overridden
+    explicit_temperature = args.temperature
+    apply_judge_decode_defaults(args)
     if os.path.exists(args.save_npz):
         print(f"{args.save_npz} exists, skip (idempotent)")
         return
@@ -356,7 +430,7 @@ def cmd_judge(args):
             from ..preference.text_llm import Qwen25TextJudge
 
             text_caller = Qwen25TextJudge(
-                args.llm, temperature=(args.temperature or None),
+                args.llm, temperature=(explicit_temperature or None),
                 batch=args.batch, seed=args.seed)
         elif args.llm_family == "qwen3":
             # utils/qwen3.py protocol: thinking mode, t=0.6, top_p 0.95,
@@ -443,9 +517,11 @@ def main(argv=None):
                             "qwen25omni", "videollava", "llavanextvideo",
                             "llamavid", "videochat", "videochat2",
                             "mplugowl", "otter", "pllava", "qwenaudio",
-                            "salmonn", "vita", "gpt", "gemini"],
+                            "salmonn", "vita", "chatunivi", "videochatgpt",
+                            "gpt", "gemini"],
                    help="judge model family (the reference's per-model "
-                        "utils/*.py wrappers)")
+                        "utils/*.py wrappers); decode defaults follow the "
+                        "selected wrapper's protocol (JUDGE_DECODE_DEFAULTS)")
     j.add_argument("--whisper", default=None,
                    help="salmonn: Whisper HF checkpoint (frozen tower)")
     j.add_argument("--beats", default=None,
@@ -491,9 +567,15 @@ def main(argv=None):
                         "qwen3 = utils/qwen3.py thinking mode "
                         "(0.6/0.95/top_k20, </think> split)")
     j.add_argument("--batch", type=int, default=8)
-    j.add_argument("--max_new_tokens", type=int, default=64)
-    j.add_argument("--temperature", type=float, default=0.0,
-                   help="sampled judging; >0 makes --rounds meaningful")
+    j.add_argument("--max_new_tokens", type=int, default=None,
+                   help="default: the selected judge's reference protocol "
+                        "(JUDGE_DECODE_DEFAULTS)")
+    j.add_argument("--temperature", type=float, default=None,
+                   help="sampled judging; >0 makes --rounds meaningful; "
+                        "default: the selected judge's reference protocol "
+                        "(e.g. salmonn 1.0 beam-sampling, videollava 0.1, "
+                        "videochatgpt/chatunivi 0.2, vita/otter greedy); "
+                        "pass 0 to force greedy")
     j.add_argument("--seed", type=int, default=0,
                    help="PRNG seed for sampled judging")
     j.add_argument("--rounds", type=int, default=1,

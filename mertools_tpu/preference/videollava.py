@@ -1,5 +1,7 @@
-"""Video-LLaVA zero-shot wrapper — runnable video judge/baseline for the
-LLaVA-projector model class (Video-LLaVA / Video-ChatGPT / Chat-UniVi).
+"""Video-LLaVA zero-shot wrapper — runnable video judge/baseline
+(LLaVA-projector family; Video-ChatGPT and Chat-UniVi are architecturally
+distinct — spatio-temporal pooling / CTM clustering — and have their own
+modules, ``videochatgpt.py`` / ``chatunivi.py``).
 
 Reference: ``MER2025/MER2025_Track23/Video-LLaVA/main-video.py:22-121``
 (vendored videollava repo: llava_v1 conversation, 8 uniform frames at
