@@ -6,6 +6,12 @@ mode); ``vs_baseline`` = speedup over the reference's execution model (one
 clip per forward, sequential — extract_audio_huggingface.py:72-110) on the
 SAME chip.
 
+Numeric-class policy (BASELINE.md "How the >=5x target is read"): the
+headline is the PRODUCTION mode (bf16/int8 — the reference's own
+TF32/fp16 class); the fp32-HIGHEST parity mode serving the <1e-3 contract
+is reported alongside (``audio_parity_clips_per_sec``) and is bounded
+~3x by HIGHEST-matmul cost, by design.
+
 ``detail`` carries the round-2 legs (VERDICT.md Weak #1-3, #10):
   * audio        — fp32-HIGHEST / bf16 / int16-wire+bf16 modes, device-
                    resident audio-sec/s, and **MFU** (device + end-to-end)
@@ -404,11 +410,21 @@ def leg_pipeline(detail: dict) -> None:
     fe = HaarFaceFrontend(min_neighbors=1, detect_every=4)
 
     def run_pipeline():
+        # two-stage host pipeline: decode(N+1) overlaps detect/crop(N)
+        # (ctypes releases the GIL during the C++ decode); the ViT forward
+        # is batched across all clips at the end and overlaps host work
+        # through jax async dispatch
+        from concurrent.futures import ThreadPoolExecutor
+
         crops = {}
-        for p in paths:
-            frames = vio.decode_frames(p)
-            c, ok = fe.crop_video(frames, size=112)
-            crops[p] = c
+        with ThreadPoolExecutor(1) as pool:
+            fut = pool.submit(vio.decode_frames, paths[0])
+            for i, p in enumerate(paths):
+                frames = fut.result()
+                if i + 1 < len(paths):
+                    fut = pool.submit(vio.decode_frames, paths[i + 1])
+                c, ok = fe.crop_video(frames, size=112)
+                crops[p] = c
         return ex.extract(crops, level="UTT")
 
     run_pipeline()  # warm compile + detector
@@ -421,9 +437,13 @@ def leg_pipeline(detail: dict) -> None:
         "decode_crop_vit_clips_per_sec": round(n_clips / dt, 2),
         "frames_per_sec": round(total_frames / dt, 1),
         "n_clips": n_clips, "frames_each": n_frames_each,
-        "note": "mp4 decode (native/mervideo) -> Haar detect+align "
-                "(native/merhaar, detect_every=4) -> device preprocess + "
-                "ViT-L (bf16)",
+        "note": "mp4 decode (native/mervideo, prefetched) -> Haar "
+                "detect+align (native/merhaar; ROI+scale-window tracking, "
+                "detect_every=4, eye_every=4, host warp) -> device "
+                "preprocess + ViT-L (bf16). Host-stage bound on this "
+                "1-core box; detect/crop is per-clip independent, so N "
+                "cores project ~Nx until the device ViT bounds "
+                "(~600 frames/s)",
     }
 
 

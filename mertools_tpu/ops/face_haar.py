@@ -57,6 +57,16 @@ class HaarFaceFrontend:
     scale_factor: float = 1.05
     min_size_frac: float = 0.2      # min face size vs min(H, W)
     detect_every: int = 1           # detect every k-th frame, track between
+    # run the eye cascade only on every k-th DETECTION frame while the
+    # track holds (eye offsets relative to the box are reused between,
+    # scaled with the box) — eyes move with the face; re-detection mostly
+    # re-measures the same offsets at ~30 ms a call. 1 = every detection.
+    eye_every: int = 4
+    # replicate-pad the frame before detecting: a close-up face whose HEAD
+    # box extends past the frame has no pyramid level that fits it —
+    # every miss on the fidelity sweep was this case (s=160 faces).
+    # 0.2 lifts the sweep's detection rate 0.81 -> 1.00 (PARITY §2.4).
+    edge_pad_frac: float = 0.2
     _face: object = field(default=None, repr=False)
     _eye: object = field(default=None, repr=False)
 
@@ -66,12 +76,54 @@ class HaarFaceFrontend:
         if self._eye is None:
             self._eye = vj.load_cascade(vj.find_cascade(vj.EYE))
 
-    def detect_face(self, gray: np.ndarray):
+    def detect_face(self, gray: np.ndarray, prior: np.ndarray | None = None):
         """Main face box [x, y, w, h] or None. "Main" = largest area (the
         subject in talking-head MER clips), the same heuristic OpenFace's
-        single-face mode uses; neighbor count already gated the candidates."""
+        single-face mode uses; neighbor count already gated the candidates.
+
+        ``prior`` (the previous tracked box) narrows the search to an ROI
+        around it at a +-scale window — the full pyramid's cost is
+        dominated by its smallest-window levels, which a locked track
+        never needs (measured ~10x per tracked frame). A miss inside the
+        narrowed search falls back to the full sweep, so shot cuts and
+        fast motion re-acquire exactly as before.
+
+        The frame is replicate-padded by ``edge_pad_frac`` first (prior
+        and returned boxes stay in ORIGINAL coordinates) so close-up
+        faces whose head box exceeds the frame still have a fitting
+        pyramid level."""
         H, W = gray.shape
-        min_size = max(32, int(self.min_size_frac * min(H, W)))
+        pad = int(self.edge_pad_frac * min(H, W))
+        if pad:
+            gray = np.pad(gray, pad, mode="edge")
+            if prior is not None:
+                prior = np.asarray(prior, np.float64) + [pad, pad, 0, 0]
+        box = self._detect_face_padded(gray, prior, H, W)
+        if box is not None and pad:
+            box = np.asarray(box, np.float64) - [pad, pad, 0, 0]
+        return box
+
+    def _detect_face_padded(self, gray, prior, H_orig, W_orig):
+        H, W = gray.shape
+        if prior is not None:
+            x, y, w, h = (float(prior[0]), float(prior[1]),
+                          float(prior[2]), float(prior[3]))
+            cx, cy, s = x + w / 2.0, y + h / 2.0, max(w, h)
+            r = 0.9 * s
+            x0, x1 = max(0, int(cx - r)), min(W, int(np.ceil(cx + r)))
+            y0, y1 = max(0, int(cy - r)), min(H, int(np.ceil(cy + r)))
+            roi = gray[y0:y1, x0:x1]
+            if min(roi.shape) >= 24:
+                boxes = vj.detect_multiscale(
+                    roi, self._face, scale_factor=self.scale_factor,
+                    min_neighbors=self.min_neighbors,
+                    min_size=max(24, int(0.7 * s)),
+                    max_size=int(np.ceil(1.45 * s)))
+                if len(boxes):
+                    best = boxes[np.argmax(boxes[:, 2] * boxes[:, 3]), :4]
+                    return best + [x0, y0, 0, 0]
+            # track lost inside the ROI: full re-acquisition sweep
+        min_size = max(32, int(self.min_size_frac * min(H_orig, W_orig)))
         boxes = vj.detect_multiscale(
             gray, self._face, scale_factor=self.scale_factor,
             min_neighbors=self.min_neighbors, min_size=min_size)
@@ -116,26 +168,47 @@ class HaarFaceFrontend:
         return eyes
 
     def crop_video(self, frames: np.ndarray, size: int = 112,
-                   bgr: bool = True):
+                   bgr: bool = True, warp_backend: str = "host"):
         """frames (T, H, W, 3) RGB uint8 -> (aligned (T', size, size, 3)
         uint8, detected mask (T,)). Undetected frames reuse the last (or
         first) tracked face; clips with no face at all return one zero
-        frame (matching cli/preprocess.cmd_detect_faces semantics)."""
+        frame (matching cli/preprocess.cmd_detect_faces semantics).
+
+        ``warp_backend``: "host" (default) warps with the NumPy twin —
+        no (T, H, W, 3) device upload, the right call when the crops go
+        back to host anyway; "device" keeps the jitted jax warp.
+        """
         import jax.numpy as jnp
 
-        from .face_align import ARCFACE_TEMPLATE, umeyama, warp_affine
+        from .face_align import (ARCFACE_TEMPLATE, umeyama, warp_affine,
+                                 warp_affine_np)
 
         T = len(frames)
         lms = np.zeros((T, 2, 2), np.float32)
         detected = np.zeros(T, bool)
         state = None                      # (box, landmarks)
+        eye_off = None                    # landmarks relative to box (frac)
+        n_det = 0                         # detection-frame counter
         pending = []                      # frames before the first detection
         for t in range(T):
+            tracked = state is not None
+            if t % self.detect_every != 0 and tracked:
+                lms[t] = state[1]
+                continue  # tracked frame: no gray conversion, no detector
             g = _gray(frames[t].astype(np.float32))
-            box = (self.detect_face(g)
-                   if t % self.detect_every == 0 or state is None else None)
+            box = self.detect_face(g, prior=state[0] if tracked else None)
             if box is not None:
-                state = (box, self.landmarks_for_frame(g, box))
+                x, y, w, h = (float(box[0]), float(box[1]),
+                              float(box[2]), float(box[3]))
+                if (eye_off is not None and tracked
+                        and n_det % max(1, self.eye_every) != 0):
+                    lm = (np.asarray([x, y], np.float32)
+                          + eye_off * [w, h])
+                else:
+                    lm = self.landmarks_for_frame(g, box)
+                    eye_off = ((lm - [x, y]) / [w, h]).astype(np.float32)
+                n_det += 1
+                state = (box, lm)
                 detected[t] = True
                 for p in pending:         # backfill leading frames
                     lms[p] = state[1]
@@ -148,9 +221,15 @@ class HaarFaceFrontend:
             return np.zeros((1, size, size, 3), np.uint8), detected
 
         tmpl = ARCFACE_TEMPLATE[:2] * (size / 112.0)     # eye row of template
-        A = umeyama(jnp.asarray(lms), jnp.broadcast_to(jnp.asarray(tmpl),
-                                                       (T, 2, 2)))
-        out = np.asarray(warp_affine(jnp.asarray(frames, jnp.float32), A,
-                                     size, size))
+        if warp_backend == "host":
+            A = np.asarray(umeyama(jnp.asarray(lms),
+                                   jnp.broadcast_to(jnp.asarray(tmpl),
+                                                    (T, 2, 2))))
+            out = warp_affine_np(frames.astype(np.float32), A, size, size)
+        else:
+            A = umeyama(jnp.asarray(lms),
+                        jnp.broadcast_to(jnp.asarray(tmpl), (T, 2, 2)))
+            out = np.asarray(warp_affine(jnp.asarray(frames, jnp.float32),
+                                         A, size, size))
         out = np.clip(out, 0, 255).astype(np.uint8)
         return (out[..., ::-1] if bgr else out), detected

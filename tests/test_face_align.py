@@ -64,3 +64,22 @@ def test_crop_resize_box(rng):
     out = np.asarray(F.crop_resize(jnp.asarray(img), jnp.asarray(boxes),
                                    out_size=8))
     assert out[0, 2:6, 2:6, 0].mean() > 0.95  # interior of the box is ones
+
+
+def test_warp_affine_np_matches_device():
+    """Host NumPy warp == jitted jax warp (round 4: the video pipeline
+    warps on host to avoid the full-frame device upload)."""
+    import numpy as np
+
+    from mertools_tpu.ops.face_align import warp_affine, warp_affine_np
+
+    rng = np.random.default_rng(0)
+    imgs = rng.random((3, 40, 50, 3)).astype(np.float32) * 255
+    affines = np.asarray(
+        [[[0.9, 0.1, 3.0], [-0.1, 0.9, 5.0]],
+         [[1.2, 0.0, -4.0], [0.0, 1.2, 2.0]],
+         [[0.7, -0.2, 10.0], [0.2, 0.7, -3.0]]], np.float32)
+    ref = np.asarray(warp_affine(imgs, affines, 24, 28))
+    got = warp_affine_np(imgs, affines, 24, 28)
+    assert got.shape == ref.shape == (3, 24, 28, 3)
+    assert np.abs(got - ref).max() < 1e-2, np.abs(got - ref).max()

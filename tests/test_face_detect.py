@@ -101,3 +101,51 @@ def test_detect_faces_cli(tmp_path, rng):
     arr = np.load(out / "clipA.npy")
     assert arr.dtype == np.uint8 and arr.shape[1:] == (112, 112, 3)
     assert 1 <= arr.shape[0] <= 4
+
+
+def test_tracked_detection_matches_full_sweep():
+    """detect_face(prior=...) (round-4 ROI + scale-window tracking) finds
+    the same face as the full pyramid when the prior is near-correct, and
+    falls back to the full sweep when the prior is wrong."""
+    import numpy as np
+
+    from mertools_tpu.ops.face_haar import HaarFaceFrontend, _gray
+
+    # synthetic frontal face (same recipe as the fidelity sweep)
+    rng = np.random.default_rng(11)
+    H, W, s, cx, cy = 240, 208, 100, 104, 120
+    yy, xx = np.mgrid[:H, :W]
+    img = np.full((H, W), 200.0)
+    for (ex, ey, rx, ry, val) in (
+            (0, 0, .55 * s, .75 * s, 195),
+            (-.25 * s, -.15 * s, .14 * s, .08 * s, 60),
+            (.25 * s, -.15 * s, .14 * s, .08 * s, 60),
+            (0, .2 * s, .08 * s, .12 * s, 150),
+            (0, .45 * s, .22 * s, .08 * s, 90)):
+        m = (((xx - cx - ex) / rx) ** 2 + ((yy - cy - ey) / ry) ** 2) <= 1
+        img[m] = val
+    img += rng.normal(0, 2.0, img.shape)
+    g = img.astype(np.float64)
+
+    fe = HaarFaceFrontend(min_neighbors=1)
+    full = fe.detect_face(g)
+    assert full is not None
+
+    tracked = fe.detect_face(g, prior=full)
+    assert tracked is not None
+    # IoU(full, tracked) high: same face
+    def iou(a, b):
+        ax0, ay0, ax1, ay1 = a[0], a[1], a[0] + a[2], a[1] + a[3]
+        bx0, by0, bx1, by1 = b[0], b[1], b[0] + b[2], b[1] + b[3]
+        iw = max(0, min(ax1, bx1) - max(ax0, bx0))
+        ih = max(0, min(ay1, by1) - max(ay0, by0))
+        inter = iw * ih
+        return inter / (a[2] * a[3] + b[2] * b[3] - inter)
+    assert iou(full, tracked) > 0.6, (full, tracked)
+
+    # a nonsense prior (tiny box in the far corner) must fall back to the
+    # full sweep and still find the face
+    bad_prior = np.asarray([0.0, 0.0, 30.0, 30.0])
+    recovered = fe.detect_face(g, prior=bad_prior)
+    assert recovered is not None
+    assert iou(full, recovered) > 0.9, (full, recovered)
