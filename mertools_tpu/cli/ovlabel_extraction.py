@@ -180,7 +180,9 @@ def main(argv=None):
         rids = []
         for n in names:
             ids = ids_by_name[n][P:]
-            rids.append(eng.submit(emb_table[ids], prompt_ids=ids))
+            # token-id submission: admission embeds on device — only int32
+            # ids cross the host link (serve._admit_fused (token-id groups embed on device))
+            rids.append(eng.submit(prompt_ids=ids))
         results = eng.run()
         responses = [postprocess_openset(
             tok.decode(results[r], skip_special_tokens=True)) for r in rids]

@@ -40,53 +40,6 @@ from .generate import (_lora_dense, _mlp, _prec_for, _qkv, _rms, _rotary,
 _P = jax.lax.Precision.HIGHEST
 
 
-@functools.partial(jax.jit, static_argnames=("temperature", "top_p"))
-def _sample_plain(logits, key, temperature: float, top_p: float):
-    """No-penalty sampling: skips the (n_slots, vocab) seen-count churn
-    entirely (the greedy/no-penalty hot path)."""
-    return _sample(logits, key, temperature, top_p)
-
-
-@functools.partial(jax.jit, static_argnames=("temperature", "top_p",
-                                             "repetition_penalty"))
-def _admit_sample(logits, key, seen, slots, prompt_ids, prompt_counts_mask,
-                  temperature: float, top_p: float,
-                  repetition_penalty: float, prefix_ids=None):
-    """First-token sampling for freshly admitted slots: reset their
-    seen-token rows, seed them with the PROMPT tokens (vLLM's
-    repetition_penalty covers prompt + output; ``prefix_ids`` add the
-    shared-prefix tokens), sample, record.
-
-    Padded dummy rows carry slot index == n_slots (out of bounds): their
-    scatter writes drop, and their gathered seen rows clip harmlessly —
-    the sampled tokens for those rows are discarded by the caller. Shapes
-    stay at the pow2-padded admission batch, so compiles stay bounded."""
-    valid = (slots < seen.shape[0])
-    safe = jnp.minimum(slots, seen.shape[0] - 1)
-    seen = seen.at[slots].set(0)                       # OOB rows drop
-    counts = prompt_counts_mask * valid[:, None].astype(jnp.int32)
-    seen = seen.at[slots[:, None], prompt_ids].add(counts)
-    if prefix_ids is not None:
-        B = slots.shape[0]
-        pre = jnp.broadcast_to(prefix_ids[None], (B, prefix_ids.shape[0]))
-        seen = seen.at[slots[:, None], pre].add(
-            valid[:, None].astype(jnp.int32))
-    toks = _sample(logits, key, temperature, top_p, seen[safe],
-                   repetition_penalty)
-    seen = seen.at[slots, toks].add(1)
-    return toks, seen
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _prefill_full(cfg, params, inputs_embeds, attention_mask, prefix=None):
-    from .generate import prefill
-
-    S = inputs_embeds.shape[1]
-    P = prefix[0].shape[1] if prefix is not None else 0
-    return prefill(cfg, params, inputs_embeds, attention_mask, P + S,
-                   prefix=prefix)
-
-
 def _step_inner(cfg, params, toks, positions, write_idx, kv_mask,
                 k_cache, v_cache):
     """One decode token for every slot (traced inside the chunk loop).
@@ -145,7 +98,9 @@ def _step_inner(cfg, params, toks, positions, write_idx, kv_mask,
                    static_argnames=("cfg", "n_steps", "temperature", "top_p",
                                     "repetition_penalty", "eos", "max_new",
                                     "max_len"),
-                   donate_argnames=("k_cache", "v_cache", "seen"))
+                   donate_argnames=("k_cache", "v_cache", "seen", "next_tok",
+                                    "cur_len", "write_at", "kv_mask",
+                                    "active", "gen_count"))
 def _decode_chunk(cfg, params, next_tok, cur_len, write_at, kv_mask,
                   k_cache, v_cache, active, gen_count, key, seen, *,
                   n_steps: int, temperature: float, top_p: float,
@@ -161,7 +116,14 @@ def _decode_chunk(cfg, params, next_tok, cur_len, write_at, kv_mask,
     the host learns about it from the returned (B, n_steps) token matrix
     (-1 marks not-generated) — ONE device->host transfer per chunk.
 
-    Returns (out_tokens, k_cache, v_cache, seen, key).
+    ALL per-slot state is device-resident between chunks (round 4): the
+    final carry is returned and fed back verbatim, so a chunk costs one
+    dispatch + one small download, no state re-uploads (each re-upload is
+    a host-link RTT; on the dev tunnel those RTTs, not compute, separated
+    the engine from the batched-scan path).
+
+    Returns (out_tokens, k_cache, v_cache, seen, key, state) with state =
+    (next_tok, cur_len, write_at, kv_mask, active, gen_count).
     """
     B = next_tok.shape[0]
     rows = jnp.arange(B)
@@ -199,7 +161,81 @@ def _decode_chunk(cfg, params, next_tok, cur_len, write_at, kv_mask,
     carry = (jnp.int32(0), next_tok, cur_len, write_at, kv_mask,
              k_cache, v_cache, active, gen_count, out0, key, seen)
     carry = jax.lax.while_loop(cond, body, carry)
-    return carry[9], carry[5], carry[6], carry[11], carry[10]
+    state = (carry[1], carry[2], carry[3], carry[4], carry[7], carry[8])
+    return carry[9], carry[5], carry[6], carry[11], carry[10], state
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "temperature", "top_p",
+                                    "repetition_penalty", "eos", "max_new",
+                                    "bucket"),
+                   donate_argnames=("k_cache", "v_cache", "seen", "next_tok",
+                                    "cur_len", "write_at", "kv_mask",
+                                    "active", "gen_count"))
+def _admit_fused(cfg, params, input_ids, inputs_embeds, attn_mask, slots,
+                 row_len, pen_ids, pen_mask, k_cache, v_cache,
+                 next_tok, cur_len, write_at, kv_mask, active, gen_count,
+                 key, seen, prefix=None, prefix_ids=None, *,
+                 bucket: int, temperature: float, top_p: float,
+                 repetition_penalty: float, eos: int, max_new: int):
+    """One-dispatch admission: prefill a same-bucket group (from token ids
+    when ``inputs_embeds`` is None, else from embeddings), sample each
+    row's first token, scatter the group's suffix KV into its slots, and
+    update ALL device-resident per-slot state in place (donated).
+
+    ``slots`` carries n_slots for dummy pow2-padding rows — every scatter
+    with an out-of-bounds index drops, so dummies touch nothing.
+
+    Returns (first_tokens (B,), caches, state..., seen, key).
+    """
+    from .generate import prefill
+
+    n_slots, max_len = kv_mask.shape
+    P = prefix[0].shape[1] if prefix is not None else 0
+    if inputs_embeds is None:
+        emb = params["embed_tokens"]["embedding"][input_ids]
+        emb = emb * attn_mask[..., None].astype(emb.dtype)
+    else:
+        emb = inputs_embeds
+    logits, k, v, _ = prefill(cfg, params, emb, attn_mask,
+                              P + emb.shape[1], prefix=prefix)
+
+    key, k1 = jax.random.split(key)
+    if repetition_penalty != 1.0:
+        valid = (slots < n_slots)
+        safe = jnp.minimum(slots, n_slots - 1)
+        seen = seen.at[slots].set(0)                     # OOB rows drop
+        counts = pen_mask * valid[:, None].astype(jnp.int32)
+        seen = seen.at[slots[:, None], pen_ids].add(counts)
+        if prefix_ids is not None:
+            B = slots.shape[0]
+            pre = jnp.broadcast_to(prefix_ids[None],
+                                   (B, prefix_ids.shape[0]))
+            seen = seen.at[slots[:, None], pre].add(
+                valid[:, None].astype(jnp.int32))
+        toks = _sample(logits, k1, temperature, top_p, seen[safe],
+                       repetition_penalty)
+        seen = seen.at[slots, toks].add(1)
+    else:
+        toks = _sample(logits, k1, temperature, top_p)
+
+    # suffix KV -> the group's slot cache regions ([0, P) holds the prefix)
+    k_cache = k_cache.at[:, slots, P: P + bucket].set(k[:, :, P:])
+    v_cache = v_cache.at[:, slots, P: P + bucket].set(v[:, :, P:])
+
+    # per-slot state rows (OOB dummy rows drop everywhere)
+    row_mask = jnp.arange(max_len)[None, :] < row_len[:, None]
+    kv_mask = kv_mask.at[slots].set(row_mask)
+    cur_len = cur_len.at[slots].set(row_len)
+    write_at = write_at.at[slots].set(P + bucket)
+    next_tok = next_tok.at[slots].set(toks)
+    gen_count = gen_count.at[slots].set(1)
+    # a slot whose FIRST token already ends it (EOS / max_new <= 1) never
+    # activates — mirrors the host-side _Request.done decision
+    live = (toks != eos) & (max_new > 1)
+    active = active.at[slots].set(live)
+    state = (next_tok, cur_len, write_at, kv_mask, active, gen_count)
+    return toks, k_cache, v_cache, state, seen, key
 
 
 @dataclass
@@ -289,21 +325,50 @@ class ContinuousBatcher:
         self.write_at = np.zeros(n_slots, np.int32)     # physical next index
         self.next_tok = np.zeros(n_slots, np.int32)
         self.active = np.zeros(n_slots, bool)
+        # device-resident twin of the decode state: fed to and returned by
+        # the fused admission/chunk jits (donated), so steady-state serving
+        # never re-uploads per-slot state. The np arrays above are host
+        # MIRRORS maintained by replaying the chunk's token matrix — used
+        # only for scheduling/bookkeeping decisions.
+        self._dev = {
+            "next_tok": jnp.zeros(n_slots, jnp.int32),
+            "cur_len": jnp.zeros(n_slots, jnp.int32),
+            "write_at": jnp.zeros(n_slots, jnp.int32),
+            "kv_mask": jnp.zeros((n_slots, max_len), bool),
+            "active": jnp.zeros(n_slots, bool),
+            "gen_count": jnp.zeros(n_slots, jnp.int32),
+        }
         self.slot_req: list = [None] * n_slots
         self._next_rid = 0
         self.queue: list = []
         self.finished: dict = {}
+        self._pending_admits: list = []
 
     # -- request admission ---------------------------------------------------
-    def submit(self, prompt_embeds: np.ndarray, prompt_ids=None) -> int:
-        """prompt_embeds: (S, H). ``prompt_ids`` (S,) seeds the repetition
-        penalty with the prompt tokens (vLLM semantics); omit for
-        penalty-free serving. Returns request id."""
+    def submit(self, prompt_embeds: np.ndarray | None = None,
+               prompt_ids=None) -> int:
+        """Queue a request. Two forms:
+
+        * ``submit(prompt_ids=ids)`` — TOKEN-ID submission (preferred for
+          text-only prompts): admission embeds on device from the LLM's
+          own table, so only (S,) int32 crosses the host link. ``ids``
+          also seed the repetition penalty.
+        * ``submit(embeds, prompt_ids=...)`` — embedding submission for
+          prompts with spliced AV features. ``prompt_ids`` (S,) seeds the
+          repetition penalty (vLLM semantics: prompt + output); omit for
+          penalty-free serving.
+
+        Returns request id."""
         rid = self._next_rid
         self._next_rid += 1
-        self.queue.append((rid, np.asarray(prompt_embeds, np.float32),
-                           None if prompt_ids is None
-                           else np.asarray(prompt_ids, np.int64)))
+        pids = None if prompt_ids is None else np.asarray(prompt_ids,
+                                                          np.int64)
+        if prompt_embeds is None:
+            assert pids is not None, "submit() needs embeds or prompt_ids"
+            self.queue.append((rid, None, pids))
+        else:
+            self.queue.append((rid, np.asarray(prompt_embeds, np.float32),
+                               pids))
         return rid
 
     def _bucket(self, n):
@@ -317,21 +382,26 @@ class ContinuousBatcher:
         if not (free and self.queue):
             return
         take = min(len(free), len(self.queue))
-        pending = []  # (slot, rid, emb (S,H) truncated, ids|None, bucket)
+        pending = []  # (slot, rid, emb|None truncated, ids|None, bucket)
         for slot in free[:take]:
             rid, emb, pids = self.queue.pop(0)
-            S = min(len(emb), self.max_len - self.max_new - self.P)
+            n = len(emb) if emb is not None else len(pids)
+            S = min(n, self.max_len - self.max_new - self.P)
             pad = self._bucket(S)
             S = min(S, pad)  # prompts beyond the largest bucket truncate
-            pending.append((slot, rid, emb[:S],
+            pending.append((slot, rid,
+                            None if emb is None else emb[:S],
                             None if pids is None else pids[:S], pad))
         if self.admit_batched:
-            # one prefill per bucket for ALL admitted requests: B=1 serial
-            # prefills leave the MXU idle exactly when the queue is deepest
-            # (the submit-all-then-run extraction workload). B pads to a
-            # power of two so compile count stays O(buckets x log n_slots).
-            for bucket in sorted({p[4] for p in pending}):
-                grp = [p for p in pending if p[4] == bucket]
+            # one prefill per (kind, bucket) for ALL admitted requests:
+            # B=1 serial prefills leave the MXU idle exactly when the queue
+            # is deepest (the submit-all-then-run extraction workload). B
+            # pads to a power of two so compile count stays
+            # O(kinds x buckets x log n_slots).
+            for kind, bucket in sorted({(p[2] is None, p[4])
+                                        for p in pending}):
+                grp = [p for p in pending
+                       if (p[2] is None) == kind and p[4] == bucket]
                 self._admit_group(grp, bucket)
         else:
             for p in pending:
@@ -345,63 +415,88 @@ class ContinuousBatcher:
         return b
 
     def _admit_group(self, grp, bucket):
-        """Prefill a same-bucket group in one forward and scatter the KV
-        prefixes into the group's slots."""
+        """Admit a same-bucket group with ONE fused device call
+        (_admit_fused): prefill (token-id groups embed on device, so only
+        int32 ids cross the host link), first-token sampling, KV scatter,
+        and device-state updates happen in a single dispatch."""
         H = self.cfg.hidden_size
         B = self._pow2(len(grp)) if self.admit_batched else 1
-        e = np.zeros((B, bucket, H), np.float32)
+        from_ids = grp[0][2] is None
         m = np.zeros((B, bucket), np.int32)
         ids = np.zeros((B, bucket), np.int64)
         cmask = np.zeros((B, bucket), np.int32)
-        for b, (_, _, emb, pids, _) in enumerate(grp):
-            e[b, : len(emb)] = emb
-            m[b, : len(emb)] = 1
+        e = None if from_ids else np.zeros((B, bucket, H), np.float32)
+        # padded dummy rows carry slot index n_slots (OOB -> every device
+        # scatter drops them)
+        slots_pad = np.full(B, self.n_slots, np.int64)
+        row_len = np.zeros(B, np.int32)
+        P = self.P
+        for b, (slot, _, emb, pids, _) in enumerate(grp):
+            slots_pad[b] = slot
+            S = len(emb) if emb is not None else len(pids)
+            row_len[b] = P + S
             if pids is not None:
                 ids[b, : len(pids)] = pids
                 cmask[b, : len(pids)] = 1
+            if from_ids:
+                m[b, : len(pids)] = 1
+            else:
+                e[b, : len(emb)] = emb
+                m[b, : len(emb)] = 1
         for b in range(len(grp), B):
             m[b, 0] = 1  # dummy padding rows (discarded)
-        logits, k, v, _ = _prefill_full(self.cfg, self.params,
-                                        jnp.asarray(e, self._emb_dtype),
-                                        jnp.asarray(m), prefix=self.prefix)
-        slots = np.asarray([p[0] for p in grp])
-        P = self.P
-        # scatter the group's suffix KV into their slots' cache regions
-        # (the shared prefix already sits at [0, P) of every slot)
-        self.k_cache = self.k_cache.at[:, slots, P: P + bucket].set(
-            k[:, : len(grp), P:])
-        self.v_cache = self.v_cache.at[:, slots, P: P + bucket].set(
-            v[:, : len(grp), P:])
-        self._key, k1 = jax.random.split(self._key)
-        if self.repetition_penalty != 1.0:
-            # padded rows get slot index n_slots (out of bounds -> dropped)
-            slots_pad = np.full(B, self.n_slots, np.int64)
-            slots_pad[: len(grp)] = slots
-            toks, self.seen = _admit_sample(
-                logits, k1, self.seen, jnp.asarray(slots_pad),
-                jnp.asarray(ids), jnp.asarray(cmask),
-                self.temperature, self.top_p, self.repetition_penalty,
-                prefix_ids=self.prefix_ids)
-        else:
-            toks = _sample_plain(logits, k1, self.temperature, self.top_p)
-        first = np.asarray(toks)[: len(grp)]
+        d = self._dev
+        toks, self.k_cache, self.v_cache, state, self.seen, self._key = \
+            _admit_fused(
+                self.cfg, self.params,
+                None if not from_ids else jnp.asarray(ids.astype(np.int32)),
+                None if from_ids else jnp.asarray(e, self._emb_dtype),
+                jnp.asarray(m), jnp.asarray(slots_pad),
+                jnp.asarray(row_len), jnp.asarray(ids),
+                jnp.asarray(cmask), self.k_cache, self.v_cache,
+                d["next_tok"], d["cur_len"], d["write_at"], d["kv_mask"],
+                d["active"], d["gen_count"], self._key, self.seen,
+                prefix=self.prefix, prefix_ids=self.prefix_ids,
+                bucket=bucket, temperature=self.temperature,
+                top_p=self.top_p,
+                repetition_penalty=self.repetition_penalty,
+                eos=self.eos, max_new=self.max_new)
+        (d["next_tok"], d["cur_len"], d["write_at"], d["kv_mask"],
+         d["active"], d["gen_count"]) = state
+        # DON'T download the first tokens yet: that sync would stall the
+        # host between the admission dispatch and the chunk dispatch (a
+        # full host-link RTT while the device sits idle). Device state is
+        # already correct; host bookkeeping that needs the token values is
+        # deferred to _resolve_admits(), which runs after the next chunk
+        # is in flight. Slots are optimistically active until then (a
+        # first-token EOS deactivated them on DEVICE already via `live`).
         for b, (slot, rid, emb, pids, _) in enumerate(grp):
-            S = len(emb)
+            S = len(emb) if emb is not None else len(pids)
             self.kv_mask[slot] = False
             self.kv_mask[slot, : P + S] = True
             self.cur_len[slot] = P + S
             self.write_at[slot] = P + bucket  # physical: prompt pad then gen
-            tok = int(first[b])
-            self.next_tok[slot] = tok
             self.active[slot] = True
-            # the admission token counts toward max_new (generate() scan
-            # emits the prefill-sampled token first): max_new <= 1 finishes
-            # here, matching generate(max_new_tokens=1)
-            req = _Request(rid, S, tokens=[tok],
-                           done=tok == self.eos or self.max_new <= 1)
-            self.slot_req[slot] = req
-            if req.done:
-                self._finish(slot)
+        self._pending_admits.append((toks, list(grp)))
+
+    def _resolve_admits(self):
+        """Materialize deferred admission tokens and finish the host-side
+        request bookkeeping (must run before replaying a chunk's output)."""
+        for toks, grp in self._pending_admits:
+            first = np.asarray(toks)[: len(grp)]
+            for b, (slot, rid, emb, pids, _) in enumerate(grp):
+                S = len(emb) if emb is not None else len(pids)
+                tok = int(first[b])
+                self.next_tok[slot] = tok
+                # the admission token counts toward max_new (generate()
+                # emits the prefill-sampled token first): max_new <= 1
+                # finishes here, matching generate(max_new_tokens=1)
+                req = _Request(rid, S, tokens=[tok],
+                               done=tok == self.eos or self.max_new <= 1)
+                self.slot_req[slot] = req
+                if req.done:
+                    self._finish(slot)
+        self._pending_admits = []
 
     def _finish(self, slot):
         req = self.slot_req[slot]
@@ -415,22 +510,30 @@ class ContinuousBatcher:
     # -- engine loop -----------------------------------------------------------
     def step(self):
         """Admit waiting requests, then decode up to ``chunk`` tokens for the
-        active slots in ONE jitted device loop (host sync once per chunk)."""
+        active slots in ONE jitted device loop (host sync once per chunk).
+        Per-slot state stays device-resident across admissions and chunks
+        (uploaded never, downloaded never — only the token matrix comes
+        back)."""
         self._admit()
         if not self.active.any():
+            self._resolve_admits()
             return
-        gen_count = np.asarray(
-            [len(self.slot_req[s].tokens) if self.active[s] else 0
-             for s in range(self.n_slots)], np.int32)
-        out, self.k_cache, self.v_cache, self.seen, self._key = _decode_chunk(
-            self.cfg, self.params,
-            jnp.asarray(self.next_tok), jnp.asarray(self.cur_len),
-            jnp.asarray(self.write_at), jnp.asarray(self.kv_mask),
-            self.k_cache, self.v_cache, jnp.asarray(self.active),
-            jnp.asarray(gen_count), self._key, self.seen,
-            n_steps=self.chunk, temperature=self.temperature,
-            top_p=self.top_p, repetition_penalty=self.repetition_penalty,
-            eos=self.eos, max_new=self.max_new, max_len=self.max_len)
+        d = self._dev
+        out, self.k_cache, self.v_cache, self.seen, self._key, state = \
+            _decode_chunk(
+                self.cfg, self.params,
+                d["next_tok"], d["cur_len"], d["write_at"], d["kv_mask"],
+                self.k_cache, self.v_cache, d["active"], d["gen_count"],
+                self._key, self.seen,
+                n_steps=self.chunk, temperature=self.temperature,
+                top_p=self.top_p,
+                repetition_penalty=self.repetition_penalty,
+                eos=self.eos, max_new=self.max_new, max_len=self.max_len)
+        (d["next_tok"], d["cur_len"], d["write_at"], d["kv_mask"],
+         d["active"], d["gen_count"]) = state
+        # the chunk is in flight; NOW pay the admission-token download
+        # (overlaps device compute) and finish admission bookkeeping
+        self._resolve_admits()
         outs = np.asarray(out)  # the one host sync per chunk
         # replay the device loop's (deterministic) control transitions so the
         # host mirrors (kv_mask/cur_len/write_at/active/requests) stay exact

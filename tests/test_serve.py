@@ -241,3 +241,68 @@ def test_engine_prompt_ids_seed_repetition_penalty(engine_llm, rng):
                             repetition_penalty=1e6)
     rid = eng.submit(emb, prompt_ids=[base] * 6)
     assert eng.run()[rid][0] != base
+
+
+def test_engine_token_id_submission_equals_embeds(engine_llm, rng):
+    """submit(prompt_ids=ids) (device-side embedding via _prefill_from_ids
+    — round 4, VERDICT #4: the host-link float upload dominated admission)
+    must produce byte-identical results to submitting the gathered
+    embeddings, including mixed in one engine run."""
+    cfg, params = engine_llm
+    eos = 88
+    table = np.asarray(params["embed_tokens"]["embedding"])
+    ids_list = [rng.integers(1, 88, size=n).astype(np.int64)
+                for n in (5, 11, 3, 17)]
+
+    eng_e = ContinuousBatcher(cfg, params, n_slots=2, max_len=64,
+                              eos_token_id=eos, max_new_tokens=10,
+                              prefill_buckets=(8, 16, 32))
+    rids_e = [eng_e.submit(table[ids]) for ids in ids_list]
+    out_e = eng_e.run()
+
+    eng_i = ContinuousBatcher(cfg, params, n_slots=2, max_len=64,
+                              eos_token_id=eos, max_new_tokens=10,
+                              prefill_buckets=(8, 16, 32))
+    rids_i = [eng_i.submit(prompt_ids=ids) for ids in ids_list]
+    out_i = eng_i.run()
+    for re_, ri in zip(rids_e, rids_i):
+        assert out_e[re_] == out_i[ri], (out_e[re_], out_i[ri])
+
+    # mixed submission styles in one engine
+    eng_m = ContinuousBatcher(cfg, params, n_slots=2, max_len=64,
+                              eos_token_id=eos, max_new_tokens=10,
+                              prefill_buckets=(8, 16, 32))
+    rm = [eng_m.submit(table[ids_list[0]]),
+          eng_m.submit(prompt_ids=ids_list[1]),
+          eng_m.submit(prompt_ids=ids_list[2]),
+          eng_m.submit(table[ids_list[3]])]
+    out_m = eng_m.run()
+    for rid, ref_rid in zip(rm, rids_e):
+        assert out_m[rid] == out_e[ref_rid]
+
+
+def test_engine_token_id_submission_with_penalty_and_prefix(engine_llm, rng):
+    """ids submission composes with the repetition penalty (ids seed the
+    seen counts) and the shared-prefix cache."""
+    from mertools_tpu.mllm.generate import prefill_prefix
+
+    cfg, params = engine_llm
+    eos = 88
+    table = np.asarray(params["embed_tokens"]["embedding"])
+    pre_ids = rng.integers(1, 88, size=6).astype(np.int64)
+    prefix = prefill_prefix(cfg, params, table[pre_ids].astype(np.float32))
+    ids_list = [rng.integers(1, 88, size=n).astype(np.int64) for n in (7, 9)]
+
+    def run(use_ids):
+        eng = ContinuousBatcher(cfg, params, n_slots=2, max_len=64,
+                                eos_token_id=eos, max_new_tokens=8,
+                                prefill_buckets=(8, 16),
+                                repetition_penalty=1.3,
+                                prefix=prefix, prefix_token_ids=pre_ids)
+        rids = [eng.submit(prompt_ids=ids) if use_ids
+                else eng.submit(table[ids], prompt_ids=ids)
+                for ids in ids_list]
+        out = eng.run()
+        return [out[r] for r in rids]
+
+    assert run(True) == run(False)
