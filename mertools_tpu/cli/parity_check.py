@@ -1,4 +1,6 @@
-"""Feature-store parity harness (the BASELINE.md <1e-3 contract).
+"""Feature-store + judge parity harness (the BASELINE.md contracts).
+
+Store mode (<1e-3 contract):
 
     python -m mertools_tpu.cli.parity_check \
         --reference_store=/path/to/torch-produced/hubert-large-UTT \
@@ -7,6 +9,20 @@
 Compares every clip npy present in both stores: max/mean absolute error,
 relative error, shape mismatches. Exit code 1 when any clip exceeds the
 tolerance — usable in CI and by reviewers against cached reference features.
+
+Judge mode (token-exactness contract, REHEARSAL.md): on the first host
+with real checkpoints, run the reference wrapper
+(``MER2026_Track3/utils/X.py`` at temperature 0 / num_beams fixed) to a
+``name,response`` CSV, then verify our judge reproduces it EXACTLY:
+
+    python -m mertools_tpu.cli.parity_check \
+        --judge=videochatgpt --ckpt=... --video_dir=... \
+        --label_csv=clips.csv --reference_responses=ref_responses.csv \
+        --prompt="Please describe the emotional state..."
+
+Greedy decode is forced (temperature 0); responses are compared after the
+reference's own flattening (newline/tab -> space, strip). Exit 1 on any
+mismatch, with the first diffs printed.
 """
 
 from __future__ import annotations
@@ -45,15 +61,110 @@ def compare_stores(reference_store: str, our_store: str, tol: float = 1e-3,
     return stats
 
 
+def compare_judge_responses(caller, rows: list[dict], build_sample,
+                            ref_by_name: dict, batch: int = 4,
+                            limit: int = 0) -> dict:
+    """Run ``caller`` greedily over the rows' media and compare each
+    response to the reference wrapper's, after the reference's own
+    flattening. Returns {n_compared, mismatches: [(name, ours, ref)]}."""
+    rows = [r for r in rows if r["name"] in ref_by_name]
+    if limit:
+        rows = rows[:limit]
+    mism = []
+    for i in range(0, len(rows), batch):
+        grp = rows[i: i + batch]
+        samples = [build_sample(r) for r in grp]
+        prompts = [r.get("prompt") or ref_by_name[r["name"]].get("prompt", "")
+                   for r in grp]
+        outs = caller(samples, prompts)
+        for r, ours in zip(grp, outs):
+            ref = ref_by_name[r["name"]]["response"]
+            flat = lambda s: str(s).replace("\n", " ").replace("\t", " ") \
+                .strip()
+            if flat(ours) != flat(ref):
+                mism.append((r["name"], flat(ours), flat(ref)))
+    return {"n_compared": len(rows), "mismatches": mism}
+
+
+def _cmd_judge_parity(args):
+    import csv
+
+    from .main_dpo import _make_caller_factory, apply_judge_decode_defaults
+
+    # token-exactness demands determinism: force greedy unless the user
+    # explicitly set a temperature (then it's on them)
+    if args.temperature is None:
+        args.temperature = 0.0
+    apply_judge_decode_defaults(args)
+    caller_factory, build_sample = _make_caller_factory(args)
+    caller = caller_factory(1)
+
+    with open(args.reference_responses, newline="", encoding="utf-8") as f:
+        ref_by_name = {r["name"]: r for r in csv.DictReader(f)}
+    if args.label_csv:
+        with open(args.label_csv, newline="", encoding="utf-8") as f:
+            rows = list(csv.DictReader(f))
+    else:
+        rows = [{"name": n} for n in ref_by_name]
+    if args.prompt:
+        for r in rows:
+            r["prompt"] = args.prompt
+
+    s = compare_judge_responses(caller, rows, build_sample, ref_by_name,
+                                batch=args.batch, limit=args.limit)
+    print(f"compared {s['n_compared']} responses against "
+          f"{args.reference_responses}")
+    if s["mismatches"]:
+        for name, ours, ref in s["mismatches"][:5]:
+            print(f"MISMATCH {name}:\n  ours: {ours[:200]}\n"
+                  f"  ref : {ref[:200]}")
+        print(f"FAIL: {len(s['mismatches'])}/{s['n_compared']} responses "
+              "differ")
+        sys.exit(1)
+    print("PASS (token-exact)")
+    return s
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("parity_check")
-    p.add_argument("--reference_store", required=True)
-    p.add_argument("--our_store", required=True)
+    p.add_argument("--reference_store", default=None)
+    p.add_argument("--our_store", default=None)
     p.add_argument("--tol", type=float, default=1e-3)
     p.add_argument("--limit", type=int, default=0,
                    help="compare only the first N clips")
+    # judge token-exactness mode (REHEARSAL.md)
+    p.add_argument("--judge", default=None,
+                   help="judge family (see main_dpo --judge); enables "
+                        "judge parity mode")
+    p.add_argument("--reference_responses", default=None,
+                   help="CSV name,response[,prompt] produced by the "
+                        "reference utils/X.py wrapper at greedy settings")
+    p.add_argument("--label_csv", default=None,
+                   help="optional clip list (name column); defaults to "
+                        "every name in --reference_responses")
+    p.add_argument("--prompt", default=None,
+                   help="prompt applied to every clip (else per-row "
+                        "'prompt' column)")
+    # judge-construction args shared with main_dpo
+    for flag in ("--ckpt", "--video_dir", "--audio_dir", "--tokenizer",
+                 "--video_feat_dir", "--audio_feat_dir", "--whisper",
+                 "--beats", "--vicuna", "--bert", "--vit_qformer",
+                 "--blip2_qformer", "--model_name"):
+        p.add_argument(flag, default=None)
+    p.add_argument("--input_type", default="video")
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--max_new_tokens", type=int, default=None)
+    p.add_argument("--temperature", type=float, default=None)
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
+    if args.judge:
+        assert args.reference_responses, \
+            "judge mode needs --reference_responses"
+        return _cmd_judge_parity(args)
+
+    assert args.reference_store and args.our_store, \
+        "store mode needs --reference_store and --our_store"
     s = compare_stores(args.reference_store, args.our_store, args.tol,
                        args.limit)
     print(f"compared {s['n_compared']} clips "

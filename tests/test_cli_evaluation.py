@@ -77,3 +77,53 @@ def test_submission_and_score_with_valence(tmp_path):
                                     f"--submission_csv={sub}"])
     assert acc == 1.0 and abs(mse - 0.25) < 1e-9
     assert abs(combined - (waf - 0.25 * mse)) < 1e-12
+
+
+def test_parity_check_judge_mode(tmp_path, monkeypatch):
+    """Judge token-exactness mode (VERDICT r3 #10): greedy caller output
+    compared string-exactly (after reference flattening) against a
+    reference-produced name,response CSV; exit 1 on mismatch."""
+    import csv
+
+    import pytest
+
+    from mertools_tpu.cli import main_dpo, parity_check
+
+    calls = {}
+
+    class StubCaller:
+        def __call__(self, samples, prompts):
+            calls.setdefault("prompts", []).extend(prompts)
+            return [f"resp for {s['video_path'].rsplit('/', 1)[-1]}\n"
+                    for s in samples]
+
+    def fake_factory(args):
+        assert args.temperature == 0.0  # forced greedy
+        sample = lambda r: {"video_path": f"/v/{r['name']}.mp4"}
+        return (lambda rnd: StubCaller()), sample
+
+    monkeypatch.setattr(main_dpo, "_make_caller_factory", fake_factory)
+
+    ref_csv = tmp_path / "ref.csv"
+    with open(ref_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["name", "response"])
+        w.writeheader()
+        w.writerow({"name": "u1", "response": "resp for u1.mp4"})
+        w.writerow({"name": "u2", "response": "resp\tfor u2.mp4"})
+
+    s = parity_check.main(["--judge=videochatgpt", "--ckpt=/x",
+                           "--video_dir=/v",
+                           f"--reference_responses={ref_csv}",
+                           "--prompt=Describe."])
+    assert s["n_compared"] == 2 and not s["mismatches"]
+    assert calls["prompts"] == ["Describe.", "Describe."]
+
+    # a diverging reference response must fail with exit code 1
+    with open(ref_csv, "a", newline="") as f:
+        csv.DictWriter(f, fieldnames=["name", "response"]).writerow(
+            {"name": "u3", "response": "something else"})
+    with pytest.raises(SystemExit):
+        parity_check.main(["--judge=videochatgpt", "--ckpt=/x",
+                           "--video_dir=/v",
+                           f"--reference_responses={ref_csv}",
+                           "--prompt=Describe."])
