@@ -531,25 +531,41 @@ def leg_serve(detail: dict) -> None:
                            np.zeros((1, 8), np.int32),
                            method=llm.embed)["params"])
 
-    def run_engine(p, tag, compute_dtype=None):
+    prompt_ids = [rng.integers(1, 32000, 100).astype(np.int64)
+                  for _ in range(16)]
+    prompt_embeds = [rng.normal(size=(100, 2048)).astype(np.float32)
+                     for _ in range(16)]
+
+    def run_engine(p, tag, compute_dtype=None, submit_ids=True):
         # chunk=64 == max_new: each admission wave decodes in ONE jitted
-        # device loop (host sync once per wave, not once per token)
+        # device loop (host sync once per wave, not once per token).
+        # submit_ids=True is the production text-serving path (round 4):
+        # token ids embed on device inside the fused admission — only
+        # int32 crosses the host link; submit_ids=False ships prompt
+        # EMBEDDINGS (the multimodal-splice workload's shape).
         eng = ContinuousBatcher(llm_cfg, p, n_slots=8, max_len=256,
                                 max_new_tokens=64, eos_token_id=-1,
                                 prefill_buckets=(128,), chunk=64,
                                 compute_dtype=compute_dtype)
-        for _ in range(16):
-            eng.submit(rng.normal(size=(100, 2048)).astype(np.float32))
+
+        def submit_all():
+            for i in range(16):
+                if submit_ids:
+                    eng.submit(prompt_ids=prompt_ids[i])
+                else:
+                    eng.submit(prompt_embeds[i])
+
+        submit_all()
         eng.run()  # compile (prefill + chunk loop)
-        for _ in range(16):
-            eng.submit(rng.normal(size=(100, 2048)).astype(np.float32))
+        submit_all()
         t0 = time.perf_counter()
         done = eng.run()
         dt = time.perf_counter() - t0
         n_tok = sum(len(v) for v in done.values())
         detail["serve"][tag] = {
             "decode_tokens_per_sec": round(n_tok / dt, 1),
-            "n_requests": len(done), "new_tokens_each": 64}
+            "n_requests": len(done), "new_tokens_each": 64,
+            "submission": "token_ids" if submit_ids else "embeds"}
         return n_tok / dt
 
     detail["serve"] = {}
@@ -565,6 +581,10 @@ def leg_serve(detail: dict) -> None:
         # the production serving configuration: int8 weights + bf16 compute
         r8b = run_engine(w8, "w8_bf16_1p1b", compute_dtype="bf16")
         detail["serve"]["w8_bf16_speedup"] = round(r8b / base, 2)
+        # embeds-submission variant (the multimodal-splice workload; also
+        # the round-3 comparison point): shows the host-link upload cost
+        run_engine(w8, "w8_bf16_embeds_1p1b", compute_dtype="bf16",
+                   submit_ids=False)
     except Exception as e:  # noqa: BLE001
         detail["serve"]["w8_error"] = f"{type(e).__name__}: {e}"
 

@@ -227,3 +227,22 @@ def test_simple_prompt_layout():
 def test_events_first_occurrence_order():
     ev = cu.events_from_assign(np.array([2, 2, 0, 1, 0, 2]))
     assert ev == [[0, 1, 5], [2, 4], [3]]
+
+
+def test_caller_frame_sampling_1fps_cap100():
+    """utils/chatunivi.py:89-104: stride = round(fps/1), linspace cap."""
+    c = cu.ChatUniViCaller.__new__(cu.ChatUniViCaller)
+    c.max_frames = 100
+    c.video_framerate = 1
+    frames = np.arange(250)[:, None, None, None] * np.ones(
+        (1, 4, 4, 3), np.uint8)
+    # 25 fps, 250 frames -> stride 25 -> 10 frames [0,25,...,225]
+    got = c._load_frames({"frames": frames, "fps": 25.0})
+    assert [int(f[0, 0, 0]) for f in got] == list(range(0, 250, 25))
+    # 1 fps, 250 frames -> 250 candidates -> linspace down to 100
+    got = c._load_frames({"frames": frames, "fps": 1.0})
+    assert got.shape[0] == 100
+    idx = [int(f[0, 0, 0]) for f in got]
+    ref = [list(range(250))[i] for i in np.linspace(0, 249, num=100,
+                                                    dtype=int)]
+    assert idx == ref

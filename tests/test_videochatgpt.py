@@ -186,3 +186,30 @@ def test_get_seq_frames_midpoint_rule():
     for total, desired in [(10, 4), (100, 100), (1000, 100), (7, 7)]:
         assert vcg.get_seq_frames(total, desired) == ref(total, desired)
     assert vcg.get_seq_frames(10, 4) == [1, 3, 5, 8]
+
+
+def test_caller_frame_sampling_and_nearest_resize():
+    c = vcg.VideoChatGPTCaller.__new__(vcg.VideoChatGPTCaller)
+    c.n_frames = 100
+
+    class M:  # model stub exposing the tower size
+        class vcfg:
+            image_size = 224
+    c.model = M()
+    frames = np.arange(250)[:, None, None, None] * np.ones(
+        (1, 30, 40, 3), np.uint8)
+    got = c._load_frames({"frames": frames})
+    assert got.shape[0] == 100
+    ref_idx = vcg.get_seq_frames(250, 100)
+    assert [int(f[0, 0, 0]) for f in got] == [i % 256 for i in ref_idx]
+    # nearest resize (F.interpolate default): floor(i * src/dst) taps
+    import torch as _t
+
+    x = (np.random.default_rng(0).random((2, 30, 40, 3)) * 255
+         ).astype(np.uint8)
+    got = c.preprocess_video(x)
+    ref = _t.nn.functional.interpolate(
+        _t.tensor(x.transpose(0, 3, 1, 2).astype(np.float32)),
+        size=(224, 224)).permute(0, 2, 3, 1).numpy().astype(np.uint8)
+    ref = (ref.astype(np.float32) / 255.0 - vcg.IMAGE_MEAN) / vcg.IMAGE_STD
+    assert np.abs(got - ref).max() < 1e-5

@@ -146,7 +146,7 @@ def test_haar_frontend_alignment_geometry():
         frames[:, ey - 1: ey + 2, ex - 1: ex + 2] = 255
 
     box = np.asarray([25, 30, 70, 70], np.float32)
-    fe.detect_face = lambda g: box
+    fe.detect_face = lambda g, prior=None: box
     fe.detect_eyes = lambda g, b: eyes
     out, detected = fe.crop_video(frames, size=112, bgr=False)
     assert out.shape == (2, 112, 112, 3) and detected.all()
@@ -171,7 +171,7 @@ def test_haar_frontend_tracking_fallback():
     calls = {"n": 0}
     boxes = [None, np.asarray([20, 20, 60, 60], np.float32), None]
 
-    def fake_detect(g):
+    def fake_detect(g, prior=None):
         b = boxes[min(calls["n"], 2)]
         calls["n"] += 1
         return b
@@ -189,7 +189,7 @@ def test_haar_frontend_tracking_fallback():
     assert np.abs(out[1].astype(int) - out[2]).max() <= 1
 
     fe2 = HaarFaceFrontend()
-    fe2.detect_face = lambda g: None
+    fe2.detect_face = lambda g, prior=None: None
     out2, det2 = fe2.crop_video(frames, size=64)
     assert out2.shape == (1, 64, 64, 3) and not det2.any()
     assert out2.sum() == 0
