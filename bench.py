@@ -406,26 +406,37 @@ def leg_pipeline(detail: dict) -> None:
     params = jax.jit(
         lambda k: enc.init(k, np.zeros((1, 224, 224, 3), np.float32))["params"]
     )(jax.random.PRNGKey(0))
-    ex = VisionExtractor(cfg, params, batch_size=128, compute_dtype="bf16")
+    # batch_size == frames/clip: the per-clip pipelined extract pads to
+    # batch_size, so a larger batch would run junk rows through the ViT
+    ex = VisionExtractor(cfg, params, batch_size=n_frames_each,
+                         compute_dtype="bf16")
     fe = HaarFaceFrontend(min_neighbors=1, detect_every=4)
 
     def run_pipeline():
-        # two-stage host pipeline: decode(N+1) overlaps detect/crop(N)
-        # (ctypes releases the GIL during the C++ decode); the ViT forward
-        # is batched across all clips at the end and overlaps host work
-        # through jax async dispatch
+        # three-stage pipeline: decode(N+1) || detect/crop(N) ||
+        # ViT(N-1). Decode and the device forward run on their own
+        # single-thread executors (ctypes releases the GIL during the C++
+        # decode; the ViT worker spends its time in device dispatch/fetch),
+        # so the host detect/crop stage — the 1-core bottleneck — never
+        # waits on either.
         from concurrent.futures import ThreadPoolExecutor
 
-        crops = {}
-        with ThreadPoolExecutor(1) as pool:
-            fut = pool.submit(vio.decode_frames, paths[0])
+        feats = {}
+        with ThreadPoolExecutor(1) as dec_pool, \
+                ThreadPoolExecutor(1) as vit_pool:
+            fut = dec_pool.submit(vio.decode_frames, paths[0])
+            vit_futs = []
             for i, p in enumerate(paths):
                 frames = fut.result()
                 if i + 1 < len(paths):
-                    fut = pool.submit(vio.decode_frames, paths[i + 1])
+                    fut = dec_pool.submit(vio.decode_frames, paths[i + 1])
                 c, ok = fe.crop_video(frames, size=112)
-                crops[p] = c
-        return ex.extract(crops, level="UTT")
+                vit_futs.append(vit_pool.submit(
+                    lambda pp, cc: feats.update(
+                        ex.extract({pp: cc}, level="UTT")), p, c))
+            for f in vit_futs:
+                f.result()
+        return feats
 
     run_pipeline()  # warm compile + detector
     t0 = time.perf_counter()

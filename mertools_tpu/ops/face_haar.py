@@ -123,13 +123,18 @@ class HaarFaceFrontend:
                     best = boxes[np.argmax(boxes[:, 2] * boxes[:, 3]), :4]
                     return best + [x0, y0, 0, 0]
             # track lost inside the ROI: full re-acquisition sweep
+        # staged acquisition: pyramid cost scales with
+        # (frame/min_size)^2, and MER talking-head faces are large, so a
+        # coarse pass at 1.5x the minimum usually hits at ~2.25x less
+        # cost; the fine pass keeps small faces detectable
         min_size = max(32, int(self.min_size_frac * min(H_orig, W_orig)))
-        boxes = vj.detect_multiscale(
-            gray, self._face, scale_factor=self.scale_factor,
-            min_neighbors=self.min_neighbors, min_size=min_size)
-        if not len(boxes):
-            return None
-        return boxes[np.argmax(boxes[:, 2] * boxes[:, 3]), :4]
+        for ms in (int(min_size * 1.5), min_size):
+            boxes = vj.detect_multiscale(
+                gray, self._face, scale_factor=self.scale_factor,
+                min_neighbors=self.min_neighbors, min_size=ms)
+            if len(boxes):
+                return boxes[np.argmax(boxes[:, 2] * boxes[:, 3]), :4]
+        return None
 
     def detect_eyes(self, gray: np.ndarray, box: np.ndarray):
         """Eye centers ((2, 2) [x, y], left-then-right) inside `box`, or
@@ -180,8 +185,8 @@ class HaarFaceFrontend:
         """
         import jax.numpy as jnp
 
-        from .face_align import (ARCFACE_TEMPLATE, umeyama, warp_affine,
-                                 warp_affine_np)
+        from .face_align import (ARCFACE_TEMPLATE, umeyama, umeyama_np,
+                                 warp_affine, warp_affine_np)
 
         T = len(frames)
         lms = np.zeros((T, 2, 2), np.float32)
@@ -222,9 +227,7 @@ class HaarFaceFrontend:
 
         tmpl = ARCFACE_TEMPLATE[:2] * (size / 112.0)     # eye row of template
         if warp_backend == "host":
-            A = np.asarray(umeyama(jnp.asarray(lms),
-                                   jnp.broadcast_to(jnp.asarray(tmpl),
-                                                    (T, 2, 2))))
+            A = umeyama_np(lms, np.broadcast_to(tmpl, (T, 2, 2)))
             out = warp_affine_np(frames.astype(np.float32), A, size, size)
         else:
             A = umeyama(jnp.asarray(lms),

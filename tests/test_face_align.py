@@ -83,3 +83,16 @@ def test_warp_affine_np_matches_device():
     got = warp_affine_np(imgs, affines, 24, 28)
     assert got.shape == ref.shape == (3, 24, 28, 3)
     assert np.abs(got - ref).max() < 1e-2, np.abs(got - ref).max()
+
+
+def test_umeyama_np_matches_device():
+    import numpy as np
+
+    from mertools_tpu.ops.face_align import umeyama, umeyama_np
+
+    rng = np.random.default_rng(1)
+    src = rng.normal(size=(5, 2, 2)).astype(np.float32) * 30 + 50
+    dst = rng.normal(size=(5, 2, 2)).astype(np.float32) * 30 + 50
+    ref = np.asarray(umeyama(src, dst))
+    got = umeyama_np(src, dst)
+    assert np.abs(got - ref).max() < 1e-3, np.abs(got - ref).max()
