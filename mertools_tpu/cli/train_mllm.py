@@ -81,6 +81,12 @@ def build_model(mcfg: dict, amp: str | None = None):
         import dataclasses
 
         llm_cfg = dataclasses.replace(llm_cfg, remat=True)
+    if mcfg.get("seq_parallel"):
+        import dataclasses
+
+        # production sp (--n_seq): LLM attention routes through the masked
+        # causal ring over the mesh 'seq' axis (parallel/sp)
+        llm_cfg = dataclasses.replace(llm_cfg, seq_axis="seq")
     # reference YAML key aliases (train_configs/*.yaml:16-19,55):
     # *_fusion_type, num_*_query_token, face_or_frame
     alias = lambda *keys, default=None: next(
@@ -133,6 +139,11 @@ def main(argv=None):
     p.add_argument("--options", nargs="*", default=[])
     p.add_argument("--n_model", type=int, default=1,
                    help="tensor-parallel width over the mesh 'model' axis")
+    p.add_argument("--n_seq", type=int, default=1,
+                   help="sequence-parallel width over a 'seq' mesh axis: "
+                        "LLM attention runs the masked causal ring "
+                        "(parallel/sp; O(S/n) attention memory per chip). "
+                        "Composes with dp; sequence length must divide it")
     p.add_argument("--n_pipe", type=int, default=1,
                    help="pipeline-parallel stages over the mesh 'pipe' axis "
                         "(GPipe schedule; LLM layers split into equal "
@@ -183,6 +194,8 @@ def main(argv=None):
               f"(D={adim}) augment={dcfg.get('augment', True)}")
 
     amp = rcfg.get("amp")
+    if getattr(args, "n_seq", 1) > 1:
+        mcfg["seq_parallel"] = True
     model, llm_params, tokenizer = build_model(mcfg, amp)
     if tokenizer is None:
         from ..mllm.data import FakeWordTokenizer
@@ -311,7 +324,8 @@ def main(argv=None):
         params = dict(params)
         params["llm"] = overlay(params["llm"], llm_params)
 
-    n_data = jax.device_count() // (args.n_model * args.n_pipe)
+    n_seq = getattr(args, "n_seq", 1)
+    n_data = jax.device_count() // (args.n_model * args.n_pipe * n_seq)
     mesh = None
     if jax.device_count() > 1 and run_cfg.batch_size % max(n_data, 1) == 0:
         if args.n_pipe > 1:
@@ -323,6 +337,12 @@ def main(argv=None):
             assert run_cfg.batch_size % (run_cfg.n_micro or args.n_pipe) == 0
             mesh = make_pipe_mesh(args.n_pipe, n_data=n_data,
                                   n_model=args.n_model)
+        elif n_seq > 1:
+            from ..parallel.sp import make_dp_sp_mesh
+
+            assert args.n_model == 1 and args.n_pipe == 1, \
+                "--n_seq composes with dp only (no tp/pp)"
+            mesh = make_dp_sp_mesh(n_seq, n_data=n_data)
         else:
             mesh = make_mesh(n_model=args.n_model)
     elif jax.device_count() > 1:

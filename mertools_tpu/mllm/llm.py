@@ -52,6 +52,13 @@ class LLMConfig:
     # the reference's large-LLM training (runner_base AMP+accum regime)
     # in HBM. Orthogonal to flash attention and LoRA.
     remat: bool = False
+    # Sequence parallelism (round 4, production wiring of parallel/sp):
+    # name of the mesh axis the TRAINING forward shards the sequence over.
+    # Attention runs the causal masked ring (O(S/n) attention memory per
+    # chip, k/v blocks rotating over ICI); pad masking rides the ring.
+    # Requires parallel.sp.set_ambient_mesh (the Runner installs it) and
+    # use_flash_attention=False. None = no sp (default).
+    seq_axis: str | None = None
 
     @classmethod
     def tiny(cls, vocab=128, lora_r=0):
@@ -158,7 +165,15 @@ class _LLMLayer(nn.Module):
             rep = nh // nkv
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
-        if c.use_flash_attention:
+        if c.seq_axis:
+            from ..parallel.sp import mesh_ring_attention
+
+            # in sp mode the bias slot carries the (B, S) validity mask
+            # (see LLM.__call__); the ring applies causal + pad masking
+            attn = mesh_ring_attention(q, k, v, attn_bias,
+                                       seq_axis=c.seq_axis)
+            attn = attn.reshape(*x.shape[:2], H)
+        elif c.use_flash_attention:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 SegmentIds, flash_attention)
 
@@ -224,7 +239,14 @@ class LLM(nn.Module):
         B, S, _ = inputs_embeds.shape
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(S), (B, S))
-        if self.cfg.use_flash_attention:
+        if self.cfg.seq_axis:
+            assert not self.cfg.use_flash_attention, \
+                "seq_axis and use_flash_attention are mutually exclusive"
+            # sp mode: the bias slot carries the (B, S) key-validity mask
+            bias = (attention_mask.astype(jnp.int32)
+                    if attention_mask is not None
+                    else jnp.ones((B, S), jnp.int32))
+        elif self.cfg.use_flash_attention:
             from jax.experimental.pallas.ops.tpu.flash_attention import SegmentIds
 
             ids = (attention_mask.astype(jnp.int32)

@@ -95,6 +95,16 @@ class Runner:
 
             n_model = mesh.shape.get("model", 1)
             n_pipe = mesh.shape.get("pipe", 1)
+            if mesh.shape.get("seq", 1) > 1:
+                # production sequence parallelism: the LLM layers route
+                # attention through the masked causal ring
+                # (parallel/sp.mesh_ring_attention) — install the mesh the
+                # traced shard_map binds to
+                from ..parallel import sp as _sp
+
+                assert model.cfg.llm.seq_axis == "seq", \
+                    "a 'seq' mesh axis needs LLMConfig.seq_axis='seq'"
+                _sp.set_ambient_mesh(mesh)
             if n_pipe > 1:
                 # PRODUCTION pipeline parallelism: the LLM stack is split into
                 # n_pipe stages whose params are stacked on a leading stage
