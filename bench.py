@@ -583,6 +583,7 @@ def leg_serve(detail: dict) -> None:
     base = run_engine(params, "f32_1p1b")
     rbf = run_engine(params, "bf16_1p1b", compute_dtype="bf16")
     detail["serve"]["bf16_speedup"] = round(rbf / base, 2)
+    w8 = None
     try:
         from mertools_tpu.mllm.generate import quantize_llm_params_w8
 
@@ -592,12 +593,16 @@ def leg_serve(detail: dict) -> None:
         # the production serving configuration: int8 weights + bf16 compute
         r8b = run_engine(w8, "w8_bf16_1p1b", compute_dtype="bf16")
         detail["serve"]["w8_bf16_speedup"] = round(r8b / base, 2)
-        # embeds-submission variant (the multimodal-splice workload; also
-        # the round-3 comparison point): shows the host-link upload cost
-        run_engine(w8, "w8_bf16_embeds_1p1b", compute_dtype="bf16",
-                   submit_ids=False)
     except Exception as e:  # noqa: BLE001
         detail["serve"]["w8_error"] = f"{type(e).__name__}: {e}"
+    try:
+        # embeds-submission variant (the multimodal-splice workload; also
+        # the round-3 comparison point): shows the host-link upload cost
+        if w8 is not None:
+            run_engine(w8, "w8_bf16_embeds_1p1b", compute_dtype="bf16",
+                       submit_ids=False)
+    except Exception as e:  # noqa: BLE001
+        detail["serve"]["embeds_variant_error"] = f"{type(e).__name__}: {e}"
 
     # batched scan decode (generate(): the batch_generate_texts production
     # path behind ovlabel/translate/synonym CLIs) — w8 weights + int8 KV

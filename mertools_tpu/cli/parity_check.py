@@ -114,6 +114,12 @@ def _cmd_judge_parity(args):
                                 batch=args.batch, limit=args.limit)
     print(f"compared {s['n_compared']} responses against "
           f"{args.reference_responses}")
+    # zero comparisons must never read as a green verdict (name-format
+    # mismatch between label_csv and the reference CSV would otherwise
+    # silently verify nothing)
+    assert s["n_compared"] > 0, \
+        "no clip names matched between --label_csv and " \
+        "--reference_responses — nothing was verified"
     if s["mismatches"]:
         for name, ours, ref in s["mismatches"][:5]:
             print(f"MISMATCH {name}:\n  ours: {ours[:200]}\n"

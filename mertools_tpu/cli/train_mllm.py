@@ -194,8 +194,23 @@ def main(argv=None):
               f"(D={adim}) augment={dcfg.get('augment', True)}")
 
     amp = rcfg.get("amp")
-    if getattr(args, "n_seq", 1) > 1:
-        mcfg["seq_parallel"] = True
+    # decide sp viability BEFORE building the model: LLMConfig.seq_axis
+    # without a 'seq' mesh would fail at trace time with a misleading
+    # ambient-mesh assert (review finding, round 4)
+    n_seq = getattr(args, "n_seq", 1)
+    if n_seq > 1:
+        assert args.n_model == 1 and args.n_pipe == 1, \
+            "--n_seq composes with dp only (no tp/pp)"
+        _bs = int(rcfg.get("batch_size", 4))
+        _nd = jax.device_count() // n_seq
+        if jax.device_count() > 1 and _nd >= 1 and _bs % max(_nd, 1) == 0:
+            mcfg["seq_parallel"] = True
+        else:
+            print(f"--n_seq {n_seq}: not runnable with "
+                  f"{jax.device_count()} devices / batch_size {_bs}; "
+                  "running without sequence parallelism")
+            n_seq = 1
+    args.n_seq = n_seq
     model, llm_params, tokenizer = build_model(mcfg, amp)
     if tokenizer is None:
         from ..mllm.data import FakeWordTokenizer

@@ -98,13 +98,10 @@ class Runner:
             if mesh.shape.get("seq", 1) > 1:
                 # production sequence parallelism: the LLM layers route
                 # attention through the masked causal ring
-                # (parallel/sp.mesh_ring_attention) — install the mesh the
-                # traced shard_map binds to
-                from ..parallel import sp as _sp
-
+                # (parallel/sp.mesh_ring_attention); the mesh is bound
+                # around each step call below (_with_mesh)
                 assert model.cfg.llm.seq_axis == "seq", \
                     "a 'seq' mesh axis needs LLMConfig.seq_axis='seq'"
-                _sp.set_ambient_mesh(mesh)
             if n_pipe > 1:
                 # PRODUCTION pipeline parallelism: the LLM stack is split into
                 # n_pipe stages whose params are stacked on a leading stage
@@ -229,6 +226,26 @@ class Runner:
         @jax.jit
         def eval_step(state: MLLMTrainState, batch: dict):
             return compute_loss(state.params, batch)
+
+        if mesh is not None and mesh.shape.get("seq", 1) > 1:
+            # bind THIS runner's mesh around every call: tracing happens on
+            # the first invocation, and a process-global set only at
+            # __init__ would let an interleaved runner trace against the
+            # wrong mesh (and leak past this runner's lifetime)
+            from ..parallel import sp as _sp
+
+            def _with_mesh(fn):
+                def call(*a, **k):
+                    prev = _sp._AMBIENT_MESH[0]
+                    _sp.set_ambient_mesh(mesh)
+                    try:
+                        return fn(*a, **k)
+                    finally:
+                        _sp.set_ambient_mesh(prev)
+                return call
+
+            train_step = _with_mesh(train_step)
+            eval_step = _with_mesh(eval_step)
 
         self._train_step = train_step
         self._eval_step = eval_step

@@ -111,10 +111,13 @@ def temporal_tiebreak(T: int) -> np.ndarray:
     return np.arange(T, 0, -1, dtype=np.float32)[None]
 
 
-def _frame_stage(feats: jnp.ndarray, t_tiebreak: jnp.ndarray,
-                 n_temporal: int, tk: int):
-    """(T, S, C) patch features -> per-frame level tokens
-    ((T,64,C),(T,32,C),(T,16,C)) + temporal cluster assignment (T,)."""
+def _frame_stage(feats: jnp.ndarray, frame_mask: jnp.ndarray,
+                 t_tiebreak: jnp.ndarray, n_temporal: int, tk: int):
+    """(T_b, S, C) patch features (padded to a 16-frame bucket) ->
+    per-frame level tokens ((T_b,64,C),(T_b,32,C),(T_b,16,C)) + temporal
+    cluster assignment (T_b,). Padded frames cluster to garbage rows that
+    the event stage's masks drop; the temporal clustering masks them out
+    (pad-invariance: tests/test_token_cluster.py)."""
     levels = []
     x = feats
     for rate, k in zip(SPATIAL_RATES, SPATIAL_KS):
@@ -122,8 +125,9 @@ def _frame_stage(feats: jnp.ndarray, t_tiebreak: jnp.ndarray,
         a = dpc_knn_assign(x, n_cl, ctm_k(n_cl, k))
         x = merge_by_cluster(x, a, n_cl)
         levels.append(x)
-    cls = jnp.mean(feats, axis=1)[None]  # (1, T, C) — arch.py:135
+    cls = jnp.mean(feats, axis=1)[None]  # (1, T_b, C) — arch.py:135
     t_assign = dpc_knn_assign(cls, n_temporal, ctm_k(n_temporal, tk),
+                              mask=frame_mask[None],
                               tiebreak=t_tiebreak)[0]
     return levels[0], levels[1], levels[2], t_assign
 
@@ -179,17 +183,33 @@ class ChatUniVi:
     def features_from_patches(self, feats) -> np.ndarray:
         """(T, S, C) tower patch features -> (E*112, H_llm). Split out so
         parity tests can feed both paths bit-identical features (cluster
-        assignment is discontinuous in its input)."""
-        feats = jnp.asarray(feats)
+        assignment is discontinuous in its input).
+
+        T is padded (masked) to a 16-frame bucket so ragged clip lengths
+        share compiled shapes: within one bucket ceil(T/16) is constant,
+        so (bucket, n_temporal, E) are all static — one compile per
+        bucket instead of one per distinct length (review finding,
+        round 4)."""
+        feats = np.asarray(feats)
         T = feats.shape[0]
-        n_temporal = ctm_cluster_num(T, TEMPORAL_RATE)
+        n_temporal = ctm_cluster_num(T, TEMPORAL_RATE)  # from REAL T
+        Tb = ((T + 15) // 16) * 16
+        fmask = np.zeros(Tb, np.float32)
+        fmask[:T] = 1.0
+        if Tb != T:
+            feats = np.concatenate(
+                [feats, np.zeros((Tb - T,) + feats.shape[1:],
+                                 feats.dtype)], 0)
+        # real frames keep EXACTLY the unpadded tie-break values
+        tb = np.zeros((1, Tb), np.float32)
+        tb[0, :T] = temporal_tiebreak(T)[0]
         l0, l1, l2, t_assign = self._frame_stage(
-            feats, jnp.asarray(temporal_tiebreak(T)),
+            jnp.asarray(feats), jnp.asarray(fmask), jnp.asarray(tb),
             n_temporal=n_temporal, tk=TEMPORAL_K)
-        events = events_from_assign(np.asarray(t_assign))
+        events = events_from_assign(np.asarray(t_assign)[:T])
         E = len(events)
-        ev_idx = np.zeros((E, T), np.int32)
-        ev_mask = np.zeros((E, T), np.float32)
+        ev_idx = np.zeros((E, Tb), np.int32)
+        ev_mask = np.zeros((E, Tb), np.float32)
         for e, frames in enumerate(events):
             ev_idx[e, : len(frames)] = frames
             ev_mask[e, : len(frames)] = 1.0
@@ -316,7 +336,10 @@ class ChatUniViCaller:
             from ..io import video as vio
 
             frames = vio.decode_frames(sample["video_path"])
-            fps = float(sample.get("fps", 25.0))
+            # the reference strides by the container's REAL average fps
+            # (vreader.get_avg_fps(), utils/chatunivi.py:89-96)
+            fps = float(sample.get("fps") or
+                        vio.video_info(sample["video_path"])["fps"] or 25.0)
         stride = max(int(round(fps / self.video_framerate)), 1)
         pos = list(range(0, len(frames), stride))
         if len(pos) > self.max_frames:

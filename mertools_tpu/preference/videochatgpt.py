@@ -256,8 +256,12 @@ class VideoChatGPTCaller:
 
     def prompt_ids(self, prompt: str) -> np.ndarray:
         """Reference prompt assembly: hard cuts (utils/videochatgpt.py:50-56),
-        ``video-chatgpt_v1`` conversation, ``<video>`` -> start+356+end."""
-        text = prompt[:1536][:1200]
+        ``video-chatgpt_v1`` conversation, ``<video>`` -> start+356+end.
+
+        The reference applies text[:1536] (every turn) then text[:1200]
+        (first video turn) back-to-back on the same string, so for this
+        single-turn protocol the composition is exactly the 1200 cut."""
+        text = prompt[:1200]
         if DEFAULT_VIDEO_TOKEN not in text:
             text = text + "\n" + DEFAULT_VIDEO_TOKEN
         full = f"{SYSTEM} USER: {text} ASSISTANT:"
