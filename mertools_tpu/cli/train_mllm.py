@@ -324,21 +324,6 @@ def main(argv=None):
                 b = build_batch(samples, tokenizer, model.num_av_tokens, vml)
             val_batches.append(_pad_seq_to_multiple(b, 32, vml))
 
-    batch0 = next(it)
-    params = model.init(jax.random.PRNGKey(int(rcfg.get("seed", 42))),
-                        batch0)["params"]
-    if llm_params is not None:
-        # path-based overlay: converted HF weights replace the init values;
-        # leaves absent from the checkpoint (LoRA a/b) keep their init
-        def overlay(cur, new):
-            out = dict(cur)
-            for k, v in new.items():
-                out[k] = overlay(cur[k], v) if isinstance(v, dict) else v
-            return out
-
-        params = dict(params)
-        params["llm"] = overlay(params["llm"], llm_params)
-
     n_seq = getattr(args, "n_seq", 1)
     n_data = jax.device_count() // (args.n_model * args.n_pipe * n_seq)
     mesh = None
@@ -363,6 +348,33 @@ def main(argv=None):
     elif jax.device_count() > 1:
         print(f"batch_size {run_cfg.batch_size} not divisible by data axis "
               f"{n_data}; running single-device")
+
+    batch0 = next(it)
+    if n_seq > 1 and mesh is not None:
+        # init traces the full forward (incl. the ring): pad the trace
+        # batch to the 'seq' multiple and bind the mesh for the trace
+        from ..mllm.runner import _pad_batch_seq
+        from ..parallel import sp as _sp
+
+        batch0 = _pad_batch_seq(batch0, n_seq)
+        _sp.set_ambient_mesh(mesh)
+    try:
+        params = model.init(jax.random.PRNGKey(int(rcfg.get("seed", 42))),
+                            batch0)["params"]
+    finally:
+        if n_seq > 1 and mesh is not None:
+            _sp.set_ambient_mesh(None)
+    if llm_params is not None:
+        # path-based overlay: converted HF weights replace the init values;
+        # leaves absent from the checkpoint (LoRA a/b) keep their init
+        def overlay(cur, new):
+            out = dict(cur)
+            for k, v in new.items():
+                out[k] = overlay(cur[k], v) if isinstance(v, dict) else v
+            return out
+
+        params = dict(params)
+        params["llm"] = overlay(params["llm"], llm_params)
     runner = Runner(run_cfg, model, params, mesh=mesh)
     if mesh is not None and mesh.shape.get("model", 1) > 1:
         from jax.sharding import PartitionSpec as P

@@ -76,6 +76,26 @@ class RunnerConfig:
     n_micro: int = 0
 
 
+_SEQ_KEYS = {"input_ids": 0, "attention_mask": 0, "labels": -100}
+
+
+def _pad_batch_seq(batch: dict, n: int) -> dict:
+    """Right-pad the (B, S) text-sequence arrays so S divides the 'seq'
+    mesh axis (ring attention shards S; pads carry mask 0 / label -100,
+    so they are inert in attention and loss)."""
+    S = np.asarray(batch["input_ids"]).shape[1]
+    pad = (-S) % n
+    if pad == 0:
+        return batch
+    out = dict(batch)
+    for key, fill in _SEQ_KEYS.items():
+        if key in out:
+            v = np.asarray(out[key])
+            out[key] = np.pad(v, ((0, 0), (0, pad)),
+                              constant_values=fill)
+    return out
+
+
 class Runner:
     def __init__(self, cfg: RunnerConfig, model: AffectGPT, params: dict,
                  mesh=None):
@@ -181,10 +201,12 @@ class Runner:
                     self.state, NamedSharding(mesh, P()))
             self._batch_sharding = lambda v: NamedSharding(
                 mesh, P("data", *([None] * (np.asarray(v).ndim - 1))))
+            self._n_seq = mesh.shape.get("seq", 1)
         else:
             self.state = MLLMTrainState.create(
                 apply_fn=model.apply, params=params, tx=tx)
             self._batch_sharding = None
+            self._n_seq = 1
         self._history: list[dict] = []
 
         if cfg.compute_dtype == "bf16":
@@ -253,6 +275,8 @@ class Runner:
     def place(self, batch: dict) -> dict:
         if self._batch_sharding is None:
             return batch
+        if self._n_seq > 1:
+            batch = _pad_batch_seq(batch, self._n_seq)
         return {k: jax.device_put(np.asarray(v), self._batch_sharding(v))
                 for k, v in batch.items()}
 

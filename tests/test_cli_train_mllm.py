@@ -217,3 +217,48 @@ run:
     assert "val_loss" in logs
     assert "best val loss" in logs
     assert (tmp_path / "out" / "checkpoint_best").exists()
+
+
+def test_train_mllm_n_seq_end_to_end(tmp_path):
+    """--n_seq 2 on the 8-device CPU mesh: the production sp path (ring
+    attention in the LLM, batch seq padded to the 'seq' multiple) trains
+    end-to-end and checkpoints."""
+    rng = np.random.default_rng(1)
+    fv = tmp_path / "v"; fa = tmp_path / "a"
+    fv.mkdir(); fa.mkdir()
+    names = [f"c{i}" for i in range(8)]
+    for n in names:
+        np.save(fv / f"{n}.npy", rng.normal(size=(5, 12)).astype(np.float32))
+        np.save(fa / f"{n}.npy", rng.normal(size=(4, 10)).astype(np.float32))
+    (tmp_path / "openset.csv").write_text(
+        "name,openset\n" + "\n".join(f"{n},happy" for n in names) + "\n")
+    (tmp_path / "reason.csv").write_text(
+        "name,reason\n" + "\n".join(f"{n},a smiling person" for n in names)
+        + "\n")
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"""
+model:
+  llm_checkpoint: tiny
+  vocab_size: 96
+  lora_r: 2
+  video_dim: 12
+  audio_dim: 10
+  video_queries: 4
+  audio_queries: 2
+  max_video_frames: 8
+datasets:
+  openset_csv: {tmp_path}/openset.csv
+  reason_csv: {tmp_path}/reason.csv
+  video_feat_dir: {fv}
+  audio_feat_dir: {fa}
+run:
+  max_epoch: 1
+  iters_per_epoch: 2
+  batch_size: 4
+  warmup_steps: 1
+  max_len: 64
+  output_dir: {tmp_path}/out
+""")
+    from mertools_tpu.cli.train_mllm import main
+    main([f"--config={cfg}", "--n_seq", "2"])
+    assert (tmp_path / "out" / "checkpoint_0").exists()
