@@ -96,16 +96,14 @@ def _step_inner(cfg, params, toks, positions, write_idx, kv_mask,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_steps", "temperature", "top_p",
-                                    "repetition_penalty", "eos", "max_new",
-                                    "max_len"),
+                                    "repetition_penalty", "eos", "max_len"),
                    donate_argnames=("k_cache", "v_cache", "seen", "next_tok",
                                     "cur_len", "write_at", "kv_mask",
                                     "active", "gen_count"))
 def _decode_chunk(cfg, params, next_tok, cur_len, write_at, kv_mask,
-                  k_cache, v_cache, active, gen_count, key, seen, *,
+                  k_cache, v_cache, active, gen_count, key, seen, max_new, *,
                   n_steps: int, temperature: float, top_p: float,
-                  repetition_penalty: float, eos: int, max_new: int,
-                  max_len: int):
+                  repetition_penalty: float, eos: int, max_len: int):
     """Advance every active slot by up to ``n_steps`` tokens on device.
 
     A ``lax.while_loop`` (early exit when every slot finishes) whose carry
@@ -115,6 +113,8 @@ def _decode_chunk(cfg, params, next_tok, cur_len, write_at, kv_mask,
     that hit EOS / their token budget / the cache end deactivate in-loop;
     the host learns about it from the returned (B, n_steps) token matrix
     (-1 marks not-generated) — ONE device->host transfer per chunk.
+    ``max_new`` is a PER-SLOT (B,) int32 budget (round 5: per-request
+    max_new_tokens, the vLLM SamplingParams.max_tokens equivalent).
 
     ALL per-slot state is device-resident between chunks (round 4): the
     final carry is returned and fed back verbatim, so a chunk costs one
@@ -167,17 +167,17 @@ def _decode_chunk(cfg, params, next_tok, cur_len, write_at, kv_mask,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "temperature", "top_p",
-                                    "repetition_penalty", "eos", "max_new",
-                                    "bucket"),
+                                    "repetition_penalty", "eos", "bucket"),
                    donate_argnames=("k_cache", "v_cache", "seen", "next_tok",
                                     "cur_len", "write_at", "kv_mask",
-                                    "active", "gen_count"))
+                                    "active", "gen_count", "max_new_slots"))
 def _admit_fused(cfg, params, input_ids, inputs_embeds, attn_mask, slots,
                  row_len, pen_ids, pen_mask, k_cache, v_cache,
                  next_tok, cur_len, write_at, kv_mask, active, gen_count,
-                 key, seen, prefix=None, prefix_ids=None, *,
+                 key, seen, req_max_new, max_new_slots,
+                 prefix=None, prefix_ids=None, *,
                  bucket: int, temperature: float, top_p: float,
-                 repetition_penalty: float, eos: int, max_new: int):
+                 repetition_penalty: float, eos: int):
     """One-dispatch admission: prefill a same-bucket group (from token ids
     when ``inputs_embeds`` is None, else from embeddings), sample each
     row's first token, scatter the group's suffix KV into its slots, and
@@ -230,11 +230,13 @@ def _admit_fused(cfg, params, input_ids, inputs_embeds, attn_mask, slots,
     write_at = write_at.at[slots].set(P + bucket)
     next_tok = next_tok.at[slots].set(toks)
     gen_count = gen_count.at[slots].set(1)
+    max_new_slots = max_new_slots.at[slots].set(req_max_new)
     # a slot whose FIRST token already ends it (EOS / max_new <= 1) never
     # activates — mirrors the host-side _Request.done decision
-    live = (toks != eos) & (max_new > 1)
+    live = (toks != eos) & (req_max_new > 1)
     active = active.at[slots].set(live)
-    state = (next_tok, cur_len, write_at, kv_mask, active, gen_count)
+    state = (next_tok, cur_len, write_at, kv_mask, active, gen_count,
+             max_new_slots)
     return toks, k_cache, v_cache, state, seen, key
 
 
@@ -244,6 +246,7 @@ class _Request:
     n_prompt: int
     tokens: list = field(default_factory=list)
     done: bool = False
+    max_new: int = 1 << 30  # per-request token budget (engine default)
 
 
 class ContinuousBatcher:
@@ -337,6 +340,9 @@ class ContinuousBatcher:
             "kv_mask": jnp.zeros((n_slots, max_len), bool),
             "active": jnp.zeros(n_slots, bool),
             "gen_count": jnp.zeros(n_slots, jnp.int32),
+            # per-slot token budget (round 5: per-request max_new_tokens,
+            # the vLLM SamplingParams.max_tokens equivalent)
+            "max_new": jnp.full(n_slots, max_new_tokens, jnp.int32),
         }
         self.slot_req: list = [None] * n_slots
         self._next_rid = 0
@@ -346,7 +352,7 @@ class ContinuousBatcher:
 
     # -- request admission ---------------------------------------------------
     def submit(self, prompt_embeds: np.ndarray | None = None,
-               prompt_ids=None) -> int:
+               prompt_ids=None, max_new_tokens: int | None = None) -> int:
         """Queue a request. Two forms:
 
         * ``submit(prompt_ids=ids)`` — TOKEN-ID submission (preferred for
@@ -358,17 +364,25 @@ class ContinuousBatcher:
           repetition penalty (vLLM semantics: prompt + output); omit for
           penalty-free serving.
 
+        ``max_new_tokens`` caps THIS request's output (per-request
+        SamplingParams.max_tokens); None = the engine default. Must not
+        exceed the engine's ``max_new_tokens`` (the cache budget reserves
+        that much room per slot).
+
         Returns request id."""
         rid = self._next_rid
         self._next_rid += 1
+        mn = self.max_new if max_new_tokens is None else int(max_new_tokens)
+        assert 1 <= mn <= self.max_new, \
+            f"per-request max_new_tokens {mn} outside [1, {self.max_new}]"
         pids = None if prompt_ids is None else np.asarray(prompt_ids,
                                                           np.int64)
         if prompt_embeds is None:
             assert pids is not None, "submit() needs embeds or prompt_ids"
-            self.queue.append((rid, None, pids))
+            self.queue.append((rid, None, pids, mn))
         else:
             self.queue.append((rid, np.asarray(prompt_embeds, np.float32),
-                               pids))
+                               pids, mn))
         return rid
 
     def _bucket(self, n):
@@ -382,16 +396,16 @@ class ContinuousBatcher:
         if not (free and self.queue):
             return
         take = min(len(free), len(self.queue))
-        pending = []  # (slot, rid, emb|None truncated, ids|None, bucket)
+        pending = []  # (slot, rid, emb|None truncated, ids|None, bucket, mn)
         for slot in free[:take]:
-            rid, emb, pids = self.queue.pop(0)
+            rid, emb, pids, mn = self.queue.pop(0)
             n = len(emb) if emb is not None else len(pids)
             S = min(n, self.max_len - self.max_new - self.P)
             pad = self._bucket(S)
             S = min(S, pad)  # prompts beyond the largest bucket truncate
             pending.append((slot, rid,
                             None if emb is None else emb[:S],
-                            None if pids is None else pids[:S], pad))
+                            None if pids is None else pids[:S], pad, mn))
         if self.admit_batched:
             # one prefill per (kind, bucket) for ALL admitted requests:
             # B=1 serial prefills leave the MXU idle exactly when the queue
@@ -430,9 +444,11 @@ class ContinuousBatcher:
         # scatter drops them)
         slots_pad = np.full(B, self.n_slots, np.int64)
         row_len = np.zeros(B, np.int32)
+        req_mn = np.full(B, self.max_new, np.int32)
         P = self.P
-        for b, (slot, _, emb, pids, _) in enumerate(grp):
+        for b, (slot, _, emb, pids, _, mn) in enumerate(grp):
             slots_pad[b] = slot
+            req_mn[b] = mn
             S = len(emb) if emb is not None else len(pids)
             row_len[b] = P + S
             if pids is not None:
@@ -456,13 +472,14 @@ class ContinuousBatcher:
                 jnp.asarray(cmask), self.k_cache, self.v_cache,
                 d["next_tok"], d["cur_len"], d["write_at"], d["kv_mask"],
                 d["active"], d["gen_count"], self._key, self.seen,
+                jnp.asarray(req_mn), d["max_new"],
                 prefix=self.prefix, prefix_ids=self.prefix_ids,
                 bucket=bucket, temperature=self.temperature,
                 top_p=self.top_p,
                 repetition_penalty=self.repetition_penalty,
-                eos=self.eos, max_new=self.max_new)
+                eos=self.eos)
         (d["next_tok"], d["cur_len"], d["write_at"], d["kv_mask"],
-         d["active"], d["gen_count"]) = state
+         d["active"], d["gen_count"], d["max_new"]) = state
         # DON'T download the first tokens yet: that sync would stall the
         # host between the admission dispatch and the chunk dispatch (a
         # full host-link RTT while the device sits idle). Device state is
@@ -470,7 +487,7 @@ class ContinuousBatcher:
         # deferred to _resolve_admits(), which runs after the next chunk
         # is in flight. Slots are optimistically active until then (a
         # first-token EOS deactivated them on DEVICE already via `live`).
-        for b, (slot, rid, emb, pids, _) in enumerate(grp):
+        for b, (slot, rid, emb, pids, _, mn) in enumerate(grp):
             S = len(emb) if emb is not None else len(pids)
             self.kv_mask[slot] = False
             self.kv_mask[slot, : P + S] = True
@@ -484,15 +501,15 @@ class ContinuousBatcher:
         request bookkeeping (must run before replaying a chunk's output)."""
         for toks, grp in self._pending_admits:
             first = np.asarray(toks)[: len(grp)]
-            for b, (slot, rid, emb, pids, _) in enumerate(grp):
+            for b, (slot, rid, emb, pids, _, mn) in enumerate(grp):
                 S = len(emb) if emb is not None else len(pids)
                 tok = int(first[b])
                 self.next_tok[slot] = tok
                 # the admission token counts toward max_new (generate()
                 # emits the prefill-sampled token first): max_new <= 1
                 # finishes here, matching generate(max_new_tokens=1)
-                req = _Request(rid, S, tokens=[tok],
-                               done=tok == self.eos or self.max_new <= 1)
+                req = _Request(rid, S, tokens=[tok], max_new=mn,
+                               done=tok == self.eos or mn <= 1)
                 self.slot_req[slot] = req
                 if req.done:
                     self._finish(slot)
@@ -524,11 +541,11 @@ class ContinuousBatcher:
                 self.cfg, self.params,
                 d["next_tok"], d["cur_len"], d["write_at"], d["kv_mask"],
                 self.k_cache, self.v_cache, d["active"], d["gen_count"],
-                self._key, self.seen,
+                self._key, self.seen, d["max_new"],
                 n_steps=self.chunk, temperature=self.temperature,
                 top_p=self.top_p,
                 repetition_penalty=self.repetition_penalty,
-                eos=self.eos, max_new=self.max_new, max_len=self.max_len)
+                eos=self.eos, max_len=self.max_len)
         (d["next_tok"], d["cur_len"], d["write_at"], d["kv_mask"],
          d["active"], d["gen_count"]) = state
         # the chunk is in flight; NOW pay the admission-token download
@@ -550,7 +567,7 @@ class ContinuousBatcher:
                 self.write_at[slot] += 1
                 req = self.slot_req[slot]
                 req.tokens.append(tok)
-                if (tok == self.eos or len(req.tokens) >= self.max_new
+                if (tok == self.eos or len(req.tokens) >= req.max_new
                         or self.write_at[slot] >= self.max_len):
                     self._finish(slot)
                 else:
