@@ -52,6 +52,15 @@ class LLMConfig:
     # the reference's large-LLM training (runner_base AMP+accum regime)
     # in HBM. Orthogonal to flash attention and LoRA.
     remat: bool = False
+    # Rematerialization policy when remat=True. "full" (default) recomputes
+    # the whole layer on backward (~1/3 extra FLOPs: the 6NT train cost
+    # becomes 8NT of actual work, capping 6NT-accounted MFU at 0.75x the
+    # hardware utilization). "dots" saves every matmul output
+    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) and
+    # recomputes only the cheap elementwise/norm ops — near-zero extra
+    # MXU work for ~2x the activation memory of full remat. Use "dots"
+    # whenever the config fits HBM; it is the round-5 MFU lever.
+    remat_policy: str = "full"  # "full" | "dots"
     # Sequence parallelism (round 4, production wiring of parallel/sp):
     # name of the mesh axis the TRAINING forward shards the sequence over.
     # Attention runs the causal masked ring (O(S/n) attention memory per
@@ -219,7 +228,14 @@ class LLM(nn.Module):
         c = self.cfg
         self.embed_tokens = nn.Embed(c.vocab_size, c.hidden_size,
                                      name="embed_tokens")
-        layer_cls = nn.remat(_LLMLayer) if c.remat else _LLMLayer
+        if c.remat and c.remat_policy == "dots":
+            layer_cls = nn.remat(
+                _LLMLayer,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        elif c.remat:
+            layer_cls = nn.remat(_LLMLayer)
+        else:
+            layer_cls = _LLMLayer
         self.layers = [layer_cls(c, self.precision, name=f"layer_{i}")
                        for i in range(c.num_layers)]
         self.norm = RMSNorm(c.rms_norm_eps, name="norm")
