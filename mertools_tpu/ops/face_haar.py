@@ -57,6 +57,16 @@ class HaarFaceFrontend:
     scale_factor: float = 1.05
     min_size_frac: float = 0.2      # min face size vs min(H, W)
     detect_every: int = 1           # detect every k-th frame, track between
+    # tracking gate (round 5): a detection wildly inconsistent with the
+    # live track (scale ratio > gate_scale or center jump > gate_shift x
+    # the prior size) is rejected — occluders make the full-sweep fallback
+    # fire on false SMALL sub-patterns (w ~0.4-0.8x face scale vs the
+    # real ~1.7x) that would hijack the track. After ``gate_patience``
+    # consecutive rejections the candidate is accepted anyway (a real
+    # shot cut looks exactly like a huge jump).
+    gate_scale: float = 1.45
+    gate_shift: float = 0.5
+    gate_patience: int = 8
     # run the eye cascade only on every k-th DETECTION frame while the
     # track holds (eye offsets relative to the box are reused between,
     # scaled with the box) — eyes move with the face; re-detection mostly
@@ -136,10 +146,17 @@ class HaarFaceFrontend:
                 return boxes[np.argmax(boxes[:, 2] * boxes[:, 3]), :4]
         return None
 
-    def detect_eyes(self, gray: np.ndarray, box: np.ndarray):
+    def detect_eyes(self, gray: np.ndarray, box: np.ndarray,
+                    size_ref: float | None = None):
         """Eye centers ((2, 2) [x, y], left-then-right) inside `box`, or
-        None when the eye cascade can't find a consistent pair."""
+        None when the eye cascade can't find a consistent pair.
+
+        ``size_ref``: face-box width the eye SIZE/SPAN gates scale with
+        (defaults to the box width). Pass the tracked face width when the
+        search ``box`` is a widened reacquisition ROI — otherwise the
+        gates inflate with the ROI and reject the true pair."""
         x, y, w, h = box
+        w_ref = float(w if size_ref is None else size_ref)
         y0, y1 = int(y + 0.12 * h), int(y + 0.58 * h)
         x0, x1 = int(max(0, x)), int(x + w)
         roi = gray[max(0, y0): y1, x0: x1]
@@ -147,7 +164,7 @@ class HaarFaceFrontend:
             return None
         eyes = vj.detect_multiscale(
             roi, self._eye, scale_factor=1.1, min_neighbors=2,
-            min_size=max(10, int(0.12 * w)), max_size=int(0.45 * w))
+            min_size=max(10, int(0.12 * w_ref)), max_size=int(0.45 * w_ref))
         if len(eyes) < 2:
             return None
         centers = eyes[:, :2] + eyes[:, 2:4] / 2.0
@@ -157,7 +174,7 @@ class HaarFaceFrontend:
             for j in range(i + 1, min(4, len(centers))):
                 a, b = centers[i], centers[j]
                 dx, dy = abs(a[0] - b[0]), abs(a[1] - b[1])
-                if dx > 0.25 * w and dy < 0.25 * dx:
+                if dx > 0.25 * w_ref and dy < 0.25 * dx:
                     pair = np.stack(sorted([a, b], key=lambda p: p[0]))
                     score = eyes[i, 4] + eyes[j, 4]
                     if best is None or score > best[0]:
@@ -171,6 +188,131 @@ class HaarFaceFrontend:
             x, y, w, h = box
             eyes = np.asarray([x, y], np.float32) + _EYE_FRAC * [w, h]
         return eyes
+
+    def reacquire_from_eyes(self, gray: np.ndarray, prior: np.ndarray,
+                            eye_off: np.ndarray | None = None):
+        """Occlusion-robust reacquisition (round 5, VERDICT r4 next #4):
+        when the full-face cascade misses inside the tracked ROI (mouth/chin
+        occluders defeat the frontal stages — hard-protocol severe-occlusion
+        rate 0.38), the EYES usually stay visible. Search the eye cascade in
+        a widened prior ROI, and if a plausible pair is found, reconstruct
+        the face box from the pair via the track's own eye-offset fractions
+        (``eye_off``, landmarks relative to the box; defaults to the frontal
+        prior ``_EYE_FRAC``). OpenFace's CE-CLM tracks through partial
+        occlusion the same way — from the landmarks that remain visible
+        (extract_openface.py:81-97 relies on that behavior).
+
+        Returns (box, eyes) or None. Gated on scale/center plausibility vs
+        the prior so a background pair can't teleport the track."""
+        off = _EYE_FRAC if eye_off is None else eye_off
+        x, y, w, h = (float(prior[0]), float(prior[1]),
+                      float(prior[2]), float(prior[3]))
+        # widened ROI (the face may drift during the dropout)
+        mx, my = 0.35 * w, 0.35 * h
+        roi_box = np.asarray([x - mx, y - my, w + 2 * mx, h + 2 * my])
+        eyes = self.detect_eyes(gray, roi_box, size_ref=w)
+        if eyes is None:
+            return None
+        span_frac = float(off[1, 0] - off[0, 0])
+        if span_frac <= 0.05:
+            return None
+        w_new = float(eyes[1, 0] - eyes[0, 0]) / span_frac
+        h_new = w_new * (h / w)
+        x_new = float(np.mean(eyes[:, 0] - off[:, 0] * w_new))
+        y_new = float(np.mean(eyes[:, 1] - off[:, 1] * h_new))
+        scale = w_new / w
+        cx_new, cy_new = x_new + w_new / 2, y_new + h_new / 2
+        cx, cy = x + w / 2, y + h / 2
+        if not (0.6 <= scale <= 1.6):
+            return None
+        if abs(cx_new - cx) > 0.6 * w or abs(cy_new - cy) > 0.6 * h:
+            return None
+        return (np.asarray([x_new, y_new, w_new, h_new], np.float64),
+                eyes.astype(np.float32))
+
+    def _gate_ok(self, prior: np.ndarray, box: np.ndarray) -> bool:
+        """Is a new detection consistent with the live track? (See
+        ``gate_scale``/``gate_shift``.)"""
+        pw, ph = float(prior[2]), float(prior[3])
+        s_prior = np.sqrt(pw * ph)
+        s_new = np.sqrt(float(box[2]) * float(box[3]))
+        ratio = max(s_new / s_prior, s_prior / s_new)
+        if ratio > self.gate_scale:
+            return False
+        dcx = (float(box[0]) + float(box[2]) / 2) - (float(prior[0]) + pw / 2)
+        dcy = (float(box[1]) + float(box[3]) / 2) - (float(prior[1]) + ph / 2)
+        return np.hypot(dcx, dcy) <= self.gate_shift * max(pw, ph)
+
+    def track_video(self, frames: np.ndarray):
+        """Per-frame face track over a clip. Returns a dict:
+
+        * ``lms`` (T, 2, 2) eye landmarks driving the crops,
+        * ``boxes`` (T, 4) the track's box geometry (NaN before the first
+          acquisition — whole-clip miss),
+        * ``source`` (T,) int8: 0 = held/none (geometry reused from the
+          last confident frame or a skipped detect_every frame), 1 = face
+          cascade hit, 2 = eye-pair reacquisition (round 5: occlusion
+          dropouts re-measure from the still-visible eyes instead of
+          holding blind),
+        * ``detected`` (T,) bool = source > 0.
+        """
+        T = len(frames)
+        lms = np.zeros((T, 2, 2), np.float32)
+        boxes = np.full((T, 4), np.nan)
+        source = np.zeros(T, np.int8)
+        state = None                      # (box, landmarks)
+        eye_off = None                    # landmarks relative to box (frac)
+        n_det = 0                         # detection-frame counter
+        n_reject = 0                      # consecutive gate rejections
+        pending = []                      # frames before the first detection
+        for t in range(T):
+            tracked = state is not None
+            if t % self.detect_every != 0 and tracked:
+                lms[t], boxes[t] = state[1], state[0]
+                continue  # tracked frame: no gray conversion, no detector
+            g = _gray(frames[t].astype(np.float32))
+            box = self.detect_face(g, prior=state[0] if tracked else None)
+            if (box is not None and tracked
+                    and not self._gate_ok(state[0], box)):
+                n_reject += 1
+                if n_reject <= self.gate_patience:
+                    box = None  # implausible jump: treat as a miss
+                else:
+                    n_reject = 0  # patience exhausted: accept (shot cut)
+            if box is not None:
+                n_reject = 0
+                x, y, w, h = (float(box[0]), float(box[1]),
+                              float(box[2]), float(box[3]))
+                if (eye_off is not None and tracked
+                        and n_det % max(1, self.eye_every) != 0):
+                    lm = (np.asarray([x, y], np.float32)
+                          + eye_off * [w, h])
+                else:
+                    lm = self.landmarks_for_frame(g, box)
+                    eye_off = ((lm - [x, y]) / [w, h]).astype(np.float32)
+                n_det += 1
+                state = (box, lm)
+                source[t] = 1
+                for p in pending:         # backfill leading frames
+                    lms[p], boxes[p] = state[1], state[0]
+                pending.clear()
+            elif tracked:
+                # face cascade missed (occluder / extreme frame): try the
+                # eye-pair reacquisition before falling back to a blind hold
+                re = self.reacquire_from_eyes(g, state[0], eye_off)
+                if re is not None:
+                    rbox, lm = re
+                    eye_off = ((lm - [rbox[0], rbox[1]])
+                               / [rbox[2], rbox[3]]).astype(np.float32)
+                    n_det += 1
+                    state = (rbox, lm)
+                    source[t] = 2
+            if state is None:
+                pending.append(t)
+            else:
+                lms[t], boxes[t] = state[1], state[0]
+        return {"lms": lms, "boxes": boxes, "source": source,
+                "detected": source > 0, "acquired": state is not None}
 
     def crop_video(self, frames: np.ndarray, size: int = 112,
                    bgr: bool = True, warp_backend: str = "host"):
@@ -189,40 +331,9 @@ class HaarFaceFrontend:
                                  warp_affine, warp_affine_np)
 
         T = len(frames)
-        lms = np.zeros((T, 2, 2), np.float32)
-        detected = np.zeros(T, bool)
-        state = None                      # (box, landmarks)
-        eye_off = None                    # landmarks relative to box (frac)
-        n_det = 0                         # detection-frame counter
-        pending = []                      # frames before the first detection
-        for t in range(T):
-            tracked = state is not None
-            if t % self.detect_every != 0 and tracked:
-                lms[t] = state[1]
-                continue  # tracked frame: no gray conversion, no detector
-            g = _gray(frames[t].astype(np.float32))
-            box = self.detect_face(g, prior=state[0] if tracked else None)
-            if box is not None:
-                x, y, w, h = (float(box[0]), float(box[1]),
-                              float(box[2]), float(box[3]))
-                if (eye_off is not None and tracked
-                        and n_det % max(1, self.eye_every) != 0):
-                    lm = (np.asarray([x, y], np.float32)
-                          + eye_off * [w, h])
-                else:
-                    lm = self.landmarks_for_frame(g, box)
-                    eye_off = ((lm - [x, y]) / [w, h]).astype(np.float32)
-                n_det += 1
-                state = (box, lm)
-                detected[t] = True
-                for p in pending:         # backfill leading frames
-                    lms[p] = state[1]
-                pending.clear()
-            if state is None:
-                pending.append(t)
-            else:
-                lms[t] = state[1]
-        if state is None:
+        track = self.track_video(frames)
+        lms, detected = track["lms"], track["detected"]
+        if not track["acquired"]:
             return np.zeros((1, size, size, 3), np.uint8), detected
 
         tmpl = ARCFACE_TEMPLATE[:2] * (size / 112.0)     # eye row of template

@@ -195,6 +195,69 @@ def test_hard_protocol_fidelity():
 
 
 @needs_cascades
+def test_video_track_through_occlusion():
+    """Round-5 protocol (VERDICT r4 next #4): clips are VIDEO — a severe
+    mouth occluder appearing mid-clip must not kill the track. The frontend
+    holds the last confident geometry, and reacquires from the still-visible
+    EYE pair (``reacquire_from_eyes``), so the per-frame usable-geometry
+    rate stays high where the per-image protocol collapses to 0.38.
+    Per-frame IoU of the OUTPUT boxes vs ground truth is reported honestly
+    (held/eye-reacquired geometry is approximate by construction)."""
+    from mertools_tpu.ops.face_haar import HaarFaceFrontend, core_face_box
+
+    fe = HaarFaceFrontend(min_neighbors=1)
+    rng = np.random.default_rng(3)
+    T = 14
+    occl = range(4, 11)        # severe mouth occluder on these frames
+    drift = 4.0                # px/frame horizontal drift: a blind hold
+    #                            decays to ~0.5 IoU; eye reacquisition must
+    #                            actually TRACK to hold the floor below
+    rates, det, ious, src2 = [], [], [], 0
+    for s in (110, 140):
+        for rep in range(2):
+            H, W = 300, 280
+            cx0 = rng.uniform(0.55 * s + 8, W - 0.55 * s - 8 - drift * T)
+            cy0 = rng.uniform(0.75 * s + 8, H - 0.75 * s - 8)
+            frames = np.zeros((T, H, W, 3), np.uint8)
+            gts = []
+            for t in range(T):
+                cx = cx0 + drift * t + rng.integers(-3, 4)
+                cy = cy0 + rng.integers(-3, 4)
+                img, gt = draw_face(H, W, cx, cy, s, 1.0, rng, 3.0)
+                if t in occl:
+                    fw, fh, val = 0.6, 0.25, 30   # == occl_severe
+                    y0 = int(cy + 0.35 * s)
+                    x0 = int(cx - fw / 2 * s)
+                    img[y0: y0 + int(fh * s), x0: x0 + int(fw * s)] = val
+                frames[t] = np.repeat(
+                    np.clip(img, 0, 255)[..., None], 3, -1).astype(np.uint8)
+                gts.append(gt)
+            tr = fe.track_video(frames)
+            assert tr["acquired"]
+            src2 += int((tr["source"] == 2).sum())
+            for t in range(T):
+                ok = np.isfinite(tr["boxes"][t]).all()
+                rates.append(float(ok))
+                det.append(float(tr["detected"][t]))
+                if ok:
+                    ious.append(iou(core_face_box(tr["boxes"][t]), gts[t]))
+    rate = float(np.mean(rates))
+    det_rate = float(np.mean(det))
+    med_iou = float(np.median(ious))
+    print(f"\nvideo occlusion track: usable-geometry rate {rate:.2f}, "
+          f"measured-detection rate {det_rate:.2f}, median IoU "
+          f"{med_iou:.2f}, eye-reacquired frames {src2}")
+    # target (VERDICT r4 next #4): severe-mouth-occlusion detection >= 0.8
+    # (per-image protocol: 0.38). Measured on this protocol: usable 1.00,
+    # detection 1.00 (every occluded frame re-measured from the eye pair),
+    # median IoU ~0.86 — recorded in PARITY §2.4's hard-protocol table.
+    assert rate >= 0.9, rate
+    assert det_rate >= 0.8, det_rate
+    assert med_iou >= 0.75, med_iou
+    assert src2 > 0, "eye reacquisition never fired on the occluded frames"
+
+
+@needs_cascades
 def test_crop_stability_under_jitter():
     """The same face under per-frame translation jitter must produce
     near-identical crops (what downstream FER features depend on)."""
