@@ -301,3 +301,240 @@ def test_pllava_pool_matches_adaptive_avg_pool3d_composed():
             torch.tensor(feats).permute(0, 4, 1, 2, 3), (pt, ph, pw)
         ).permute(0, 2, 3, 4, 1).numpy()
         assert np.abs(got - ref).max() < 1e-5, (T, g)
+
+
+# ---------------------------------------------- full-forward compositions
+# (VERDICT r4 next #6b: pin END-TO-END generation against transformers
+# compositions, not just sub-modules — a shared misreading of the GLUE
+# (splice order, placeholder expansion) passes sub-module anchors but not
+# these.)
+
+def test_qwenaudio_full_generation_matches_hf_composition():
+    """Qwen-Audio v1 END-TO-END vs a transformers-composed pipeline:
+    WhisperEncoder tower (HF forward) -> AvgPool1d+Linear (torch builtins,
+    published additions) -> bos/feats/eos splice at the pad positions ->
+    Qwen2ForCausalLM.generate (HF KV-cached greedy loop). Weights flow
+    HF -> published-v1 layout -> convert_qwenaudio_state, so the converter,
+    tower, splice and decode loop are all pinned in ONE run."""
+    import torch.nn.functional as F
+    from transformers import (Qwen2Config, Qwen2ForCausalLM, WhisperConfig)
+    from transformers.models.whisper.modeling_whisper import WhisperEncoder
+
+    from mertools_tpu.mllm.llm import LLMConfig
+    from mertools_tpu.preference.qwenaudio import (QwenAudio,
+                                                   QwenAudioTowerConfig,
+                                                   convert_qwenaudio_state,
+                                                   whisper_sinusoids)
+
+    torch.manual_seed(5)
+    d, L, heads, mels, n_ctx, out = 16, 2, 2, 8, 20, 32
+    PAD_ID = 151
+    enc = WhisperEncoder(WhisperConfig(
+        d_model=d, encoder_layers=L, encoder_attention_heads=heads,
+        num_mel_bins=mels, max_source_positions=n_ctx,
+        encoder_ffn_dim=4 * d)).eval()
+    with torch.no_grad():
+        enc.embed_positions.weight.copy_(
+            torch.tensor(whisper_sinusoids(n_ctx, d)))
+    proj = torch.nn.Linear(d, out)
+    hf_lm = Qwen2ForCausalLM(Qwen2Config(
+        vocab_size=160, hidden_size=out, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4, intermediate_size=48,
+        rms_norm_eps=1e-6, rope_theta=10000.0, max_position_embeddings=512,
+        tie_word_embeddings=False)).eval()
+    g = torch.Generator().manual_seed(6)
+    bos_eos = torch.randn(2, out, generator=g) * 0.5
+
+    # HF weights -> the published v1 checkpoint layout
+    esd, lsd = enc.state_dict(), hf_lm.state_dict()
+    sd = {"transformer.audio.conv1.weight": esd["conv1.weight"],
+          "transformer.audio.conv1.bias": esd["conv1.bias"],
+          "transformer.audio.conv2.weight": esd["conv2.weight"],
+          "transformer.audio.conv2.bias": esd["conv2.bias"],
+          "transformer.audio.ln_post.weight": esd["layer_norm.weight"],
+          "transformer.audio.ln_post.bias": esd["layer_norm.bias"],
+          "transformer.audio.proj.weight": proj.weight,
+          "transformer.audio.proj.bias": proj.bias,
+          "transformer.audio.audio_bos_eos_token.weight": bos_eos,
+          "transformer.wte.weight": lsd["model.embed_tokens.weight"],
+          "transformer.ln_f.weight": lsd["model.norm.weight"],
+          "lm_head.weight": lsd["lm_head.weight"]}
+    for i in range(L):
+        e, b = f"layers.{i}", f"transformer.audio.blocks.{i}"
+        sd[f"{b}.attn_ln.weight"] = esd[f"{e}.self_attn_layer_norm.weight"]
+        sd[f"{b}.attn_ln.bias"] = esd[f"{e}.self_attn_layer_norm.bias"]
+        sd[f"{b}.attn.query.weight"] = esd[f"{e}.self_attn.q_proj.weight"]
+        sd[f"{b}.attn.query.bias"] = esd[f"{e}.self_attn.q_proj.bias"]
+        sd[f"{b}.attn.key.weight"] = esd[f"{e}.self_attn.k_proj.weight"]
+        sd[f"{b}.attn.value.weight"] = esd[f"{e}.self_attn.v_proj.weight"]
+        sd[f"{b}.attn.value.bias"] = esd[f"{e}.self_attn.v_proj.bias"]
+        sd[f"{b}.attn.out.weight"] = esd[f"{e}.self_attn.out_proj.weight"]
+        sd[f"{b}.attn.out.bias"] = esd[f"{e}.self_attn.out_proj.bias"]
+        sd[f"{b}.mlp_ln.weight"] = esd[f"{e}.final_layer_norm.weight"]
+        sd[f"{b}.mlp_ln.bias"] = esd[f"{e}.final_layer_norm.bias"]
+        sd[f"{b}.mlp.0.weight"] = esd[f"{e}.fc1.weight"]
+        sd[f"{b}.mlp.0.bias"] = esd[f"{e}.fc1.bias"]
+        sd[f"{b}.mlp.2.weight"] = esd[f"{e}.fc2.weight"]
+        sd[f"{b}.mlp.2.bias"] = esd[f"{e}.fc2.bias"]
+        h = f"model.layers.{i}"
+        sd[f"transformer.h.{i}.ln_1.weight"] = lsd[f"{h}.input_layernorm.weight"]
+        sd[f"transformer.h.{i}.ln_2.weight"] = lsd[
+            f"{h}.post_attention_layernorm.weight"]
+        sd[f"transformer.h.{i}.attn.c_attn.weight"] = torch.cat(
+            [lsd[f"{h}.self_attn.q_proj.weight"],
+             lsd[f"{h}.self_attn.k_proj.weight"],
+             lsd[f"{h}.self_attn.v_proj.weight"]], dim=0)
+        sd[f"transformer.h.{i}.attn.c_attn.bias"] = torch.cat(
+            [lsd[f"{h}.self_attn.q_proj.bias"],
+             lsd[f"{h}.self_attn.k_proj.bias"],
+             lsd[f"{h}.self_attn.v_proj.bias"]], dim=0)
+        sd[f"transformer.h.{i}.attn.c_proj.weight"] = lsd[
+            f"{h}.self_attn.o_proj.weight"]
+        sd[f"transformer.h.{i}.mlp.w2.weight"] = lsd[f"{h}.mlp.gate_proj.weight"]
+        sd[f"transformer.h.{i}.mlp.w1.weight"] = lsd[f"{h}.mlp.up_proj.weight"]
+        sd[f"transformer.h.{i}.mlp.c_proj.weight"] = lsd[
+            f"{h}.mlp.down_proj.weight"]
+
+    tcfg = QwenAudioTowerConfig(n_mels=mels, n_ctx=n_ctx, n_state=d,
+                                n_head=heads, n_layer=L, output_dim=out)
+    llm_cfg = LLMConfig(vocab_size=160, hidden_size=out, num_layers=2,
+                        num_heads=4, num_kv_heads=4, intermediate_size=48,
+                        attention_bias=True, rms_norm_eps=1e-6)
+    ours = QwenAudio(tcfg, llm_cfg, convert_qwenaudio_state(tcfg, llm_cfg, sd))
+
+    rng = np.random.default_rng(8)
+    T_mel = 2 * n_ctx                       # HF WhisperEncoder's fixed length
+    mel = rng.normal(size=(1, mels, T_mel)).astype(np.float32)
+    n_audio = tcfg.audio_len(T_mel)
+    n_pads = n_audio + 2
+    ids = rng.integers(1, 150, size=n_pads + 12).astype(np.int64)
+    ids[3: 3 + n_pads] = PAD_ID
+
+    # HF-composed reference: tower fwd + published pool/proj + splice +
+    # HF generate (greedy, KV-cached)
+    with torch.no_grad():
+        x = enc(torch.tensor(mel)).last_hidden_state           # (1, 2*ctx? , d)
+        x = F.avg_pool1d(x.permute(0, 2, 1), 2, 2).permute(0, 2, 1)
+        feats = proj(x)[0]                                     # (n_audio, out)
+        table = hf_lm.get_input_embeddings().weight
+        emb = table[torch.tensor(np.where(ids == PAD_ID, 0, ids))].clone()
+        emb[3] = bos_eos[0]
+        emb[4: 4 + n_audio] = feats
+        emb[3 + n_pads - 1] = bos_eos[1]
+        ref_out = hf_lm.generate(
+            inputs_embeds=emb[None],
+            attention_mask=torch.ones(1, len(ids), dtype=torch.long),
+            max_new_tokens=6, do_sample=False, eos_token_id=2,
+            pad_token_id=2)
+    want = [int(t) for t in ref_out[0].tolist() if t != 2]
+
+    class _Tok:
+        eos_token_id = 2
+
+        def decode(self, x, skip_special_tokens=True):
+            return " ".join(f"t{int(i)}" for i in x)
+
+    got = ours.generate_batch([ids.astype(np.int32)], mel, _Tok(), PAD_ID,
+                              max_new_tokens=6, temperature=0.0)[0]
+    assert got == " ".join(f"t{i}" for i in want), (got, want)
+
+
+def test_videochatgpt_full_generation_matches_hf_llava():
+    """Video-ChatGPT END-TO-END vs transformers' OWN LLaVA assembly:
+    LlavaForConditionalGeneration runs the placeholder masked-scatter and
+    the KV-cached greedy loop (third-party machinery), with its
+    get_image_features overridden to the published spatio-temporal pooling
+    (tower -2, CLS drop, temporal pad-to-100 + spatial means, linear
+    projector). If our 356-token splice order or expansion misreads the
+    published layout, HF's independent splice disagrees here."""
+    import types
+
+    from transformers import (CLIPVisionConfig, CLIPVisionModel, LlamaConfig,
+                              LlamaForCausalLM, LlavaConfig,
+                              LlavaForConditionalGeneration)
+
+    from mertools_tpu.mllm.llm import LLMConfig
+    from mertools_tpu.preference import videochatgpt as vcg
+
+    torch.manual_seed(7)
+    vis = CLIPVisionModel(CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=2, image_size=28, patch_size=14,
+        projection_dim=16)).eval()
+    llm = LlamaForCausalLM(LlamaConfig(
+        vocab_size=160, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=96,
+        max_position_embeddings=512)).eval()
+    proj = torch.nn.Linear(32, 48)
+    PATCH = 150
+    n_vid = vcg.N_TEMPORAL + (28 // 14) ** 2
+
+    # our side: the converter + JAX model
+    from mertools_tpu.encoders.vit_clip import CLIPVisionConfig as VCfg
+
+    vcfg = VCfg.from_hf(vis.config, projection_dim=1)
+    lcfg = LLMConfig.from_hf(llm.config)
+    model_sd = {"model." + k: v for k, v in llm.model.state_dict().items()}
+    model_sd["model.mm_projector.weight"] = proj.weight
+    model_sd["model.mm_projector.bias"] = proj.bias
+    model_sd["lm_head.weight"] = llm.lm_head.weight
+    ours = vcg.VideoChatGPT(
+        vcfg, lcfg,
+        vcg.convert_videochatgpt_state(vcfg, lcfg, vis.state_dict(),
+                                       model_sd),
+        vid_patch_token=PATCH)
+
+    # HF-composed side: a real LlavaForConditionalGeneration whose tower/
+    # LM ARE the same modules, with the published pooling as its
+    # get_image_features — splice + decode loop stay HF's
+    hf = LlavaForConditionalGeneration(LlavaConfig(
+        vision_config=vis.config, text_config=llm.config,
+        image_token_index=PATCH)).eval()
+    hf.model.vision_tower = vis
+    hf.model.language_model = llm.model
+    hf.lm_head = llm.lm_head
+
+    def vcg_features(self, pixel_values, **kw):
+        with torch.no_grad():
+            hs = vis(pixel_values, output_hidden_states=True
+                     ).hidden_states[-2][:, 1:]            # (T, S, C)
+            temporal = hs.mean(dim=1)
+            pad = vcg.N_TEMPORAL - temporal.shape[0]
+            if pad > 0:
+                temporal = torch.cat(
+                    [temporal, torch.zeros(pad, hs.shape[-1])], dim=0)
+            st = torch.cat([temporal, hs.mean(dim=0)], dim=0)
+            return [proj(st)]
+
+    hf.model.get_image_features = types.MethodType(vcg_features, hf.model)
+
+    rng = np.random.default_rng(9)
+    T = 2
+    pixels = rng.normal(size=(1, T, 28, 28, 3)).astype(np.float32) * 0.5
+    ids = rng.integers(1, 150, size=n_vid + 30).astype(np.int64)
+    ids[3] = 151                                  # <vid_start>
+    ids[4: 4 + n_vid] = PATCH                     # <vid_patch> x n_vid
+    ids[4 + n_vid] = 152                          # <vid_end>
+
+    with torch.no_grad():
+        out = hf.generate(
+            input_ids=torch.tensor(ids[None]),
+            attention_mask=torch.ones(1, len(ids), dtype=torch.long),
+            pixel_values=torch.tensor(pixels[0].transpose(0, 3, 1, 2)),
+            max_new_tokens=8, do_sample=False, eos_token_id=159,
+            pad_token_id=159)
+    want = [int(t) for t in out[0, len(ids):].tolist() if t != 159]
+
+    from tokenizers import Tokenizer, models as tok_models, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+
+    vocab = {f"w{i}": i for i in range(150)}
+    vocab.update({"<vid_patch>": 150, "<vid_start>": 151, "<vid_end>": 152,
+                  "<eos>": 159})
+    tok = Tokenizer(tok_models.WordLevel(vocab=vocab, unk_token="w1"))
+    tok.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
+    fast = PreTrainedTokenizerFast(tokenizer_object=tok, eos_token="<eos>")
+    got = ours.generate_batch([ids.astype(np.int32)], pixels, fast,
+                              max_new_tokens=8, temperature=0.0)[0]
+    assert got == fast.decode(want, skip_special_tokens=True).strip(), (
+        got, want)
