@@ -27,6 +27,32 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Fast-smoke tier (VERDICT r4 #8): one representative suite per subsystem,
+# <10 min on the 1-core dev host. `pytest -m smoke` is the pre-commit gate;
+# the full suite (~1.7 h) remains the round gate. Module-level marking keeps
+# the list in one place instead of decorating 500+ tests.
+SMOKE_MODULES = {
+    "test_core",              # config/path registry/mesh
+    "test_align",             # front-pad resampling ops (read_data semantics)
+    "test_losses_metrics",    # CE/MSE + WAF/emoval metric stack
+    "test_status_claims",     # STATUS truthfulness pins
+    "test_bench_contract",    # bench compact-line contract
+    "test_ov_metrics",        # emotion-wheel OV metrics
+    "test_fusion_zoo",        # all 16 fusion models forward/grad
+    "test_mllm",              # AffectGPT core forward/train/generate
+    "test_feature_extraction",  # audio extractor pipeline
+    "test_cli_main_release",  # 5-fold CV driver end-to-end
+    "test_serve",             # continuous-batching engine
+    "test_parallel",          # dp/tp mesh + sharded generate/extract
+    "test_normalize_datasets",  # dataset converters
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture
 def rng():
