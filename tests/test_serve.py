@@ -306,3 +306,36 @@ def test_engine_token_id_submission_with_penalty_and_prefix(engine_llm, rng):
         return [out[r] for r in rids]
 
     assert run(True) == run(False)
+
+
+def test_engine_per_request_max_new(engine_llm, rng):
+    """Round 5: per-request max_new_tokens (vLLM SamplingParams.max_tokens).
+    Mixed budgets must cap each request exactly, match generate() at the
+    same budget, and admission during decode must respect new budgets."""
+    cfg, params = engine_llm
+    eos = -1  # never fires: lengths are decided by the budgets alone
+    prompts = [rng.normal(size=(n, 32)).astype(np.float32) * 0.1
+               for n in (5, 9, 3, 12, 7, 4)]
+    budgets = [3, 10, 1, 7, 10, 5]
+    eng = ContinuousBatcher(cfg, params, n_slots=3, max_len=64,
+                            eos_token_id=eos, max_new_tokens=10,
+                            prefill_buckets=(16,), chunk=4)
+    rids = [eng.submit(prompts[i], max_new_tokens=budgets[i])
+            for i in range(3)]
+    nxt = 3
+    while nxt < len(prompts) or eng.queue or eng.active.any():
+        if nxt < len(prompts):  # admission interleaved with decoding
+            rids.append(eng.submit(prompts[nxt],
+                                   max_new_tokens=budgets[nxt]))
+            nxt += 1
+        eng.step()
+    out = dict(eng.finished)
+    for rid, b, p in zip(rids, budgets, prompts):
+        assert len(out[rid]) == b, (rid, len(out[rid]), b)
+        ref = _ref(cfg, params, p, b, 88)[:b]
+        assert out[rid] == ref, (rid, out[rid], ref)
+    # budgets outside [1, engine max_new] are rejected
+    with pytest.raises(AssertionError):
+        eng.submit(prompts[0], max_new_tokens=0)
+    with pytest.raises(AssertionError):
+        eng.submit(prompts[0], max_new_tokens=11)
