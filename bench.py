@@ -174,7 +174,7 @@ def leg_audio(detail: dict) -> tuple[float, float]:
         assert len(out) == n_clips
         return n_clips / (time.perf_counter() - t0)
 
-    results, spreads = {}, {}
+    results, spreads, extractors = {}, {}, {}
     for mode, kw, data in (
             ("highest", dict(sample_budget=16 * MAX_SEGMENT), wavs),
             ("bf16", dict(compute_dtype="bf16",
@@ -182,6 +182,7 @@ def leg_audio(detail: dict) -> tuple[float, float]:
             ("i16_bf16", dict(compute_dtype="bf16", transfer_dtype="int16",
                               sample_budget=16 * MAX_SEGMENT), wavs16)):
         ex = AudioExtractor(cfg, params, buckets=buckets, **kw)
+        extractors[mode] = ex
         warm = {f"w{i}": np.zeros(b, data[next(iter(data))].dtype)
                 for i, b in enumerate(buckets)}
         ex.extract(warm, level="UTT")  # compile each bucket once
@@ -248,49 +249,43 @@ def leg_audio(detail: dict) -> tuple[float, float]:
                 "MFU vs v5e bf16 peak 197 TFLOP/s",
     }
 
-    # HIGHEST-vs-bf16 matmul micro-bench (VERDICT r4 next #7): measure the
-    # cost ratio BASELINE.md asserts (~6 bf16 passes per HIGHEST matmul) so
-    # the parity-mode ~3x ceiling is evidenced, not asserted. 8-matmul
-    # dependency chain keeps dispatch overhead off the measurement.
-    n = 4096
-    a0 = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32) / n)
-    b0 = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32) / n)
-
-    @jax.jit
-    def chain_highest(a, b):
-        x = a
-        for _ in range(8):
-            x = jnp.dot(x, b, precision=jax.lax.Precision.HIGHEST)
-        return x
-
-    @jax.jit
-    def chain_bf16(a, b):
-        x, bb = a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
-        for _ in range(8):
-            x = jnp.dot(x, bb)
-        return x.astype(jnp.float32)
-
-    def time_chain(fn):
-        np.asarray(fn(a0, b0))  # compile
+    # HIGHEST-vs-bf16 cost ratio (VERDICT r4 next #7): measured on the
+    # WORKLOAD itself — the device-resident HuBERT forward (97% of whose
+    # FLOPs are matmul) at B=128 pre-staged samples, HIGHEST extractor vs
+    # bf16 extractor. Both graphs are already compiled by the extraction
+    # passes above, so this adds zero compiles (a synthetic matmul chain
+    # took the remote AOT helper >9 min to compile and risked the leg).
+    # The ratio evidences BASELINE.md's parity-ceiling claim: fp32-HIGHEST
+    # matmuls cost ~`ratio` bf16 passes on the MXU.
+    try:
+        exh = extractors["highest"]
+        np.asarray(exh._fwd_pooled(exh._params, batch, lens)[0])  # warm
         t0 = time.perf_counter()
-        for _ in range(3):
-            np.asarray(fn(a0, b0))
-        return 3 * 8 * 2.0 * n ** 3 / (time.perf_counter() - t0)
-
-    fl_h, fl_b = time_chain(chain_highest), time_chain(chain_bf16)
-    ratio = fl_b / fl_h
-    # parity-mode ceiling: if HIGHEST matmuls cost `ratio` bf16 passes, the
-    # parity pipeline's upper bound is production/ratio at equal non-matmul
-    # overhead. Reported so audit can check parity >= ~0.9x its ceiling.
-    ceiling = results["bf16"] / ratio
-    detail["audio"].update({
-        "highest_vs_bf16_matmul": {
-            "bf16_tflops": round(fl_b / 1e12, 1),
-            "highest_tflops": round(fl_h / 1e12, 1),
-            "bf16_over_highest": round(ratio, 2)},
-        "parity_ceiling_clips_per_sec": round(ceiling, 1),
-        "parity_vs_ceiling": round(results["highest"] / ceiling, 2),
-    })
+        for _ in range(n_rep):
+            np.asarray(exh._fwd_pooled(exh._params, batch, lens)[0])
+        dt_h = time.perf_counter() - t0
+        dev_rate_h = (n_rep * B_dev * 10.0) / dt_h
+        ratio = device_rate / dev_rate_h
+        # parity-mode ceiling via an additive link+device model: the bf16
+        # e2e pass costs t_other (host link, scheduling) + t_device; the
+        # parity pass pays the SAME t_other but `ratio`x the device time.
+        # Conservative — dispatch/link overlap lets the measured parity
+        # rate sit slightly ABOVE this ceiling; >=0.9x is the audit bar.
+        t_dev_bf16 = total_audio_sec / device_rate
+        t_dev_high = total_audio_sec / dev_rate_h
+        t_other = max(n_clips / results["bf16"] - t_dev_bf16, 0.0)
+        ceiling = n_clips / (t_other + t_dev_high)
+        detail["audio"].update({
+            "highest_vs_bf16_device_forward": {
+                "bf16_audio_sec_per_sec": round(device_rate, 1),
+                "highest_audio_sec_per_sec": round(dev_rate_h, 1),
+                "bf16_over_highest": round(ratio, 2)},
+            "parity_ceiling_clips_per_sec": round(ceiling, 1),
+            "parity_vs_ceiling": round(results["highest"] / ceiling, 2),
+        })
+    except Exception as e:  # noqa: BLE001 - never cost the audio headline
+        detail["audio"]["highest_vs_bf16_device_forward"] = {
+            "error": f"{type(e).__name__}: {e}"}
     return ours, ref
 
 
@@ -945,7 +940,7 @@ def main():
 
 def compact_line(detail: dict, ours: float, ref: float) -> str:
     """One-line JSON summary guaranteed < 1 KB (driver scoreboard contract)."""
-    def _leg(name: str, keys: tuple) -> float | str | None:
+    def _leg(name: str, keys: tuple, nd: int = 1) -> float | str | None:
         leg = detail.get(name)
         if not isinstance(leg, dict):
             return None
@@ -958,7 +953,7 @@ def compact_line(detail: dict, ours: float, ref: float) -> str:
             if isinstance(v, dict):
                 v = v.get("decode_tokens_per_sec", v.get("tokens_per_sec"))
             if isinstance(v, (int, float)):
-                return round(float(v), 1)
+                return round(float(v), nd)
         return None
 
     legs = {
@@ -973,7 +968,7 @@ def compact_line(detail: dict, ours: float, ref: float) -> str:
         "pipeline_clips_per_sec": _leg(
             "pipeline", ("decode_crop_vit_clips_per_sec",)),
         "mllm_train_tokens_per_sec": _leg("mllm_train", ("tokens_per_sec",)),
-        "mllm_train_mfu": _leg("mllm_train", ("mfu",)),
+        "mllm_train_mfu": _leg("mllm_train", ("mfu",), nd=3),
         "serve_engine_tok_per_sec": _leg(
             "serve", ("w8_bf16_1p1b", "bf16_1p1b", "f32_1p1b")),
         "serve_scan_tok_per_sec": _leg(
