@@ -28,23 +28,26 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 # Fast-smoke tier (VERDICT r4 #8): one representative suite per subsystem,
-# <10 min on the 1-core dev host. `pytest -m smoke` is the pre-commit gate;
-# the full suite (~1.7 h) remains the round gate. Module-level marking keeps
-# the list in one place instead of decorating 500+ tests.
+# <10 min on the 1-core dev host (measured solo: the set below sums to
+# ~515 s incl. interpreter/jax startup per module). `pytest -m smoke` is
+# the pre-commit gate; the full suite (~1.7 h) remains the round gate.
+# Module-level marking keeps the list in one place instead of decorating
+# 500+ tests. Deliberately excluded for budget, with their coverage
+# carried elsewhere: test_fusion_zoo (260 s; the CV driver suite below
+# trains a fusion model end-to-end) and test_parallel (75 s; the driver's
+# dryrun_multichip exercises every mesh path each round).
 SMOKE_MODULES = {
-    "test_core",              # config/path registry/mesh
-    "test_align",             # front-pad resampling ops (read_data semantics)
-    "test_losses_metrics",    # CE/MSE + WAF/emoval metric stack
-    "test_status_claims",     # STATUS truthfulness pins
-    "test_bench_contract",    # bench compact-line contract
-    "test_ov_metrics",        # emotion-wheel OV metrics
-    "test_fusion_zoo",        # all 16 fusion models forward/grad
-    "test_mllm",              # AffectGPT core forward/train/generate
-    "test_feature_extraction",  # audio extractor pipeline
-    "test_cli_main_release",  # 5-fold CV driver end-to-end
-    "test_serve",             # continuous-batching engine
-    "test_parallel",          # dp/tp mesh + sharded generate/extract
-    "test_normalize_datasets",  # dataset converters
+    "test_core",              # config/path registry/mesh          (~10 s)
+    "test_align",             # front-pad resampling ops           (~15 s)
+    "test_losses_metrics",    # CE/MSE + WAF/emoval metric stack   (~10 s)
+    "test_status_claims",     # STATUS truthfulness pins            (~5 s)
+    "test_bench_contract",    # bench compact-line contract         (~8 s)
+    "test_ov_metrics",        # emotion-wheel OV metrics           (~10 s)
+    "test_mllm",              # AffectGPT forward/train/generate  (~131 s)
+    "test_feature_extraction",  # audio extractor pipeline         (~80 s)
+    "test_cli_main_release",  # 5-fold CV driver end-to-end       (~123 s)
+    "test_serve",             # continuous-batching engine        (~114 s)
+    "test_normalize_datasets",  # dataset converters                (~7 s)
 }
 
 
