@@ -147,7 +147,7 @@ def test_haar_frontend_alignment_geometry():
 
     box = np.asarray([25, 30, 70, 70], np.float32)
     fe.detect_face = lambda g, prior=None: box
-    fe.detect_eyes = lambda g, b: eyes
+    fe.detect_eyes = lambda g, b, size_ref=None: eyes
     out, detected = fe.crop_video(frames, size=112, bgr=False)
     assert out.shape == (2, 112, 112, 3) and detected.all()
     for tmpl_pt in ARCFACE_TEMPLATE[:2]:
@@ -177,7 +177,7 @@ def test_haar_frontend_tracking_fallback():
         return b
 
     fe.detect_face = fake_detect
-    fe.detect_eyes = lambda g, b: None     # exercise fractional fallback
+    fe.detect_eyes = lambda g, b, size_ref=None: None  # fractional fallback
     frames = np.full((3, 100, 100, 3), 128, np.uint8)
     out, detected = fe.crop_video(frames, size=64)
     assert out.shape == (3, 64, 64, 3)
