@@ -108,6 +108,12 @@ class AffectGPTConfig:
     # Multi-stream mode: a SEGMENTS_BY_MODE key, or None for the legacy
     # single-block (video+audio) splice contract.
     face_or_frame: str | None = None
+    # Chunked LM loss (round 5): > 0 computes the training cross-entropy
+    # over sequence chunks of this size without materializing the
+    # (B, S, V) logits (LLM.loss) — the memory lever for long-sequence
+    # training (B=8 x S=1024 x V=32k dense logits OOM the 16 GB chip).
+    # The forward then returns (loss, None). 0 = dense path (default).
+    loss_chunk: int = 0
 
     @property
     def video_fusion_type(self) -> str:
@@ -361,9 +367,15 @@ class AffectGPT(nn.Module):
         ``splice_{g}`` (B,) int placeholder-run starts.
 
         Always: attention_mask (B, S), labels (B, S) with -100 outside the
-        answer. Returns (loss, logits).
+        answer. Returns (loss, logits) — logits is None when
+        ``cfg.loss_chunk`` > 0 (the chunked loss never materializes them).
         """
         embeds = self._splice_all(self.llm.embed(batch["input_ids"]), batch)
+        if self.cfg.loss_chunk:
+            loss = self.llm.loss(embeds, batch["labels"],
+                                 batch.get("attention_mask"),
+                                 chunk=self.cfg.loss_chunk)
+            return loss, None
         logits = self.llm(embeds, batch.get("attention_mask"))
         loss = lm_loss(logits, batch["labels"])
         return loss, logits

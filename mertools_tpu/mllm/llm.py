@@ -287,6 +287,73 @@ class LLM(nn.Module):
             return self.lm_head(x), tuple(hidden_states)
         return self.lm_head(x)
 
+    def hidden(self, inputs_embeds, attention_mask=None, positions=None):
+        """The decoder trunk WITHOUT the lm_head: final-norm hidden states
+        (B, S, H). The seam for chunked losses and feature paths that
+        never need (B, S, V) logits (the lm_head matmul is genuinely
+        absent from the graph, not DCE'd)."""
+        B, S, _ = inputs_embeds.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+        if self.cfg.seq_axis:
+            bias = (attention_mask.astype(jnp.int32)
+                    if attention_mask is not None
+                    else jnp.ones((B, S), jnp.int32))
+        elif self.cfg.use_flash_attention:
+            from jax.experimental.pallas.ops.tpu.flash_attention import SegmentIds
+
+            ids = (attention_mask.astype(jnp.int32)
+                   if attention_mask is not None
+                   else jnp.ones((B, S), jnp.int32))
+            bias = SegmentIds(q=ids, kv=ids)
+        else:
+            causal = jnp.where(
+                jnp.arange(S)[:, None] >= jnp.arange(S)[None, :], 0.0, -1e30)
+            bias = causal[None, None]
+            if attention_mask is not None:
+                pad = jnp.where(attention_mask[:, None, None, :] > 0,
+                                0.0, -1e30)
+                bias = bias + pad
+        x = inputs_embeds
+        for layer in self.layers:
+            x = layer(x, positions, bias)
+        return self.norm(x)
+
+    def loss(self, inputs_embeds, labels, attention_mask=None,
+             positions=None, chunk: int = 0, ignore_index: int = -100):
+        """Causal LM loss WITHOUT materializing the (B, S, V) logits.
+
+        ``chunk`` > 0 runs the lm_head + cross-entropy over sequence
+        chunks (a statically unrolled loop — the accumulator chain lets
+        XLA reuse one (B, chunk, V) logits buffer instead of holding
+        S x V), matching :func:`lm_loss` on full logits up to float32
+        reduction order. The round-5 motivation: at B=8, S=1024, V=32k
+        the dense path's f32 logits + log_softmax temporaries alone are
+        ~2.5 GB of HLO temp and OOM the 16 GB chip (BENCH_NUMBERS round
+        5); chunk=128 caps that at ~1/8th. ``chunk=0`` falls back to the
+        dense path.
+        """
+        if chunk <= 0:
+            return lm_loss(self(inputs_embeds, attention_mask, positions),
+                           labels, ignore_index)
+        S = inputs_embeds.shape[1]
+        x = self.hidden(inputs_embeds, attention_mask, positions)
+        h = x[:, :-1]
+        lab = labels[:, 1:]
+        n_sum = jnp.float32(0.0)
+        n_cnt = jnp.float32(0.0)
+        for i in range(0, S - 1, chunk):
+            logits = self.lm_head(h[:, i: i + chunk]).astype(jnp.float32)
+            lb = lab[:, i: i + chunk]
+            mask = lb != ignore_index
+            safe = jnp.where(mask, lb, 0)
+            lse = jax.nn.logsumexp(logits, axis=-1)
+            tgt = jnp.take_along_axis(logits, safe[..., None],
+                                      axis=-1)[..., 0]
+            n_sum = n_sum + jnp.sum((lse - tgt) * mask)
+            n_cnt = n_cnt + jnp.sum(mask)
+        return n_sum / jnp.maximum(n_cnt, 1)
+
 
 def lm_loss(logits: jnp.ndarray, labels: jnp.ndarray,
             ignore_index: int = -100) -> jnp.ndarray:

@@ -365,3 +365,77 @@ def test_frozen_component_flags():
         np.asarray(after["llm"]["layer_0"]["q_proj"]["lora_a"]), before_lora)
     assert np.abs(np.asarray(after["video_proj"]["kernel"])
                   - before_vproj).max() > 0
+
+
+def test_chunked_loss_matches_dense():
+    """Round 5: cfg.loss_chunk computes the same loss AND gradients as the
+    dense (B, S, V)-logits path without materializing them — incl. a
+    ragged final chunk and -100 masking."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    model = _make_affectgpt()
+    batch = synth_mllm_batch(rng, B=3, S=17)   # 16 shifted positions, chunk 5
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+
+    cfg_c = dataclasses.replace(model.cfg, loss_chunk=5)
+    model_c = type(model)(cfg_c)
+
+    def loss_dense(p):
+        loss, logits = model.apply({"params": p}, batch)
+        assert logits is not None
+        return loss
+
+    def loss_chunked(p):
+        loss, logits = model_c.apply({"params": p}, batch)
+        assert logits is None
+        return loss
+
+    ld, gd = jax.value_and_grad(loss_dense)(params)
+    lc, gc = jax.value_and_grad(loss_chunked)(params)
+    assert abs(float(ld) - float(lc)) < 1e-5, (float(ld), float(lc))
+    flat_d = jax.tree_util.tree_leaves(gd)
+    flat_c = jax.tree_util.tree_leaves(gc)
+    for a, b in zip(flat_d, flat_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+    # Runner path trains with the chunked loss
+    from mertools_tpu.mllm.runner import Runner, RunnerConfig
+
+    r = Runner(RunnerConfig(max_epoch=1, iters_per_epoch=1, batch_size=3,
+                            warmup_steps=1, output_dir="/tmp/chunkloss"),
+               model_c, jax.tree_util.tree_map(np.asarray, params))
+    _, loss = r._train_step(r.state, batch)
+    assert abs(float(loss) - float(ld)) < 1e-5
+
+
+def test_llm_hidden_matches_call_trunk():
+    """LLM.hidden == the final-norm hidden state of __call__ (the chunked
+    loss seam must not drift from the logits path's trunk)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mertools_tpu.mllm.llm import LLM, LLMConfig
+
+    cfg = LLMConfig.tiny(vocab=32)
+    llm = LLM(cfg)
+    rng = np.random.default_rng(3)
+    emb = rng.normal(size=(2, 9, cfg.hidden_size)).astype(np.float32)
+    mask = np.ones((2, 9), np.int32)
+    mask[1, 6:] = 0
+
+    def both(m, e, a):
+        h = m.hidden(e, a)
+        logits, hs = m(e, a, output_hidden_states=True)
+        return h, hs[-1]
+
+    params = llm.init(jax.random.PRNGKey(0), jnp.asarray(emb),
+                      jnp.asarray(mask), method=both)["params"]
+    h, href = llm.apply({"params": params}, jnp.asarray(emb),
+                        jnp.asarray(mask), method=both)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(href),
+                               rtol=1e-6, atol=1e-6)
