@@ -123,7 +123,10 @@ def build_model(mcfg: dict, amp: str | None = None):
         num_audio_query_token=int(mcfg.get("num_audio_query_token", 1)),
         num_multi_query_token=int(mcfg.get("num_multi_query_token", 1)),
         num_image_query_token=int(mcfg.get("num_image_query_token", 1)),
-        face_or_frame=face_or_frame)
+        face_or_frame=face_or_frame,
+        # round 5: yaml `loss_chunk: N` (or --options model.loss_chunk=N)
+        # trains with the sequence-chunked LM loss — no (B, S, V) logits
+        loss_chunk=int(mcfg.get("loss_chunk", 0)))
     if amp == "bf16":   # bf16 AMP: DEFAULT-precision matmuls (see Runner)
         return (AffectGPT(cfg, precision=jax.lax.Precision.DEFAULT),
                 llm_params, tokenizer)
