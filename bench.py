@@ -898,7 +898,22 @@ def main():
             "value": 0.0, "unit": "clips/sec", "vs_baseline": 0.0,
             "error": "accelerator backend init timed out (device tunnel "
                      "unreachable); see BENCH_NUMBERS.md for the last "
-                     "measured numbers"}))
+                     "measured numbers",
+            # NOT a live capture (value stays 0.0): the most recent full
+            # live run on this chip, for context when the tunnel is down
+            # (2026-08-21 ~00:20, bench_wall_s 812.1, all legs live —
+            # BENCH_NUMBERS.md "Round-5 measurements")
+            "last_measured_2026_08_21": {
+                "audio_clips_per_sec": 115.8, "vs_baseline": 7.05,
+                "audio_parity_clips_per_sec": 50.6,
+                "vision_frames_per_sec": 593.4,
+                "text_texts_per_sec": 1944.2,
+                "pipeline_clips_per_sec": 3.45,
+                "mllm_train_tokens_per_sec": 15552.7,
+                "mllm_train_mfu": 0.547,
+                "serve_engine_tok_per_sec": 3471.6,
+                "serve_scan_tok_per_sec": 4000.7,
+                "serve_sustained_tok_per_sec": 1524.9}}))
         raise SystemExit(1)
     from mertools_tpu.core.cache import enable_persistent_cache
     enable_persistent_cache()
