@@ -568,14 +568,19 @@ def leg_mllm_train(detail: dict) -> None:
                                    QFormerConfig)
     from mertools_tpu.mllm.runner import Runner, RunnerConfig
 
-    def run_cfg(B, S, remat_policy):
+    def run_cfg(B, S, remat_policy, loss_chunk=0):
         # TinyLlama-1.1B shape; LoRA-trainable, base frozen (the AffectGPT
         # production recipe). "dots" remat (round 5) saves matmul outputs
         # and recomputes only elementwise ops — full-block remat's 2NT
         # recompute capped 6NT-accounted MFU at 0.75x hardware utilization.
+        # remat_policy=None turns remat OFF entirely: with the chunked LM
+        # loss (loss_chunk>0) never materializing (B, S, V) logits, the
+        # whole backward fits HBM at the bench config and the dots
+        # policy's recomputed elementwise/attention work disappears too.
         llm = LLMConfig(vocab_size=32000, hidden_size=2048, num_layers=22,
                         num_heads=32, num_kv_heads=4, intermediate_size=5632,
-                        lora_r=16, remat=True, remat_policy=remat_policy)
+                        lora_r=16, remat=remat_policy is not None,
+                        remat_policy=remat_policy or "full")
         cfg = AffectGPTConfig(
             llm=llm,
             video_qformer=QFormerConfig(num_queries=32, hidden_size=768,
@@ -585,7 +590,7 @@ def leg_mllm_train(detail: dict) -> None:
                                         num_layers=2, num_heads=12,
                                         intermediate_size=3072),
             video_dim=1024, audio_dim=1024, max_video_frames=8,
-            max_audio_frames=8)
+            max_audio_frames=8, loss_chunk=loss_chunk)
         model = AffectGPT(cfg, precision=jax.lax.Precision.DEFAULT)
 
         rng = np.random.default_rng(2)
@@ -625,13 +630,17 @@ def leg_mllm_train(detail: dict) -> None:
         tok_rate, spread = _rep3(measure_block, best=False)
         return n_params, tok_rate, spread
 
-    # headline: the round-5 tuned step (dots remat, batch 8) — the two
-    # levers measured one at a time on this chip: remat full->dots at B4
-    # lifted MFU 0.396->0.432 (kills the full-block recompute), B4->B8 at
-    # dots 0.432->0.488 (amortizes non-MXU step overhead); the residual
-    # ~0.51 gap to peak is the dots policy's recomputed batched attention
-    # einsums + bf16 non-matmul ops (measured attribution, not a trace)
-    n_params, tok_rate, train_spread = run_cfg(8, 512, "dots")
+    # headline: the round-5 tuned step (NO remat + chunked LM loss, batch
+    # 8) — the levers measured one at a time on this chip: remat
+    # full->dots at B4 lifted MFU 0.396->0.432 (kills the full-block
+    # recompute), B4->B8 at dots 0.432->0.488 (amortizes non-MXU step
+    # overhead), +loss_chunk=128 0.488->0.555 (the dense (B,S,32000) f32
+    # logits + log_softmax temporaries leave HLO), dots->no-remat
+    # 0.555->0.596 (chunked loss frees enough HBM that nothing needs
+    # recomputing at B8/S512). B16 / S1024 / Pallas-flash variants all
+    # kill the remote tpu_compile_helper on this host (HTTP 500 at
+    # compile, not an HBM OOM) — documented bound, not a model limit.
+    n_params, tok_rate, train_spread = run_cfg(8, 512, None, loss_chunk=128)
     # continuity config: the r3/r4 official shape (B4, full remat) so the
     # cross-round comparison stays apples-to-apples
     _, legacy_rate, legacy_spread = run_cfg(4, 512, "full")
@@ -640,7 +649,7 @@ def leg_mllm_train(detail: dict) -> None:
         "tokens_per_sec": round(tok_rate, 1),
         "spread": train_spread,
         "step_time_s": round(8 * 512 / tok_rate, 3),
-        "batch": 8, "seq_len": 512,
+        "batch": 8, "seq_len": 512, "remat": "none", "loss_chunk": 128,
         "mfu": round(6.0 * n_params * tok_rate / PEAK_BF16, 4),
         "r4_config": {
             "tokens_per_sec": round(legacy_rate, 1),
@@ -649,8 +658,11 @@ def leg_mllm_train(detail: dict) -> None:
             "batch": 4, "remat": "full",
             "vs_r04": _vs_r04("mllm_train_tokens_per_sec", legacy_rate)},
         "note": "frozen base + LoRA via the production Runner (bf16); "
-                "headline remat=dots B=8 (levers measured: dots +9%, "
-                "B8 +13%); r4_config = the r3/r4 official shape",
+                "headline B=8 no-remat + loss_chunk=128 (lever ladder "
+                "measured on-chip: full 0.396 -> dots 0.432 -> B8 0.488 "
+                "-> +chunked-loss 0.555 -> no-remat 0.596); B16/S1024/"
+                "flash kill the remote compile helper (not HBM); "
+                "r4_config = the r3/r4 official shape",
     }
 
 
@@ -693,14 +705,14 @@ def leg_serve(detail: dict) -> None:
     prompt_embeds = [rng.normal(size=(100, 2048)).astype(np.float32)
                      for _ in range(16)]
 
-    def run_engine(p, tag, compute_dtype=None, submit_ids=True):
+    def run_engine(p, tag, compute_dtype=None, submit_ids=True, n_slots=8):
         # chunk=64 == max_new: each admission wave decodes in ONE jitted
         # device loop (host sync once per wave, not once per token).
         # submit_ids=True is the production text-serving path (round 4):
         # token ids embed on device inside the fused admission — only
         # int32 crosses the host link; submit_ids=False ships prompt
         # EMBEDDINGS (the multimodal-splice workload's shape).
-        eng = ContinuousBatcher(llm_cfg, p, n_slots=8, max_len=256,
+        eng = ContinuousBatcher(llm_cfg, p, n_slots=n_slots, max_len=256,
                                 max_new_tokens=64, eos_token_id=-1,
                                 prefill_buckets=(128,), chunk=64,
                                 compute_dtype=compute_dtype)
@@ -732,16 +744,16 @@ def leg_serve(detail: dict) -> None:
         import jax.numpy as jnp
 
         wb = _decode_weight_bytes(eng.params)
-        kv_bytes = (2 * llm_cfg.num_layers * 8 * eng.max_len
+        kv_bytes = (2 * llm_cfg.num_layers * n_slots * eng.max_len
                     * llm_cfg.num_kv_heads * 64
                     * jnp.dtype(eng._emb_dtype).itemsize)
-        roofline = 8 * HBM_BW / (wb + kv_bytes)
+        roofline = n_slots * HBM_BW / (wb + kv_bytes)
         detail["serve"][tag] = {
             "decode_tokens_per_sec": round(rate, 1),
             "spread": spread,
             "pct_of_roofline": round(100 * rate / roofline, 1),
             "roofline_tokens_per_sec": round(roofline, 0),
-            "n_requests": 16, "new_tokens_each": 64,
+            "n_requests": 16, "new_tokens_each": 64, "n_slots": n_slots,
             "submission": "token_ids" if submit_ids else "embeds"}
         return rate
 
@@ -759,6 +771,12 @@ def leg_serve(detail: dict) -> None:
         # the production serving configuration: int8 weights + bf16 compute
         r8b = run_engine(w8, "w8_bf16_1p1b", compute_dtype="bf16")
         detail["serve"]["w8_bf16_speedup"] = round(r8b / base, 2)
+        # 16 slots: the whole 16-request wave decodes as ONE batch — the
+        # per-step weight stream amortizes over 2x the rows for ~12% more
+        # step time (KV read scales, weights don't); the occupancy lever
+        # continuous-batching engines live on
+        run_engine(w8, "w8_bf16_16slots_1p1b", compute_dtype="bf16",
+                   n_slots=16)
     except Exception as e:  # noqa: BLE001
         detail["serve"]["w8_error"] = f"{type(e).__name__}: {e}"
     try:
@@ -782,25 +800,51 @@ def leg_serve(detail: dict) -> None:
         emb = jnp.asarray(rng.normal(size=(B, S, 2048)).astype(np.float32))
         mask = jnp.ones((B, S), jnp.int32)
 
-        def run_gen(p, kv_int8, tag):
-            kw = dict(max_new_tokens=new, eos_token_id=-1, kv_int8=kv_int8)
-            np.asarray(generate(llm_cfg, p, emb, mask, **kw))  # compile
+        def run_gen(p, kv_int8, tag, B_=None, marginal=False):
+            B2 = B_ or B
+            emb2 = (emb if B2 == B else jnp.asarray(
+                rng.normal(size=(B2, S, 2048)).astype(np.float32)))
+            mask2 = jnp.ones((B2, S), jnp.int32)
 
-            def measure():
-                t0 = time.perf_counter()
-                for _ in range(2):
-                    np.asarray(generate(llm_cfg, p, emb, mask, **kw))
-                return 2 * B * new / (time.perf_counter() - t0)
+            def timed(n_new):
+                kw = dict(max_new_tokens=n_new, eos_token_id=-1,
+                          kv_int8=kv_int8)
+                np.asarray(generate(llm_cfg, p, emb2, mask2, **kw))  # compile
 
-            rate, spread = _rep3(measure)
+                def one():
+                    t0 = time.perf_counter()
+                    for _ in range(2):
+                        np.asarray(generate(llm_cfg, p, emb2, mask2, **kw))
+                    return (time.perf_counter() - t0) / 2
+
+                times = sorted(one() for _ in range(3))
+                return times[1], times
+
+            t64, times64 = timed(new)
+            rate = B2 * new / t64
+            spread = {"min": round(B2 * new / times64[2], 1),
+                      "med": round(rate, 1),
+                      "max": round(B2 * new / times64[0], 1)}
             wb = _decode_weight_bytes(p)
-            kvb = (2 * llm_cfg.num_layers * B * (S + new)
+            kvb = (2 * llm_cfg.num_layers * B2 * (S + new)
                    * llm_cfg.num_kv_heads * 64 * (1 if kv_int8 else 2))
-            roof = B * HBM_BW / (wb + kvb)
+            roof = B2 * HBM_BW / (wb + kvb)
             detail["serve"][tag] = {
                 "decode_tokens_per_sec": round(rate, 1), "spread": spread,
                 "pct_of_roofline": round(100 * rate / roof, 1),
-                "batch": B, "new_tokens_each": new}
+                "batch": B2, "new_tokens_each": new}
+            if marginal:
+                # generate()'s wall time INCLUDES the (batch-scaled) S=128
+                # prefill; the marginal rate between max_new 32 and 64
+                # isolates the pure per-step decode cost — the number the
+                # weight+KV HBM roofline actually bounds (round-5: B8
+                # measures ~92% of roofline — decode is at the HBM bound;
+                # the wave pct above is prefill dilution, not engine slack)
+                t32, _ = timed(32)
+                marg = B2 * (new - 32) / (t64 - t32)
+                detail["serve"][tag]["marginal_decode_tok_s"] = round(marg, 1)
+                detail["serve"][tag]["marginal_pct_of_roofline"] = round(
+                    100 * marg / roof, 1)
             return rate
 
         g8 = run_gen(w8, False, "scan_w8_1p1b")
@@ -808,8 +852,14 @@ def leg_serve(detail: dict) -> None:
         detail["serve"]["kv_int8_vs_w8"] = round(g8kv / g8, 2)
         from mertools_tpu.mllm.generate import cast_llm_params_bf16
 
-        g8b = run_gen(cast_llm_params_bf16(w8), False, "scan_w8_bf16_1p1b")
+        w8b = cast_llm_params_bf16(w8)
+        g8b = run_gen(w8b, False, "scan_w8_bf16_1p1b", marginal=True)
         detail["serve"]["scan_bf16_vs_f32_acts"] = round(g8b / g8, 2)
+        # batch-32 scan: weight reads amortize over 4x the rows — the
+        # peak per-chip offline-serving throughput (the reference's 20k-clip
+        # vLLM workload shape, evaluation.py:16-21); wave rate still
+        # includes the 4x-bigger prefill, the marginal rate is pure decode
+        run_gen(w8b, False, "scan_w8_bf16_B32", B_=32, marginal=True)
     except Exception as e:  # noqa: BLE001
         detail["serve"]["scan_error"] = f"{type(e).__name__}: {e}"
 
@@ -821,11 +871,16 @@ def leg_serve(detail: dict) -> None:
     try:
         if w8 is not None:
             _serve_sustained(detail["serve"], llm_cfg, w8)
+            # 16-slot occupancy variant (the engine's throughput lever):
+            # same ragged workload, double the resident batch
+            _serve_sustained(detail["serve"], llm_cfg, w8, n_slots=16,
+                             key="sustained_16slots")
     except Exception as e:  # noqa: BLE001
         detail["serve"]["sustained_error"] = f"{type(e).__name__}: {e}"
 
 
-def _serve_sustained(sdetail: dict, llm_cfg, params) -> None:
+def _serve_sustained(sdetail: dict, llm_cfg, params, n_slots: int = 8,
+                     key: str = "sustained") -> None:
     from mertools_tpu.mllm.serve import ContinuousBatcher
 
     rng = np.random.default_rng(7)
@@ -844,14 +899,15 @@ def _serve_sustained(sdetail: dict, llm_cfg, params) -> None:
         # two prefill buckets (not three): each (bucket, pow2-group) pair
         # costs an admission compile; the ragged sweep exercises admission
         # scheduling regardless
-        eng = ContinuousBatcher(llm_cfg, params, n_slots=8, max_len=704,
+        eng = ContinuousBatcher(llm_cfg, params, n_slots=n_slots,
+                                max_len=704,
                                 max_new_tokens=128, eos_token_id=-1,
                                 prefill_buckets=(128, 512), chunk=16,
                                 compute_dtype="bf16")
         nxt = 0
         t_submit, t_done = {}, {}
         t0 = time.perf_counter()
-        for i in range(8):
+        for i in range(n_slots):
             rid = eng.submit(prompt_ids=prompts[nxt],
                              max_new_tokens=int(olens[nxt]))
             t_submit[rid] = time.perf_counter()
@@ -881,14 +937,15 @@ def _serve_sustained(sdetail: dict, llm_cfg, params) -> None:
     drive()  # warm: compiles every (bucket, group-size) admission + chunk
     rates = sorted(drive() for _ in range(3))
     rate, p50, p95 = rates[1]  # median by sustained tok/s
-    sdetail["sustained"] = {
+    sdetail[key] = {
         "tokens_per_sec": round(rate, 1),
         "spread": {"min": round(rates[0][0], 1),
                    "max": round(rates[2][0], 1)},
         "p50_latency_s": round(p50, 3), "p95_latency_s": round(p95, 3),
         "n_requests": n_req, "prompt_lens": "64-512", "output_lens": "16-128",
-        "note": "w8+bf16 engine, 8 slots, chunk 16, continuous admission "
-                "during decode (per-request max_new_tokens)"}
+        "n_slots": n_slots,
+        "note": f"w8+bf16 engine, {n_slots} slots, chunk 16, continuous "
+                "admission during decode (per-request max_new_tokens)"}
 
 
 def main():
@@ -988,6 +1045,8 @@ def compact_line(detail: dict, ours: float, ref: float) -> str:
             "serve", ("w8_bf16_1p1b", "bf16_1p1b", "f32_1p1b")),
         "serve_scan_tok_per_sec": _leg(
             "serve", ("scan_w8_bf16_1p1b", "scan_w8_1p1b")),
+        "serve_scan_b32_tok_per_sec": _leg(
+            "serve", ("scan_w8_bf16_B32",)),
         "serve_sustained_tok_per_sec": _leg("serve", ("sustained",)),
     }
     out = json.dumps({

@@ -511,19 +511,25 @@ def generate(cfg, params, inputs_embeds, attention_mask, *,
     slot_mask0 = jnp.pad(base_mask, ((0, 0), (0, max_new_tokens)))
 
     B_ = inputs_embeds.shape[0]
-    seen0 = jnp.zeros((B_, cfg.vocab_size), jnp.int32)
-    if prompt_token_ids is not None and repetition_penalty != 1.0:
+    # repetition_penalty is static: with no penalty (the default and every
+    # greedy protocol) the (B, vocab) seen matrix is never read, so don't
+    # allocate, carry, or scatter-update it at all — None is an empty
+    # pytree and rides the scan carry for free
+    track_seen = repetition_penalty != 1.0
+    seen0 = jnp.zeros((B_, cfg.vocab_size), jnp.int32) if track_seen else None
+    if prompt_token_ids is not None and track_seen:
         rows = jnp.arange(B_)[:, None]
         seen0 = seen0.at[rows, prompt_token_ids].add(
             attention_mask.astype(jnp.int32))
-    if prefix_token_ids is not None and repetition_penalty != 1.0:
+    if prefix_token_ids is not None and track_seen:
         seen0 = seen0.at[:, prefix_token_ids].add(1)
 
     k0, key = jax.random.split(key)
     first = _sample(logits0, k0, temperature, top_p, seen0,
                     repetition_penalty, top_k)
     done0 = first == eos_token_id
-    seen0 = seen0.at[jnp.arange(B_), first].add(1)
+    if track_seen:
+        seen0 = seen0.at[jnp.arange(B_), first].add(1)
 
     def step(carry, t):
         tok, kc, vc, done, key, slot_mask, seen = carry
@@ -536,7 +542,8 @@ def generate(cfg, params, inputs_embeds, attention_mask, *,
                       repetition_penalty, top_k)
         nxt = jnp.where(done, eos_token_id, nxt)
         done = jnp.logical_or(done, nxt == eos_token_id)
-        seen = seen.at[jnp.arange(B_), nxt].add(1)
+        if track_seen:
+            seen = seen.at[jnp.arange(B_), nxt].add(1)
         return (nxt, kc, vc, done, key, slot_mask, seen), tok
 
     (_, _, _, _, _, _, _), toks = jax.lax.scan(

@@ -102,3 +102,26 @@ def test_compact_line_is_final_print_in_main():
     import inspect
     src = inspect.getsource(bench.main)
     assert src.rstrip().endswith("print(compact_line(detail, ours, ref))")
+
+
+def test_compact_line_round5_serve_fields():
+    """Round-5 additions: the B32 scan leg surfaces in the compact line,
+    marginal-decode fields ride the full detail (not the compact line),
+    and absence degrades to None rather than KeyError."""
+    detail = _full_detail()
+    detail["serve"]["scan_w8_bf16_B32"] = {
+        "decode_tokens_per_sec": 7878.8, "batch": 32,
+        "new_tokens_each": 64, "pct_of_roofline": 35.3,
+        "marginal_decode_tok_s": 11128.9,
+        "marginal_pct_of_roofline": 49.8,
+    }
+    detail["serve"]["sustained_16slots"] = {
+        "tokens_per_sec": 2500.0, "n_slots": 16,
+    }
+    rec = json.loads(bench.compact_line(detail, 108.4, 17.06))
+    assert rec["legs"]["serve_scan_b32_tok_per_sec"] == 7878.8
+    # compact stays under the driver's 1 KB tail window with the new key
+    assert len(bench.compact_line(detail, 108.4, 17.06)) < 1024
+    # old-shape detail (no B32 leg) must not break the compact line
+    rec_old = json.loads(bench.compact_line(_full_detail(), 108.4, 17.06))
+    assert rec_old["legs"]["serve_scan_b32_tok_per_sec"] is None
