@@ -857,9 +857,11 @@ def leg_serve(detail: dict) -> None:
         detail["serve"]["scan_bf16_vs_f32_acts"] = round(g8b / g8, 2)
         # batch-32 scan: weight reads amortize over 4x the rows — the
         # peak per-chip offline-serving throughput (the reference's 20k-clip
-        # vLLM workload shape, evaluation.py:16-21); wave rate still
-        # includes the 4x-bigger prefill, the marginal rate is pure decode
-        run_gen(w8b, False, "scan_w8_bf16_B32", B_=32, marginal=True)
+        # vLLM workload shape, evaluation.py:16-21). marginal=False keeps
+        # one compile off the bench wall; the B32 slope decomposition
+        # (marginal 11011 tok/s; the B16->B32 jump is XLA switching to
+        # 128-row-padded MXU matmuls) is recorded in BENCH_NUMBERS.md
+        run_gen(w8b, False, "scan_w8_bf16_B32", B_=32)
     except Exception as e:  # noqa: BLE001
         detail["serve"]["scan_error"] = f"{type(e).__name__}: {e}"
 
@@ -958,19 +960,23 @@ def main():
                      "measured numbers",
             # NOT a live capture (value stays 0.0): the most recent full
             # live run on this chip, for context when the tunnel is down
-            # (2026-08-21 ~00:20, bench_wall_s 812.1, all legs live —
-            # BENCH_NUMBERS.md "Round-5 measurements")
+            # (2026-08-21 ~10:10, bench_wall_s 698.8, all legs live, solo
+            # host — BENCH_NUMBERS.md "Round-5 session-2")
             "last_measured_2026_08_21": {
-                "audio_clips_per_sec": 115.8, "vs_baseline": 7.05,
-                "audio_parity_clips_per_sec": 50.6,
-                "vision_frames_per_sec": 593.4,
-                "text_texts_per_sec": 1944.2,
-                "pipeline_clips_per_sec": 3.45,
-                "mllm_train_tokens_per_sec": 15552.7,
-                "mllm_train_mfu": 0.547,
-                "serve_engine_tok_per_sec": 3471.6,
-                "serve_scan_tok_per_sec": 4000.7,
-                "serve_sustained_tok_per_sec": 1524.9}}))
+                "audio_clips_per_sec": 115.2, "vs_baseline": 7.26,
+                "audio_parity_clips_per_sec": 50.4,
+                "vision_frames_per_sec": 590.7,
+                "text_texts_per_sec": 1783.5,
+                "pipeline_clips_per_sec": 3.7,
+                "mllm_train_tokens_per_sec": 17017.2,
+                "mllm_train_mfu": 0.599,
+                "serve_engine_tok_per_sec": 3420.7,
+                "serve_engine_16slot_tok_per_sec": 5282.0,
+                "serve_scan_tok_per_sec": 3921.3,
+                "serve_scan_marginal_tok_per_sec": 5568.9,
+                "serve_scan_b32_tok_per_sec": 7879.4,
+                "serve_sustained_tok_per_sec": 1443.4,
+                "serve_sustained_16slot_tok_per_sec": 1734.7}}))
         raise SystemExit(1)
     from mertools_tpu.core.cache import enable_persistent_cache
     enable_persistent_cache()

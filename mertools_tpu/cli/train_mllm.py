@@ -80,7 +80,13 @@ def build_model(mcfg: dict, amp: str | None = None):
     if remat:
         import dataclasses
 
-        llm_cfg = dataclasses.replace(llm_cfg, remat=True)
+        # yaml `remat_policy: dots` (round 5) saves matmul outputs and
+        # recomputes only elementwise ops; with `loss_chunk` set, `remat:
+        # false` is the fastest fitting config at the 1.1B bench shapes
+        # (MFU 0.596 vs 0.555 dots vs 0.396 full — BENCH_NUMBERS.md)
+        llm_cfg = dataclasses.replace(
+            llm_cfg, remat=True,
+            remat_policy=str(mcfg.get("remat_policy", "full")))
     if mcfg.get("seq_parallel"):
         import dataclasses
 

@@ -262,3 +262,19 @@ run:
     from mertools_tpu.cli.train_mllm import main
     main([f"--config={cfg}", "--n_seq", "2"])
     assert (tmp_path / "out" / "checkpoint_0").exists()
+
+
+def test_build_model_remat_policy_mapping():
+    """yaml `remat` / `remat_policy` / `loss_chunk` reach the configs
+    (round-5 MFU levers: dots remat, chunked LM loss, no-remat+chunk)."""
+    from mertools_tpu.cli.train_mllm import build_model
+
+    base = {"llm_checkpoint": "tiny", "vocab_size": 96, "lora_r": 2,
+            "video_dim": 12, "audio_dim": 10}
+    m, _, _ = build_model(dict(base))
+    assert m.cfg.llm.remat is False and m.cfg.loss_chunk == 0
+    m, _, _ = build_model(dict(base, remat=True, remat_policy="dots",
+                               loss_chunk=64))
+    assert m.cfg.llm.remat is True
+    assert m.cfg.llm.remat_policy == "dots"
+    assert m.cfg.loss_chunk == 64
