@@ -22,10 +22,15 @@ is reported alongside (``audio_parity_clips_per_sec``) and is bounded
                    (extract_vision_huggingface.py:104-189), + MFU.
   * mllm_train   — AffectGPT train-step tokens/s at a 1.1B-param LLM
                    (TinyLlama shape: H=2048, L=22, I=5632, vocab 32000)
-                   with frozen base + LoRA, remat, bf16 — the production
-                   Runner path (train_configs/..._face_lz.yaml:58-90 scale).
+                   with frozen base + LoRA, bf16, chunked LM loss, no
+                   remat, production async dispatch — the Runner path
+                   (train_configs/..._face_lz.yaml:58-90 scale); a
+                   continuity sub-leg keeps the r3/r4 shape + method.
   * serve        — continuous-batching decode tokens/s at serving shapes
-                   (8 slots), bf16 and weight-only int8.
+                   (8/16 slots), bf16 and weight-only int8; scan legs
+                   report the prefill-separated MARGINAL decode rate vs
+                   the weight+KV HBM roofline, plus B=32 peak-throughput
+                   and sustained ragged-admission legs.
 
 Each leg is fault-isolated: a leg failure records leg.error and the other
 legs still report. Large models are INITIALIZED ON DEVICE (jitted init) —
